@@ -1,0 +1,199 @@
+"""MDM denoiser, ZEGGS variant (DiffuseStyleGesture).
+
+Behavioral parity with `main/model/mdm.py:10-358` for the live
+configuration `cond_mode='cross_local_attention3_style1'`,
+`audio_feat='wavlm'`, `arch='trans_enc'` (latent 256, 8 layers, encoder
+heads 4, local/rope heads 8, window 11), plus the
+`cross_local_attention5` and plain `cross_local_attention` orderings and
+the mfcc/'wav encoder' audio modes.
+
+TPU-first notes: batch-first (B, T, D) layout throughout; the per-frame
+conditioning concat + projection fuses into one Dense; rotary is applied
+to the packed (B·H, T, head_dim) tensor exactly as the reference does
+(to the embeddings themselves, `main/model/mdm.py:211-212,224-225`);
+local attention runs through `models/local_attention.py` (XLA) or the
+fused Pallas kernel.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from . import rotary
+from .embeddings import (
+    InputProcess,
+    OutputProcess,
+    TimestepEmbedder,
+    WavEncoder,
+    mask_cond,
+)
+from .local_attention import local_attention
+from .transformer import TorchTransformerEncoder
+
+AUDIO_FEAT_DIMS = {"wav encoder": 32, "mfcc": 13, "wavlm": 64}
+
+
+@dataclasses.dataclass(frozen=True)
+class MDMConfig:
+    njoints: int = 1141
+    nfeats: int = 1
+    latent_dim: int = 256
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 4  # transformer-encoder heads (ref nhead=4)
+    local_heads: int = 8  # RoPE/local-attention heads (ref num_head=8)
+    dropout: float = 0.1
+    activation: str = "gelu"
+    audio_feat: str = "wavlm"
+    style_dim_in: int = 6  # ZEGGS 6 style classes
+    style_dim: int = 64
+    n_seed: int = 8
+    cond_mode: str = "cross_local_attention3_style1"
+    cond_mask_prob: float = 0.1
+    window_size: int = 11
+    attn_impl: str = "xla"
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def audio_feat_dim(self) -> int:
+        return AUDIO_FEAT_DIMS[self.audio_feat]
+
+    @property
+    def input_feats(self) -> int:
+        return self.njoints * self.nfeats
+
+
+class MDM(nn.Module):
+    """ZEGGS gesture denoiser.
+
+    __call__(x, timesteps, cond, train=False, uncond=None)
+      x: (B, njoints, nfeats, T) noisy pose window x_t
+      timesteps: (B,) int32
+      cond: {'style': (B, style_dim_in), 'seed': (B, njoints, nfeats, n_seed),
+             'audio': (B, T, audio_dim_raw), 'mask_local': (B, T) bool}
+      uncond: optional (B,) bool — per-example force-mask for CFG.
+    Returns predicted x0, (B, njoints, nfeats, T).
+    """
+
+    cfg: MDMConfig
+
+    def _heads_split(self, x: jax.Array, heads: int) -> jax.Array:
+        B, T, D = x.shape
+        x = x.reshape(B, T, heads, D // heads).transpose(0, 2, 1, 3)
+        return x.reshape(B * heads, T, D // heads)
+
+    def _heads_merge(self, x: jax.Array, B: int, heads: int) -> jax.Array:
+        BH, T, hd = x.shape
+        x = x.reshape(B, heads, T, hd).transpose(0, 2, 1, 3)
+        return x.reshape(B, T, heads * hd)
+
+    def _rope(self, x: jax.Array) -> jax.Array:
+        freqs = rotary.sinusoidal_freqs(x.shape[1], x.shape[2], dtype=x.dtype)
+        return rotary.apply_rotary(x, freqs)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        cond: Dict[str, jax.Array],
+        *,
+        train: bool = False,
+        uncond: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        B, njoints, nfeats, T = x.shape
+        D = cfg.latent_dim
+        H = cfg.local_heads
+
+        emb_t = TimestepEmbedder(D, name="embed_timestep")(timesteps)  # (B, D)
+
+        cm_rng = self.make_rng("cond_mask") if (train and cfg.cond_mask_prob > 0) else None
+        mk = lambda c, r: mask_cond(  # noqa: E731
+            c, cond_mask_prob=cfg.cond_mask_prob, train=train, uncond=uncond, rng=r
+        )
+
+        if "style1" in cfg.cond_mode:
+            style_emb = nn.Dense(cfg.style_dim, name="embed_style")(cond["style"])
+            style_emb = mk(style_emb, cm_rng)
+            if cfg.n_seed != 0:
+                seed_flat = cond["seed"].reshape(B, -1)
+                seed_flat = mk(seed_flat, cm_rng)
+                seed_emb = nn.Dense(D - cfg.style_dim, name="embed_text")(seed_flat)
+                emb_1 = jnp.concatenate([style_emb, seed_emb], axis=-1)
+            else:
+                emb_1 = style_emb
+        elif cfg.n_seed != 0:
+            seed_flat = mk(cond["seed"].reshape(B, -1), cm_rng)
+            emb_1 = nn.Dense(D, name="embed_text")(seed_flat)
+        else:
+            emb_1 = jnp.zeros((B, D), dtype=x.dtype)
+
+        if cfg.audio_feat == "wavlm":
+            enc_audio = WavEncoder(cfg.audio_feat_dim, name="WavEncoder")(cond["audio"])
+        else:
+            enc_audio = cond["audio"]  # (B, T, audio_feat_dim) precomputed
+
+        token = emb_1 + emb_t  # (B, D)
+        x_ = InputProcess(D, name="input_process")(x)  # (B, T, D)
+
+        mask_local = cond.get("mask_local")
+
+        def local_block(seq_btd: jax.Array) -> jax.Array:
+            """cat(token, seq, audio) → Dense → RoPE → windowed attention."""
+            tok = jnp.broadcast_to(token[:, None, :], (B, T, D))
+            cat = jnp.concatenate([tok, seq_btd, enc_audio], axis=-1)
+            h = nn.Dense(D, name="input_process2")(cat)
+            hh = self._heads_split(h, H)
+            hh = self._rope(hh)
+            out = local_attention(
+                hh, hh, hh, cfg.window_size, mask_local, heads=H, impl=cfg.attn_impl
+            )
+            return self._heads_merge(out, B, H)
+
+        def trunk(seq_btd: jax.Array) -> jax.Array:
+            """prepend token → RoPE over heads → transformer encoder → drop token."""
+            seq = jnp.concatenate([token[:, None, :], seq_btd], axis=1)  # (B, T+1, D)
+            hh = self._heads_split(seq, H)
+            hh = self._rope(hh)
+            seq = self._heads_merge(hh, B, H)
+            out = TorchTransformerEncoder(
+                num_layers=cfg.num_layers,
+                d_model=D,
+                nhead=cfg.num_heads,
+                dim_feedforward=cfg.ff_size,
+                dropout=cfg.dropout,
+                activation=cfg.activation,
+                remat=cfg.remat,
+                name="seqTransEncoder",
+            )(seq, deterministic=not train)
+            return out[:, 1:]
+
+        if "cross_local_attention3" in cfg.cond_mode:
+            h = local_block(x_)
+            output = trunk(h)
+        elif "cross_local_attention5" in cfg.cond_mode:
+            output = local_block(x_)
+        elif "cross_local_attention" in cfg.cond_mode:
+            # original ordering (ref `:259-295`): transformer first, then local
+            h = trunk(x_)
+            output = local_block(h)
+        else:
+            raise NotImplementedError(
+                f"cond_mode {cfg.cond_mode!r}: only the cross_local_attention "
+                "family is on the live ZEGGS path"
+            )
+
+        return OutputProcess(
+            cfg.input_feats, njoints, nfeats, name="output_process"
+        )(output)
+
+
+def zeggs_mdm(latent_dim: int = 256, **overrides) -> MDM:
+    """Factory mirroring the ZEGGS train config (`main/mydiffusion_zeggs/end2end.py:19-23`)."""
+    return MDM(MDMConfig(latent_dim=latent_dim, **overrides))

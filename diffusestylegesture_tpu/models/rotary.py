@@ -1,0 +1,38 @@
+"""Rotary position embeddings, GPT-NeoX-style half rotation.
+
+Parity with the vendored lucidrains rotary module
+(`main/model/local_attention/rotary.py:6-25`): inverse-frequency table
+``1/10000^(2i/d)``, frequencies duplicated across the two halves, and
+``rotate_half`` that splits the feature dim into [first half | second
+half] and maps (x1, x2) → (-x2, x1).
+
+The MDM denoiser applies this rotation to the *token embeddings
+themselves* (not q/k inside attention) before both the local-attention
+block and the transformer stack (`main/model/mdm.py:211-212,224-225`);
+`apply_rotary` here reproduces exactly that.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sinusoidal_freqs(n: int, dim: int, dtype=jnp.float32) -> jax.Array:
+    """(n, dim) angle table: freqs duplicated across halves (ref `:12-16`)."""
+    inv_freq = 1.0 / (10000 ** (jnp.arange(0, dim, 2, dtype=dtype) / dim))
+    t = jnp.arange(n, dtype=dtype)
+    freqs = jnp.einsum("i,j->ij", t, inv_freq)
+    return jnp.concatenate([freqs, freqs], axis=-1)
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary(x: jax.Array, freqs: jax.Array) -> jax.Array:
+    """Rotate the last dim of x by per-position angles.
+
+    x: (..., n, d); freqs: (n, d) from `sinusoidal_freqs`.
+    """
+    return x * jnp.cos(freqs) + rotate_half(x) * jnp.sin(freqs)

@@ -1,0 +1,108 @@
+"""Post-LN transformer encoder with torch-1.9 weight semantics.
+
+The reference denoisers run their trunk through
+``nn.TransformerEncoder(nn.TransformerEncoderLayer(...))``
+(`main/model/mdm.py:77-86`): post-norm residual blocks with a packed-QKV
+`nn.MultiheadAttention`. This module reproduces that computation in Flax
+with a parameter layout chosen so a torch checkpoint maps 1:1
+(`in_proj` packed as one (3D, D) matrix, `out_proj`, `linear1/2`,
+`norm1/2`) — see `models/convert.py` for the mapping.
+
+Batch-first (B, T, D) layout; attention runs in f32 accumulations on the
+MXU via `preferred_element_type`.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class TorchMultiheadAttention(nn.Module):
+    """`nn.MultiheadAttention` parity: packed in-proj, out-proj."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        D, H = self.embed_dim, self.num_heads
+        head_dim = D // H
+        in_proj = nn.Dense(3 * D, name="in_proj")(x)  # (B, T, 3D)
+        q, k, v = jnp.split(in_proj, 3, axis=-1)
+
+        B, T, _ = x.shape
+        q = q.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
+
+        scale = head_dim**-0.5
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+        if attn_mask is not None:
+            sim = jnp.where(attn_mask, sim, float(jnp.finfo(jnp.float32).min))
+        attn = jax.nn.softmax(sim, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D).astype(x.dtype)
+        return nn.Dense(D, name="out_proj")(out)
+
+
+class TorchEncoderLayer(nn.Module):
+    """torch-1.9 `nn.TransformerEncoderLayer` (post-norm) parity."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        act: Callable = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
+        attn_out = TorchMultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn"
+        )(x, deterministic=deterministic, attn_mask=attn_mask)
+        x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = act(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        return x
+
+
+class TorchTransformerEncoder(nn.Module):
+    """Stack of `TorchEncoderLayer`s (no final norm, matching the ref)."""
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "gelu"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        layer_cls = TorchEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(TorchEncoderLayer, static_argnums=())
+        for i in range(self.num_layers):
+            x = layer_cls(
+                self.d_model,
+                self.nhead,
+                self.dim_feedforward,
+                self.dropout,
+                self.activation,
+                name=f"layers_{i}",
+            )(x, deterministic=deterministic, attn_mask=attn_mask)
+        return x

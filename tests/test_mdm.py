@@ -1,0 +1,224 @@
+"""MDM denoiser tests: shapes, CFG masking, and torch reference parity."""
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+import jax
+import jax.numpy as jnp
+
+from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig
+from diffusestylegesture_tpu.models import convert
+from diffusestylegesture_tpu.models.local_attention import local_attention
+
+B, NJ, T = 2, 48, 22  # T divisible by window 11
+
+
+def small_cfg(**kw):
+    base = dict(
+        njoints=NJ,
+        latent_dim=128,
+        ff_size=128,
+        num_layers=2,
+        window_size=11,
+        n_seed=8,
+        local_heads=8,
+        num_heads=4,
+    )
+    base.update(kw)
+    return MDMConfig(**base)
+
+
+def make_cond(rng, audio_dim=1024):
+    return {
+        "style": jnp.asarray(rng.standard_normal((B, 6)).astype(np.float32)),
+        "seed": jnp.asarray(rng.standard_normal((B, NJ, 1, 8)).astype(np.float32)),
+        "audio": jnp.asarray(rng.standard_normal((B, T, audio_dim)).astype(np.float32)),
+        "mask_local": jnp.ones((B, T), bool),
+    }
+
+
+class TestShapes:
+    @pytest.mark.parametrize(
+        "cond_mode",
+        [
+            "cross_local_attention3_style1",
+            "cross_local_attention5_style1",
+            "cross_local_attention_style1",
+        ],
+    )
+    def test_forward_shapes(self, cond_mode):
+        rng = np.random.default_rng(0)
+        model = MDM(small_cfg(cond_mode=cond_mode))
+        x = jnp.asarray(rng.standard_normal((B, NJ, 1, T)).astype(np.float32))
+        t = jnp.array([3, 17])
+        cond = make_cond(rng)
+        params = model.init(jax.random.PRNGKey(0), x, t, cond)
+        out = model.apply(params, x, t, cond)
+        assert out.shape == (B, NJ, 1, T)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_uncond_masks_conditioning(self):
+        rng = np.random.default_rng(1)
+        model = MDM(small_cfg())
+        x = jnp.asarray(rng.standard_normal((B, NJ, 1, T)).astype(np.float32))
+        t = jnp.array([3, 17])
+        cond = make_cond(rng)
+        params = model.init(jax.random.PRNGKey(0), x, t, cond)
+        out_u1 = model.apply(params, x, t, cond, uncond=jnp.ones((B,), bool))
+        cond2 = dict(cond)
+        cond2["style"] = cond["style"] * 0 + 5.0
+        cond2["seed"] = cond["seed"] * 0 - 3.0
+        out_u2 = model.apply(params, x, t, cond2, uncond=jnp.ones((B,), bool))
+        np.testing.assert_allclose(np.asarray(out_u1), np.asarray(out_u2), atol=1e-6)
+        out_c = model.apply(params, x, t, cond2)
+        assert np.abs(np.asarray(out_c) - np.asarray(out_u2)).max() > 1e-4
+
+    def test_train_mode_cond_dropout_stochastic(self):
+        rng = np.random.default_rng(2)
+        model = MDM(small_cfg(cond_mask_prob=0.5, dropout=0.0))
+        x = jnp.asarray(rng.standard_normal((B, NJ, 1, T)).astype(np.float32))
+        t = jnp.array([3, 17])
+        cond = make_cond(rng)
+        params = model.init(jax.random.PRNGKey(0), x, t, cond)
+        outs = [
+            np.asarray(
+                model.apply(
+                    params, x, t, cond, train=True,
+                    rngs={"cond_mask": jax.random.PRNGKey(i), "dropout": jax.random.PRNGKey(99)},
+                )
+            )
+            for i in range(4)
+        ]
+        diffs = max(np.abs(outs[0] - o).max() for o in outs[1:])
+        assert diffs > 1e-5
+
+
+@requires_reference
+class TestLocalAttentionParity:
+    def test_vs_reference(self):
+        import sys
+        import torch
+
+        sys.path.insert(0, "/root/reference/main/model")
+        from local_attention.local_attention import LocalAttention  # type: ignore
+
+        rng = np.random.default_rng(3)
+        bh, n, d = 16, 22, 32
+        q = rng.standard_normal((bh, n, d)).astype(np.float32)
+        k = rng.standard_normal((bh, n, d)).astype(np.float32)
+        v = rng.standard_normal((bh, n, d)).astype(np.float32)
+        mask = np.ones((2, n), dtype=bool)
+        mask[1, -5:] = False
+
+        ref = LocalAttention(dim=d, window_size=11, causal=True, look_backward=1,
+                             look_forward=0, dropout=0.0, exact_windowsize=False)
+        ref.eval()
+        with torch.no_grad():
+            theirs = ref(
+                torch.as_tensor(q), torch.as_tensor(k), torch.as_tensor(v),
+                packed_shape=[torch.Size([2, 8])], mask=torch.as_tensor(mask),
+            ).numpy().reshape(bh, n, d)
+
+        ours = np.asarray(
+            local_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 11,
+                            jnp.asarray(mask), heads=8)
+        )
+        np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+@requires_reference
+class TestMDMParity:
+    def test_forward_parity_attention3(self):
+        import torch
+
+        from ref_compat import import_ref_mdm
+
+        RefMDM = import_ref_mdm()
+        torch.manual_seed(0)
+        ref = RefMDM(
+            modeltype="", njoints=NJ, nfeats=1,
+            cond_mode="cross_local_attention3_style1", audio_feat="wavlm",
+            arch="trans_enc", latent_dim=128, ff_size=128, num_layers=2,
+            n_seed=8, cond_mask_prob=0.1,
+        )
+        ref.eval()
+
+        cfg = small_cfg()
+        model = MDM(cfg)
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((B, NJ, 1, T)).astype(np.float32)
+        t = np.array([12, 45])
+        style = rng.standard_normal((B, 6)).astype(np.float32)
+        seed = rng.standard_normal((B, NJ, 1, 8)).astype(np.float32)
+        audio = rng.standard_normal((B, T, 1024)).astype(np.float32)
+        mask_local = np.ones((B, T), dtype=bool)
+
+        with torch.no_grad():
+            theirs = ref(
+                torch.as_tensor(x),
+                torch.as_tensor(t),
+                y={
+                    "style": torch.as_tensor(style),
+                    "seed": torch.as_tensor(seed),
+                    "audio": torch.as_tensor(audio),
+                    "mask_local": torch.as_tensor(mask_local),
+                },
+            ).numpy()
+
+        params = {"params": convert.convert_mdm_zeggs(ref.state_dict(), num_layers=2)}
+        cond = {
+            "style": jnp.asarray(style),
+            "seed": jnp.asarray(seed),
+            "audio": jnp.asarray(audio),
+            "mask_local": jnp.asarray(mask_local),
+        }
+        ours = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(t), cond))
+        np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+    def test_uncond_parity(self):
+        import torch
+
+        from ref_compat import import_ref_mdm
+
+        RefMDM = import_ref_mdm()
+        torch.manual_seed(1)
+        ref = RefMDM(
+            modeltype="", njoints=NJ, nfeats=1,
+            cond_mode="cross_local_attention3_style1", audio_feat="wavlm",
+            arch="trans_enc", latent_dim=128, ff_size=128, num_layers=2,
+            n_seed=8, cond_mask_prob=0.1,
+        )
+        ref.eval()
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((B, NJ, 1, T)).astype(np.float32)
+        t = np.array([2, 9])
+        style = rng.standard_normal((B, 6)).astype(np.float32)
+        seed = rng.standard_normal((B, NJ, 1, 8)).astype(np.float32)
+        audio = rng.standard_normal((B, T, 1024)).astype(np.float32)
+        mask_local = np.ones((B, T), dtype=bool)
+        with torch.no_grad():
+            theirs = ref(
+                torch.as_tensor(x), torch.as_tensor(t),
+                y={
+                    "style": torch.as_tensor(style),
+                    "seed": torch.as_tensor(seed),
+                    "audio": torch.as_tensor(audio),
+                    "mask_local": torch.as_tensor(mask_local),
+                },
+                uncond_info=True,
+            ).numpy()
+        params = {"params": convert.convert_mdm_zeggs(ref.state_dict(), num_layers=2)}
+        model = MDM(small_cfg())
+        cond = {
+            "style": jnp.asarray(style),
+            "seed": jnp.asarray(seed),
+            "audio": jnp.asarray(audio),
+            "mask_local": jnp.asarray(mask_local),
+        }
+        ours = np.asarray(
+            model.apply(
+                params, jnp.asarray(x), jnp.asarray(t), cond, uncond=jnp.ones((B,), bool)
+            )
+        )
+        np.testing.assert_allclose(ours, theirs, atol=5e-4)
