@@ -1,0 +1,6 @@
+from .engine import ZeggsEngineConfig, ZeggsSampler, slice_audio_windows  # noqa: F401
+from .engine_beat import (  # noqa: F401
+    BeatEngineConfig,
+    BeatTwhSampler,
+    prepare_seed_gesture,
+)

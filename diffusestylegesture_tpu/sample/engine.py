@@ -1,0 +1,209 @@
+"""Windowed long-form gesture generation engines.
+
+Parity targets:
+  * ZEGGS: `main/mydiffusion_zeggs/sample.py:210-338` — split audio into
+    ⌊T/(n_poses−n_seed)⌋ windows, per-window WavLM features with an
+    n_seed-frame audio prefix (zeros for window 0, the previous window's
+    tail otherwise), 1000-step DDPM per window, root-translation delta
+    correction between windows (`:269-282`), linear crossfade over the
+    n_seed overlap frames (`:284-288`), trim + un-normalize.
+  * BEAT/TWH: `BEAT-TWH-main/mydiffusion_beat_twh/sample.py:44-201` —
+    ⌈T/(n_poses−n_seed)⌉ windows over zero-padded text+audio features,
+    real-clip seed with velocity/acceleration channels, per-variant audio
+    slicing, position-third extraction (`motion_feature_division`).
+
+TPU-first restructuring (same outputs, different schedule):
+  * All window audio slices are gathered up front and the audio encoder
+    (WavLM) runs ONCE as a batch over windows — large MXU batches instead
+    of the reference's per-window CPU↔GPU round trips.
+  * The per-window 1000-step DDPM chain is a `lax.scan`; the
+    autoregressive window loop (seed carry + crossfade + root-delta) is a
+    second, outer `lax.scan`. One XLA program generates the whole clip.
+  * Batched multi-style / multi-guidance sampling: the batch axis is free
+    — pass stacked styles and a guidance scale to saturate the chip.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import Schedule, SamplerConfig, p_sample_loop
+from ..diffusion.sampling import cfg_combine
+
+
+@dataclasses.dataclass(frozen=True)
+class ZeggsEngineConfig:
+    n_poses: int = 88
+    n_seed: int = 8
+    njoints: int = 1141
+    fps: int = 20
+    sr: int = 16000
+    guidance_scale: float = 0.0  # 0 → plain conditional (reference default)
+    # Crossfade width. None replicates the reference quirk: its blend loop
+    # runs `for j in range(len(last_poses))` where `last_poses` is the
+    # BATCH axis (`sample.py:284-288`), so with batch 1 only frame 0 is
+    # blended, 50/50. An int selects a proper linear crossfade over that
+    # many overlap frames (the behavior the code comments describe).
+    crossfade_n: Optional[int] = None
+    root_delta_correction: bool = True  # ref `:269-282` (ZEGGS on, BEAT off)
+
+    @property
+    def stride(self) -> int:
+        return self.n_poses - self.n_seed
+
+    @property
+    def samples_per_stride(self) -> int:
+        return int(self.stride * self.sr / self.fps)
+
+    @property
+    def samples_per_seed(self) -> int:
+        return int(self.n_seed * self.sr / self.fps)
+
+
+def slice_audio_windows(audio: np.ndarray, cfg: ZeggsEngineConfig) -> np.ndarray:
+    """Raw 16 kHz audio → (num_windows, seed_pad + stride samples).
+
+    Window i's audio = [tail of window i−1 (zeros for i=0) | own stride]
+    (parity: `sample.py:233-248`).
+    """
+    sps, spd = cfg.samples_per_stride, cfg.samples_per_seed
+    num = len(audio) // sps
+    audio = audio[: num * sps]
+    main = audio.reshape(num, sps)
+    prev_tails = np.zeros((num, spd), dtype=audio.dtype)
+    prev_tails[1:] = main[:-1, -spd:]
+    return np.concatenate([prev_tails, main], axis=1)
+
+
+class ZeggsSampler:
+    """End-to-end compiled ZEGGS long-form sampler.
+
+    Args:
+      model_apply: (params, x, t, cond, uncond=None) → x0 prediction.
+      wavlm_apply: (wavlm_params, audio_windows (W, S)) → (W, n_poses, 1024)
+        per-frame features (already interpolated to the motion rate).
+      schedule: diffusion Schedule (1000-step cosine for parity).
+    """
+
+    def __init__(
+        self,
+        model_apply: Callable,
+        wavlm_apply: Callable,
+        schedule: Schedule,
+        cfg: ZeggsEngineConfig = ZeggsEngineConfig(),
+        sampler_cfg: SamplerConfig = SamplerConfig(),
+    ):
+        self.model_apply = model_apply
+        self.wavlm_apply = wavlm_apply
+        self.schedule = schedule
+        self.cfg = cfg
+        self.sampler_cfg = sampler_cfg
+        self._generate = jax.jit(self._generate_impl, static_argnames=("num_windows",))
+
+    def _window_sample(self, params, key, wavlm_feats, seed, style):
+        """One 88-frame window: DDPM chain with seed/style conditioning."""
+        cfg = self.cfg
+        B = style.shape[0]
+        cond = {
+            "style": style,
+            "seed": seed,
+            "audio": jnp.broadcast_to(wavlm_feats[None], (B,) + wavlm_feats.shape),
+            "mask_local": jnp.ones((B, cfg.n_poses), bool),
+        }
+
+        if self.cfg.guidance_scale and self.cfg.guidance_scale != 1.0:
+            def model_fn(x, t):
+                x2 = jnp.concatenate([x, x], 0)
+                t2 = jnp.concatenate([t, t], 0)
+                cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], 0), cond)
+                un = jnp.concatenate([jnp.zeros(B, bool), jnp.ones(B, bool)])
+                out = self.model_apply(params, x2, t2, cond2, uncond=un)
+                return cfg_combine(out[:B], out[B:], self.cfg.guidance_scale)
+        else:
+            def model_fn(x, t):
+                return self.model_apply(params, x, t, cond)
+
+        shape = (B, cfg.njoints, 1, cfg.n_poses)
+        return p_sample_loop(
+            self.schedule, model_fn, shape, key, cfg=self.sampler_cfg
+        )
+
+    def _generate_impl(self, params, wavlm_params, audio_windows, style, key, *, num_windows):
+        cfg = self.cfg
+        B = style.shape[0]
+        n_seed, n_poses = cfg.n_seed, cfg.n_poses
+
+        # One batched audio-encoder pass over all windows.
+        feats = self.wavlm_apply(wavlm_params, audio_windows)  # (W, n_poses, 1024)
+
+        # static crossfade weights over the n_seed overlap frames
+        if cfg.crossfade_n is None:
+            n = B  # reference quirk: loop bound/weights use the batch size
+        else:
+            n = int(cfg.crossfade_n)
+        j = np.arange(n_seed, dtype=np.float32)
+        wa = np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32)
+        wb = np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32)
+        wa, wb = jnp.asarray(wa), jnp.asarray(wb)
+
+        def body(carry, xs):
+            seed, k = carry
+            feats_i, idx = xs
+            k, sub = jax.random.split(k)
+            sample = self._window_sample(params, sub, feats_i, seed, style)
+            is_first = idx == 0
+
+            if cfg.root_delta_correction:
+                # root-translation delta removal (ref `:269-282`)
+                delta = (sample[:, 0:3, :, 0] - seed[:, 0:3, :, 0])[..., None]
+                corrected = sample.at[:, 0:3].add(-delta)
+                sample = jnp.where(is_first, sample, corrected)
+
+            blended_head = seed * wa + sample[..., :n_seed] * wb
+            head = jnp.where(is_first, sample[..., :n_seed], blended_head)
+            sample = jnp.concatenate([head, sample[..., n_seed:]], axis=-1)
+
+            new_seed = sample[..., -n_seed:]
+            return (new_seed, k), sample[..., : n_poses - n_seed]
+
+        seed0 = jnp.zeros((B, cfg.njoints, 1, n_seed), jnp.float32)
+        (_, _), chunks = jax.lax.scan(
+            body,
+            (seed0, key),
+            (feats, jnp.arange(num_windows)),
+        )
+        # (W, B, C, 1, stride) → (B, C, 1, W·stride)
+        out = jnp.moveaxis(chunks, 0, -2).reshape(
+            B, cfg.njoints, 1, num_windows * (n_poses - n_seed)
+        )
+        return out[..., n_seed:]  # drop warm-up seed frames (ref `:296`)
+
+    def generate(
+        self,
+        params,
+        wavlm_params,
+        audio: np.ndarray,
+        style: np.ndarray,
+        key: jax.Array,
+        mean: Optional[np.ndarray] = None,
+        std: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Full pipeline: audio → (B, T_frames, njoints) un-normalized poses."""
+        windows = slice_audio_windows(np.asarray(audio, np.float32), self.cfg)
+        num_windows = windows.shape[0]
+        style = jnp.atleast_2d(jnp.asarray(style, jnp.float32))
+        out = self._generate(
+            params, wavlm_params, jnp.asarray(windows), style, key,
+            num_windows=num_windows,
+        )
+        seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
+        if std is not None:
+            seq = seq * np.clip(np.asarray(std).squeeze(), 0.01, None)
+        if mean is not None:
+            seq = seq + np.asarray(mean).squeeze()
+        return seq

@@ -1,0 +1,117 @@
+"""Long-form generation engine tests (tiny dims, CPU)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from diffusestylegesture_tpu import diffusion as D
+from diffusestylegesture_tpu.sample import (
+    BeatEngineConfig,
+    BeatTwhSampler,
+    ZeggsEngineConfig,
+    ZeggsSampler,
+    prepare_seed_gesture,
+    slice_audio_windows,
+)
+
+NJ = 12
+SCHED = D.Schedule.create(D.named_beta_schedule("cosine", 8))
+
+
+def toy_model_apply(params, x, t, cond, uncond=None):
+    """Deterministic pseudo-denoiser that uses seed + style + audio."""
+    B, C, _, T = x.shape
+    audio_sig = jnp.mean(cond["audio"], axis=-1)  # (B, T) or (B, T_a)
+    audio_sig = jnp.resize(audio_sig, (B, T))
+    style_sig = jnp.sum(cond["style"], axis=-1)[:, None, None, None]
+    seed_sig = jnp.mean(cond["seed"], axis=-1, keepdims=True)
+    out = 0.5 * x + 0.1 * seed_sig + 0.01 * style_sig
+    if uncond is not None:
+        out = out * (1.0 - 0.5 * uncond.astype(jnp.float32)[:, None, None, None])
+    return out + 0.001 * audio_sig[:, None, None, :]
+
+
+def toy_wavlm_apply(params, windows):
+    W, S = windows.shape
+    feats = jnp.mean(windows.reshape(W, 88, -1), axis=-1, keepdims=True)
+    return jnp.broadcast_to(feats, (W, 88, 1024))
+
+
+class TestZeggsEngine:
+    def test_window_slicing(self):
+        cfg = ZeggsEngineConfig()
+        audio = np.arange(cfg.samples_per_stride * 3 + 100, dtype=np.float32)
+        w = slice_audio_windows(audio, cfg)
+        assert w.shape == (3, cfg.samples_per_seed + cfg.samples_per_stride)
+        # window 0 pad is zeros; window 1 prefix is tail of window 0
+        assert (w[0, : cfg.samples_per_seed] == 0).all()
+        np.testing.assert_array_equal(
+            w[1, : cfg.samples_per_seed], w[0, -cfg.samples_per_seed:]
+        )
+
+    def test_generate_shapes_and_determinism(self):
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        audio = np.random.default_rng(0).standard_normal(cfg.samples_per_stride * 3).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        out1 = eng.generate({}, {}, audio, style, jax.random.PRNGKey(7))
+        out2 = eng.generate({}, {}, audio, style, jax.random.PRNGKey(7))
+        T_expected = 3 * cfg.stride - cfg.n_seed
+        assert out1.shape == (1, T_expected, NJ)
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_batched_styles_and_guidance(self):
+        cfg = ZeggsEngineConfig(njoints=NJ, guidance_scale=2.0, crossfade_n=8)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        audio = np.random.default_rng(1).standard_normal(cfg.samples_per_stride * 2).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:3]
+        out = eng.generate({}, {}, audio, style, jax.random.PRNGKey(0))
+        assert out.shape[0] == 3
+        assert np.isfinite(out).all()
+
+    def test_unnormalize(self):
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        audio = np.zeros(cfg.samples_per_stride, np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        mean = np.full(NJ, 5.0, np.float32)
+        std = np.full(NJ, 2.0, np.float32)
+        raw = eng.generate({}, {}, audio, style, jax.random.PRNGKey(3))
+        scaled = eng.generate({}, {}, audio, style, jax.random.PRNGKey(3), mean=mean, std=std)
+        np.testing.assert_allclose(scaled, raw * 2.0 + 5.0, atol=1e-4)
+
+
+class TestBeatEngine:
+    def test_seed_preparation(self):
+        rng = np.random.default_rng(0)
+        motion_dim = 10
+        raw = rng.standard_normal((32, motion_dim)).astype(np.float32)
+        mean = raw.mean(0)
+        std = raw.std(0) + 1e-6
+        seed = prepare_seed_gesture(raw[:32], mean, std)
+        assert seed.shape == (30, 30)
+
+    def test_variants(self):
+        motion_dim = 8
+        njoints = motion_dim * 3
+        rng = np.random.default_rng(1)
+        for variant, alen in (("attention3", 150), ("attention4", 120), ("attention5", 90)):
+            cfg = BeatEngineConfig(njoints=njoints, audio_dim=16, variant=variant)
+            eng = BeatTwhSampler(toy_model_apply, SCHED, cfg)
+            ta = rng.standard_normal((250, 16)).astype(np.float32)
+            win, num, real_n = eng.slice_windows(ta)
+            assert num == 3 and real_n == 250
+            assert win.shape == (3, alen, 16)
+            raw_seed = rng.standard_normal((32, motion_dim)).astype(np.float32)
+            mean = np.zeros(motion_dim, np.float32)
+            std = np.ones(motion_dim, np.float32)
+            seed = prepare_seed_gesture(raw_seed, mean, std)
+            kwargs = {}
+            if variant == "attention5":
+                kwargs["seed_last"] = seed
+            out = eng.generate(
+                {}, ta, seed, np.eye(4, dtype=np.float32)[:1], jax.random.PRNGKey(0),
+                mean, std, **kwargs,
+            )
+            assert out.shape == (1, 250, motion_dim)
+            assert np.isfinite(out).all()
