@@ -1,0 +1,116 @@
+"""Key-value training logger.
+
+Re-design of the guided-diffusion logger the reference uses
+(`main/diffusion/logger.py:36-495`): `logkv`/`logkv_mean` accumulation,
+`dumpkvs` flushing to human-readable stdout tables, JSON lines, and CSV,
+selected by format strings; plus the loss-quartile bucketing the train
+loop layers on top (`main/train/training_loop.py:350-356`).
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional, TextIO
+
+
+class HumanOutput:
+    def __init__(self, fh: TextIO):
+        self.fh = fh
+
+    def writekvs(self, kvs: Dict) -> None:
+        def fmt(v):
+            return f"{v:<8.3g}" if hasattr(v, "__float__") else str(v)
+
+        items = {k: fmt(v) for k, v in sorted(kvs.items())}
+        if not items:
+            return
+        keywidth = max(map(len, items.keys()))
+        valwidth = max(map(len, items.values()))
+        dashes = "-" * (keywidth + valwidth + 7)
+        lines = [dashes]
+        for k, v in items.items():
+            lines.append(f"| {k}{' ' * (keywidth - len(k))} | {v}{' ' * (valwidth - len(v))} |")
+        lines.append(dashes)
+        self.fh.write("\n".join(lines) + "\n")
+        self.fh.flush()
+
+
+class JSONOutput:
+    def __init__(self, path: str):
+        self.fh = open(path, "at")
+
+    def writekvs(self, kvs: Dict) -> None:
+        self.fh.write(json.dumps({k: float(v) if hasattr(v, "__float__") else v for k, v in kvs.items()}) + "\n")
+        self.fh.flush()
+
+
+class CSVOutput:
+    def __init__(self, path: str):
+        self.path = path
+        self.keys: List[str] = []
+        self.rows: List[Dict] = []
+
+    def writekvs(self, kvs: Dict) -> None:
+        extra = sorted(set(kvs.keys()) - set(self.keys))
+        self.keys.extend(extra)
+        self.rows.append(dict(kvs))
+        with open(self.path, "wt") as f:
+            f.write(",".join(self.keys) + "\n")
+            for row in self.rows:
+                f.write(",".join(str(row.get(k, "")) for k in self.keys) + "\n")
+
+
+class KVLogger:
+    def __init__(self, log_dir: Optional[str] = None, format_strs=("stdout",)):
+        self.name2val: Dict[str, float] = defaultdict(float)
+        self.name2cnt: Dict[str, int] = defaultdict(int)
+        self.outputs = []
+        self.log_dir = log_dir
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+        for fmt in format_strs:
+            if fmt == "stdout":
+                self.outputs.append(HumanOutput(sys.stdout))
+            elif fmt == "json":
+                assert log_dir
+                self.outputs.append(JSONOutput(os.path.join(log_dir, "progress.json")))
+            elif fmt == "csv":
+                assert log_dir
+                self.outputs.append(CSVOutput(os.path.join(log_dir, "progress.csv")))
+        self._start = time.time()
+
+    def logkv(self, key: str, val) -> None:
+        self.name2val[key] = val
+
+    def logkv_mean(self, key: str, val) -> None:
+        oldval, cnt = self.name2val[key], self.name2cnt[key]
+        self.name2val[key] = oldval * cnt / (cnt + 1) + float(val) / (cnt + 1)
+        self.name2cnt[key] = cnt + 1
+
+    def log_loss_dict(self, ts, num_timesteps: int, losses: Dict) -> None:
+        """Per-key mean + per-quartile means (ref `training_loop.py:350-356`)."""
+        import numpy as np
+
+        ts = np.asarray(ts)
+        for key, values in losses.items():
+            values = np.asarray(values)
+            self.logkv_mean(key, values.mean())
+            for sub_t, sub_loss in zip(ts, values):
+                quartile = int(4 * sub_t / num_timesteps)
+                self.logkv_mean(f"{key}_q{quartile}", sub_loss)
+
+    def dumpkvs(self) -> Dict:
+        out = dict(self.name2val)
+        out["_wall_time"] = time.time() - self._start
+        for o in self.outputs:
+            o.writekvs(out)
+        self.name2val.clear()
+        self.name2cnt.clear()
+        return out
+
+    def log(self, *args) -> None:
+        print(datetime.datetime.now().strftime("[%H:%M:%S]"), *args)

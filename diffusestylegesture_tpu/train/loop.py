@@ -1,0 +1,121 @@
+"""Training loop driver.
+
+Parity surface with `TrainLoop` (`main/train/training_loop.py:26-356`,
+BEAT variant `BEAT-TWH-main/train/training_loop.py`): epoch×batch
+iteration bounded by `lr_anneal_steps`/`num_steps`, loss-quartile
+logging, periodic checkpointing, and the `DIFFUSION_TRAINING_TEST`
+smoke-mode early return (`training_loop.py:229-230`).
+
+TPU-first: the step itself is one donated jit (see `train/state.py`);
+under a mesh the loop shards each host batch over the `data` axis and
+the gradient all-reduce rides ICI.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..parallel import make_mesh, replicate, shard_batch
+from .checkpoint import CheckpointManager
+from .logger import KVLogger
+from .state import TrainConfig, TrainState, create_train_state, make_train_step
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    num_steps: int = 100_000
+    log_interval: int = 50
+    save_interval: int = 50_000
+    checkpoint_dir: Optional[str] = None
+    use_mesh: bool = False
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        model_apply: Callable,
+        schedule,
+        params: Any,
+        data: Iterable,
+        train_cfg: TrainConfig = TrainConfig(),
+        loop_cfg: LoopConfig = LoopConfig(),
+        cond_builder: Optional[Callable] = None,
+        seed: int = 0,
+    ):
+        self.loop_cfg = loop_cfg
+        self.schedule = schedule
+        self.data = data
+        self.logger = KVLogger()
+        self.mesh = make_mesh() if loop_cfg.use_mesh else None
+
+        step_fn = make_train_step(model_apply, schedule, train_cfg, cond_builder)
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        self.state = create_train_state(params, train_cfg, schedule.num_timesteps)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+
+        self.ckpt = (
+            CheckpointManager(loop_cfg.checkpoint_dir)
+            if loop_cfg.checkpoint_dir
+            else None
+        )
+        self.rng = jax.random.PRNGKey(seed)
+        self.resume_step = 0
+        if self.ckpt is not None and self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                self.resume_step = int(np.asarray(self.state.step))
+                self.logger.log(f"resumed from step {self.resume_step}")
+
+    def run(self) -> TrainState:
+        cfg = self.loop_cfg
+        step = self.resume_step
+        t0 = time.time()
+        for batch in self.data:
+            if step >= cfg.num_steps:
+                break
+            self.rng, sub = jax.random.split(self.rng)
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+
+            ts = np.asarray(metrics.pop("t"))
+            host_metrics = {
+                k: np.asarray(v)
+                for k, v in metrics.items()
+                if np.asarray(v).ndim <= 1
+            }
+            self.logger.log_loss_dict(
+                ts,
+                self.schedule.num_timesteps,
+                {k: v for k, v in host_metrics.items() if v.ndim == 1},
+            )
+            for k, v in host_metrics.items():
+                if v.ndim == 0:
+                    self.logger.logkv_mean(k, float(v))
+            self.logger.logkv("step", step)
+            self.logger.logkv("steps_per_sec", (step - self.resume_step + 1) / (time.time() - t0))
+
+            if step % cfg.log_interval == 0:
+                self.logger.dumpkvs()
+
+            if cfg.save_interval and step and step % cfg.save_interval == 0:
+                self.save(step)
+                if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+                    return self.state
+            step += 1
+        if self.ckpt is not None:
+            self.save(step)
+        return self.state
+
+    def save(self, step: int) -> None:
+        if self.ckpt is not None:
+            self.ckpt.save(step, jax.device_get(self.state), wait=True)
+            self.logger.log(f"saved checkpoint at step {step}")

@@ -1,0 +1,170 @@
+"""Training stack tests: step semantics, loop, checkpoint resume, mesh sharding."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffusestylegesture_tpu import diffusion as D
+from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig
+from diffusestylegesture_tpu.parallel import make_mesh, shard_batch, replicate
+from diffusestylegesture_tpu.train import (
+    LoopConfig,
+    TrainConfig,
+    TrainLoop,
+    create_train_state,
+    make_train_step,
+)
+from diffusestylegesture_tpu.train.state import make_zeggs_cond_builder
+
+B, NJ, T = 8, 16, 22
+SCHED = D.Schedule.create(D.named_beta_schedule("cosine", 20))
+
+
+def make_model_and_params():
+    cfg = MDMConfig(
+        njoints=NJ, latent_dim=128, ff_size=64, num_layers=1, window_size=11,
+        n_seed=4, cond_mask_prob=0.1,
+    )
+    model = MDM(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    x = jnp.zeros((B, NJ, 1, T))
+    cond = {
+        "seed": x[..., :4],
+        "style": jnp.asarray(batch["style"]),
+        "audio": jnp.asarray(batch["wavlm"]),
+        "mask_local": jnp.ones((B, T), bool),
+    }
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond)
+
+    def apply(params, x, t, cond, train=False, rngs=None, uncond=None):
+        return model.apply(params, x, t, cond, train=train, rngs=rngs, uncond=uncond)
+
+    return model, params, apply
+
+
+def make_batch(rng):
+    return {
+        "motion": rng.standard_normal((B, T, NJ)).astype(np.float32),
+        "style": rng.standard_normal((B, 6)).astype(np.float32),
+        "wavlm": rng.standard_normal((B, T, 1024)).astype(np.float32),
+    }
+
+
+def data_iter(n):
+    rng = np.random.default_rng(1)
+    for _ in range(n):
+        yield make_batch(rng)
+
+
+class TestTrainStep:
+    def test_loss_decreases_params_change(self):
+        _, params, apply = make_model_and_params()
+        cfg = TrainConfig(lr=1e-3)
+        step_fn = jax.jit(make_train_step(apply, SCHED, cfg, make_zeggs_cond_builder(4)))
+        state = create_train_state(params, cfg, SCHED.num_timesteps)
+        rng = np.random.default_rng(2)
+        batch = make_batch(rng)
+        losses = []
+        for i in range(5):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert int(state.step) == 5
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]  # same batch → should overfit quickly
+        assert float(metrics["grad_norm"]) > 0
+
+    def test_ema(self):
+        _, params, apply = make_model_and_params()
+        cfg = TrainConfig(lr=1e-3, ema_rate=0.9)
+        step_fn = jax.jit(make_train_step(apply, SCHED, cfg, make_zeggs_cond_builder(4)))
+        state = create_train_state(params, cfg, SCHED.num_timesteps)
+        batch = make_batch(np.random.default_rng(3))
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+        # ema must differ from both the init and the new params
+        leaf = lambda t: jax.tree_util.tree_leaves(t)[0]  # noqa: E731
+        assert not np.allclose(np.asarray(leaf(state.ema_params)), np.asarray(leaf(state.params)))
+
+    def test_lr_anneal(self):
+        from diffusestylegesture_tpu.train.state import make_optimizer
+
+        cfg = TrainConfig(lr=1e-2, lr_anneal_steps=10)
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+        g = {"w": jnp.ones((3,))}
+        u1, opt_state = tx.update(g, opt_state, params)
+        # after many steps lr → 0
+        for _ in range(12):
+            u, opt_state = tx.update(g, opt_state, params)
+        assert np.abs(np.asarray(u["w"])).max() < np.abs(np.asarray(u1["w"])).max() + 1e-8
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert jax.device_count() == 8
+
+    def test_sharded_step_matches_single(self):
+        _, params, apply = make_model_and_params()
+        cfg = TrainConfig(lr=1e-3)
+        step_fn = jax.jit(make_train_step(apply, SCHED, cfg, make_zeggs_cond_builder(4)))
+        batch = make_batch(np.random.default_rng(4))
+        rng = jax.random.PRNGKey(9)
+
+        state1 = create_train_state(params, cfg, SCHED.num_timesteps)
+        state1, m1 = step_fn(state1, batch, rng)
+
+        mesh = make_mesh()
+        state2 = create_train_state(params, cfg, SCHED.num_timesteps)
+        state2 = replicate(mesh, state2)
+        sbatch = shard_batch(mesh, batch)
+        state2, m2 = step_fn(state2, sbatch, rng)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        l1 = jax.tree_util.tree_leaves(state1.params)[0]
+        l2 = jax.tree_util.tree_leaves(state2.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+class TestLoopAndCheckpoint:
+    def test_loop_runs_and_resumes(self, tmp_path):
+        _, params, apply = make_model_and_params()
+        ckpt_dir = str(tmp_path / "ckpts")
+        loop = TrainLoop(
+            apply, SCHED, params, data_iter(6),
+            train_cfg=TrainConfig(lr=1e-3),
+            loop_cfg=LoopConfig(num_steps=5, log_interval=100, save_interval=0,
+                                checkpoint_dir=ckpt_dir),
+            cond_builder=make_zeggs_cond_builder(4),
+        )
+        state = loop.run()
+        assert int(np.asarray(state.step)) == 5
+
+        loop2 = TrainLoop(
+            apply, SCHED, params, data_iter(6),
+            train_cfg=TrainConfig(lr=1e-3),
+            loop_cfg=LoopConfig(num_steps=8, log_interval=100, save_interval=0,
+                                checkpoint_dir=ckpt_dir),
+            cond_builder=make_zeggs_cond_builder(4),
+        )
+        assert loop2.resume_step == 5
+        state2 = loop2.run()
+        assert int(np.asarray(state2.step)) == 8
+
+    def test_smoke_env(self, tmp_path):
+        _, params, apply = make_model_and_params()
+        os.environ["DIFFUSION_TRAINING_TEST"] = "1"
+        try:
+            loop = TrainLoop(
+                apply, SCHED, params, data_iter(10),
+                train_cfg=TrainConfig(lr=1e-3),
+                loop_cfg=LoopConfig(num_steps=100, log_interval=100, save_interval=2,
+                                    checkpoint_dir=str(tmp_path / "c")),
+                cond_builder=make_zeggs_cond_builder(4),
+            )
+            state = loop.run()
+            assert int(np.asarray(state.step)) <= 3
+        finally:
+            del os.environ["DIFFUSION_TRAINING_TEST"]
