@@ -1,0 +1,91 @@
+"""Headline benchmark: ZEGGS long-form generation throughput on one chip.
+
+Measures the BASELINE.json north-star: gesture frames/sec for the full
+DDPM-1000 + WavLM-Large stack at batch 1 (20 s clip = 5 windows × 1000
+denoiser evals + 5 WavLM forwards), end to end through the compiled
+windowed sampler. `vs_baseline` is the real-time factor: the reference
+target is RTX-2080Ti real-time, i.e. ≥20 generated frames/sec at 20 fps
+(`BASELINE.md`), so vs_baseline = frames_per_sec / 20.
+
+Prints exactly one JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    # Real hardware path: do NOT force CPU. Allow override via env.
+    import jax
+    import jax.numpy as jnp
+
+    from diffusestylegesture_tpu import diffusion as D
+    from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig
+    from diffusestylegesture_tpu.models.wavlm import (
+        WavLM,
+        WavLMConfig,
+        make_zeggs_wavlm_fn,
+    )
+    from diffusestylegesture_tpu.sample import ZeggsEngineConfig, ZeggsSampler
+
+    seconds = float(os.environ.get("BENCH_SECONDS", "20"))
+    steps = int(os.environ.get("BENCH_DIFFUSION_STEPS", "1000"))
+
+    # Flagship ZEGGS denoiser (real dims) + WavLM-Large (real dims, random
+    # weights — identical FLOPs/memory to the released checkpoint).
+    mcfg = MDMConfig()
+    model = MDM(mcfg)
+
+    wcfg = WavLMConfig()  # Large: 24 layers, d=1024
+    wavlm = WavLM(wcfg)
+
+    ecfg = ZeggsEngineConfig()
+    sched = D.Schedule.create(D.named_beta_schedule("cosine", steps))
+
+    rng = np.random.default_rng(0)
+    B, T = 1, ecfg.n_poses
+    x = jnp.zeros((B, mcfg.njoints, 1, T))
+    cond = {
+        "style": jnp.asarray(np.eye(6, dtype=np.float32)[:B]),
+        "seed": x[..., : mcfg.n_seed],
+        "audio": jnp.zeros((B, T, 1024)),
+        "mask_local": jnp.ones((B, T), bool),
+    }
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond)
+    wav_window = jnp.zeros((1, ecfg.samples_per_seed + ecfg.samples_per_stride))
+    wparams = wavlm.init(jax.random.PRNGKey(1), wav_window)
+
+    def model_apply(params, x, t, cond, uncond=None):
+        return model.apply(params, x, t, cond, uncond=uncond)
+
+    wavlm_fn = make_zeggs_wavlm_fn(wavlm, ecfg.n_poses)
+
+    sampler = ZeggsSampler(model_apply, wavlm_fn, sched, ecfg)
+
+    audio = rng.standard_normal(int(seconds * ecfg.sr)).astype(np.float32) * 0.1
+    style = np.eye(6, dtype=np.float32)[:1]
+
+    # warmup (compile)
+    _ = sampler.generate(params, wparams, audio, style, jax.random.PRNGKey(0))
+
+    t0 = time.perf_counter()
+    out = sampler.generate(params, wparams, audio, style, jax.random.PRNGKey(1))
+    dt = time.perf_counter() - t0
+
+    frames = out.shape[1]
+    fps = frames / dt
+    result = {
+        "metric": "zeggs_gen_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s (DDPM-%d + WavLM-Large, batch 1, %.0fs clip; wall %.2fs)"
+        % (steps, seconds, dt),
+        "vs_baseline": round(fps / 20.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
