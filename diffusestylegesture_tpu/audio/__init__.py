@@ -1,0 +1,2 @@
+from .sphinx_mfcc import sphinx_mfcc_energy, sphinx_filterbank, s2dctmat  # noqa: F401
+from . import features  # noqa: F401
