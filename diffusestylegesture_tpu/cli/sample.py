@@ -1,0 +1,111 @@
+"""Sampling / generation CLI.
+
+Usage (mirrors `main/mydiffusion_zeggs/sample.py:400-420`):
+  python -m diffusestylegesture_tpu.cli.sample --config configs/zeggs.yml \
+      --model_path model000450000.pt --audiowavlm_path 015_Happy_4_x_1_0.wav \
+      --max_len 320
+
+Loads either a reference torch checkpoint (via the converter) or an orbax
+checkpoint directory, runs the compiled windowed sampler, and writes a
+.bvh next to `save_dir`.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import diffusion as D
+from ..config import load_yaml_config
+from ..data import load_wav_16k
+from ..models import convert
+from ..models.mdm import MDM, MDMConfig
+from ..motion import zeggs_features as zf
+from ..sample import ZeggsEngineConfig, ZeggsSampler
+
+
+def load_denoiser_params(model_path: str, num_layers: int = 8):
+    if model_path.endswith(".pt"):
+        sd = convert.load_torch_checkpoint(model_path)
+        return {"params": convert.convert_mdm_zeggs(sd, num_layers)}
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(os.path.abspath(model_path))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DiffuseStyleGesture-TPU sampling")
+    p.add_argument("--config", required=True)
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--audiowavlm_path", required=True)
+    p.add_argument("--max_len", type=int, default=0)
+    p.add_argument("--style", default=None, help="override style token (e.g. Happy)")
+    p.add_argument("--guidance_scale", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=123456)
+    p.add_argument("--save_dir", default="./sample_dir")
+    args = p.parse_args(argv)
+
+    cfg = load_yaml_config(args.config)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    mcfg = MDMConfig(
+        njoints=cfg.njoints, latent_dim=cfg.latent_dim,
+        ff_size=cfg.get("ff_size", 1024), num_layers=cfg.get("num_layers", 8),
+        n_seed=cfg.n_seed, cond_mode=cfg.cond_mode,
+        cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
+    )
+    model = MDM(mcfg)
+    params = load_denoiser_params(args.model_path, mcfg.num_layers)
+
+    from ..models.wavlm import WavLM, load_wavlm_checkpoint, make_zeggs_wavlm_fn
+
+    wcfg, wparams = load_wavlm_checkpoint(cfg.wavlm_path)
+    wavlm_fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
+
+    sched = D.Schedule.create(
+        D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
+    )
+
+    audio = load_wav_16k(args.audiowavlm_path)
+    if args.max_len:
+        audio = audio[: int(args.max_len * 16000 // cfg.motion_resampling_framerate)]
+
+    token = args.style or os.path.basename(args.audiowavlm_path).split("_")[1]
+    style = zf.style_onehot(token)
+    if style is None:
+        raise SystemExit(f"unknown style token {token!r}; use --style")
+
+    mean = np.load(os.path.join(cfg.data_dir, "mean.npz"))["mean"]
+    std = np.load(os.path.join(cfg.data_dir, "std.npz"))["std"]
+
+    def model_apply(params, x, t, cond, uncond=None):
+        return model.apply(params, x, t, cond, uncond=uncond)
+
+    sampler = ZeggsSampler(
+        model_apply,
+        wavlm_fn,
+        sched,
+        ZeggsEngineConfig(
+            n_poses=cfg.n_poses, n_seed=cfg.n_seed, njoints=cfg.njoints,
+            fps=cfg.motion_resampling_framerate,
+            guidance_scale=args.guidance_scale,
+        ),
+    )
+    out = sampler.generate(
+        params, wparams, audio, style[None], jax.random.PRNGKey(args.seed),
+        mean=mean, std=std,
+    )
+
+    prefix = datetime.now().strftime("%Y%m%d_%H%M%S") + f"_{token}_{args.seed}"
+    out_path = os.path.join(args.save_dir, prefix + ".bvh")
+    zf.pose_features_to_bvh(out[0], out_path, smoothing=True)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

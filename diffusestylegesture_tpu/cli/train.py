@@ -1,0 +1,148 @@
+"""Training CLI.
+
+Usage (mirrors the reference entry points):
+  python -m diffusestylegesture_tpu.cli.train --config configs/zeggs.yml
+  python -m diffusestylegesture_tpu.cli.train --config configs/beat_twh.yml \
+      --dataset TWH --name DiffuseStyleGesture+
+
+Parity: `main/mydiffusion_zeggs/end2end.py:19-71` and
+`BEAT-TWH-main/mydiffusion_beat_twh/end2end.py:19-101`.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import diffusion as D
+from ..config import apply_beat_twh_derivations, load_yaml_config
+from ..models.mdm import MDM, MDMConfig
+from ..models.mdm_plus import MDMPlus, MDMPlusConfig
+from ..train import LoopConfig, TrainConfig, TrainLoop
+from ..train.state import make_beat_cond_builder, make_zeggs_cond_builder
+
+
+def build_zeggs(cfg):
+    from ..data import ZeggsWindowDataset
+
+    mcfg = MDMConfig(
+        njoints=cfg.njoints,
+        latent_dim=cfg.latent_dim,
+        ff_size=cfg.get("ff_size", 1024),
+        num_layers=cfg.get("num_layers", 8),
+        n_seed=cfg.n_seed,
+        cond_mode=cfg.cond_mode,
+        cond_mask_prob=cfg.cond_mask_prob,
+        audio_feat=cfg.audio_feat,
+    )
+    model = MDM(mcfg)
+
+    wavlm_fn = None
+    try:
+        from ..models.wavlm import load_wavlm_checkpoint, make_zeggs_wavlm_fn, WavLM
+
+        wcfg, wparams = load_wavlm_checkpoint(cfg.wavlm_path)
+        fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
+        jfn = jax.jit(lambda w: fn(wparams, w))
+        wavlm_fn = lambda w: jfn(jnp.asarray(w))  # noqa: E731
+    except FileNotFoundError:
+        print(f"WavLM checkpoint not found at {cfg.wavlm_path}; "
+              "expecting cached wavlm features in the dataset")
+
+    data = ZeggsWindowDataset(
+        f"{cfg.data_dir}/train", wavlm_fn,
+        n_poses=cfg.n_poses, stride=cfg.subdivision_stride,
+        fps=cfg.motion_resampling_framerate,
+    )
+    builder = make_zeggs_cond_builder(cfg.n_seed)
+    return model, mcfg, data.batches(cfg.batch_size), builder
+
+
+def build_beat_twh(cfg):
+    from ..data import SpeechGestureDataset, gesture_statistics
+
+    cfg = apply_beat_twh_derivations(cfg)
+    mcfg = MDMPlusConfig(
+        njoints=cfg.njoints,
+        latent_dim=cfg.latent_dim,
+        n_seed=cfg.n_seed,
+        cond_mode=cfg.cond_mode,
+        cond_mask_prob=cfg.cond_mask_prob,
+        source_audio_dim=cfg.audio_feature_dim,
+        audio_feat_dim=cfg.audio_feat_dim_latent,
+        style_dim_in=cfg.style_dim,
+    )
+    model = MDMPlus(mcfg)
+    mean, std = gesture_statistics(cfg.h5file)
+    data = SpeechGestureDataset(cfg.h5file, mean, std, n_poses=cfg.n_poses)
+    builder = make_beat_cond_builder(cfg.cond_mode, cfg.n_seed)
+    return model, mcfg, data.batches(cfg.batch_size), builder
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DiffuseStyleGesture-TPU training")
+    p.add_argument("--config", required=True)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--name", default=None)
+    p.add_argument("--num_steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_mesh", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = load_yaml_config(
+        args.config,
+        {k: getattr(args, k) for k in ("dataset", "name", "num_steps", "batch_size")},
+    )
+
+    if cfg.dataset == "ZEGGS":
+        model, mcfg, batches, builder = build_zeggs(cfg)
+        example_audio_dim = 1024
+    else:
+        model, mcfg, batches, builder = build_beat_twh(cfg)
+        example_audio_dim = cfg.audio_feature_dim
+
+    sched = D.Schedule.create(
+        D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
+    )
+
+    # init params from one batch
+    batch = next(iter(batches))
+    x0, cond, _ = builder({k: jnp.asarray(v) for k, v in batch.items()})
+    params = model.init(
+        jax.random.PRNGKey(args.seed), x0, jnp.zeros((x0.shape[0],), jnp.int32), cond
+    )
+
+    def apply(params, x, t, cond, train=False, rngs=None, uncond=None):
+        return model.apply(params, x, t, cond, train=train, rngs=rngs, uncond=uncond)
+
+    import itertools
+
+    loop = TrainLoop(
+        apply,
+        sched,
+        params,
+        itertools.chain([batch], batches),
+        train_cfg=TrainConfig(
+            lr=cfg.lr,
+            weight_decay=cfg.get("weight_decay", 0.0),
+            lr_anneal_steps=cfg.get("lr_anneal_steps", 0),
+        ),
+        loop_cfg=LoopConfig(
+            num_steps=cfg.get("num_steps", 100000),
+            log_interval=cfg.get("log_interval", 50),
+            save_interval=cfg.get("save_interval", 50000),
+            checkpoint_dir=cfg.get("save_dir"),
+            use_mesh=args.use_mesh,
+        ),
+        cond_builder=builder,
+        seed=args.seed,
+    )
+    loop.run()
+    del example_audio_dim
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""ZEGGS dataset building and training input pipeline.
+
+Replaces the reference's LMDB/pyarrow chain with npz shards + an
+in-memory window cache (TPU-native input pipeline; storage format is an
+implementation detail — the tensors match):
+
+  * `build_zeggs_dataset` ↔ `make_zeggs_dataset` + `make_lmdb_gesture_dataset`
+    (`main/mydiffusion_zeggs/zeggs_data_to_lmdb.py:24-176`): per clip wav
+    16 kHz + Sphinx-MFCC + 1141-d BVH features, global mean/std with the
+    reference's std clip at 0.01, style one-hot from the filename token.
+    (The reference shells out to `ffmpeg-normalize` for EBU-R128 loudness
+    first, `zeggs_data_to_lmdb.py:133` — run that externally; this
+    builder consumes already-normalized 16 kHz wavs.)
+  * `ZeggsWindowDataset` ↔ `DataPreprocessor` + `TrinityDataset`
+    (`data_loader/data_preprocessor.py:38-153`, `lmdb_data_loader.py:13-67`):
+    88-frame windows, stride 10, per-window raw-audio slice of
+    n_poses/fps seconds, WavLM features computed ONCE as a batched
+    device pass and cached; `__getitem__` → (poses, style, wavlm).
+"""
+from __future__ import annotations
+
+import glob
+import math
+import os
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..audio import sphinx_mfcc_energy
+from ..motion import zeggs_features as zf
+
+
+def load_wav_16k(path: str) -> np.ndarray:
+    """Read a wav file as float32 mono 16 kHz (scipy backend)."""
+    from scipy.io import wavfile
+    from scipy.signal import resample_poly
+
+    sr, data = wavfile.read(path)
+    if data.dtype.kind == "i":
+        data = data.astype(np.float32) / np.iinfo(data.dtype).max
+    elif data.dtype.kind == "u":
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    if sr != 16000:
+        g = math.gcd(int(sr), 16000)
+        data = resample_poly(data, 16000 // g, sr // g).astype(np.float32)
+    return data
+
+
+def build_zeggs_dataset(
+    source_dir: str,
+    target_dir: str,
+    fps: int = 20,
+    valid_fraction: float = 0.1,
+) -> Dict[str, np.ndarray]:
+    """(source_dir/*.wav + *.bvh) → target_dir/{train,valid}/*.npz + mean/std.
+
+    Each shard holds {poses (normalized), audio_raw, mfcc, style}.
+    """
+    os.makedirs(target_dir, exist_ok=True)
+    wavs = sorted(glob.glob(os.path.join(source_dir, "*.wav")))
+    clips = []
+    all_poses: List[np.ndarray] = []
+    for wav_path in wavs:
+        name = os.path.splitext(os.path.basename(wav_path))[0]
+        tokens = name.split("_")
+        style = zf.style_onehot(tokens[1]) if len(tokens) > 1 else None
+        if style is None:
+            continue
+        bvh_path = os.path.join(source_dir, name + ".bvh")
+        if not os.path.exists(bvh_path):
+            continue
+        audio = load_wav_16k(wav_path)
+        mfcc = sphinx_mfcc_energy(audio, frate=fps)[:, :-2]
+        feats = zf.featurize_bvh_file(bvh_path, fps=fps)["features"]
+        clips.append(dict(name=name, audio=audio, mfcc=mfcc, poses=feats, style=style))
+        all_poses.append(feats)
+
+    if not clips:
+        raise ValueError(f"no usable (wav, bvh) pairs in {source_dir}")
+
+    stacked = np.concatenate(all_poses, axis=0)
+    mean = stacked.mean(axis=0)
+    std = stacked.std(axis=0)
+    np.savez(os.path.join(target_dir, "mean.npz"), mean=mean)
+    np.savez(os.path.join(target_dir, "std.npz"), std=std)
+    std_c = np.clip(std, 0.01, None)
+
+    n_valid = max(1, int(len(clips) * valid_fraction)) if len(clips) > 1 else 0
+    for split, items in (("valid", clips[:n_valid]), ("train", clips[n_valid:])):
+        out = os.path.join(target_dir, split)
+        os.makedirs(out, exist_ok=True)
+        for c in items:
+            np.savez_compressed(
+                os.path.join(out, c["name"] + ".npz"),
+                poses=((c["poses"] - mean) / std_c).astype(np.float32),
+                audio_raw=c["audio"],
+                mfcc=c["mfcc"].astype(np.float32),
+                style=c["style"],
+            )
+    return {"mean": mean, "std": std}
+
+
+class ZeggsWindowDataset:
+    """Window cache + batch iterator over built ZEGGS shards."""
+
+    def __init__(
+        self,
+        shard_dir: str,
+        wavlm_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        n_poses: int = 88,
+        stride: int = 10,
+        fps: int = 20,
+        sr: int = 16000,
+        cache_path: Optional[str] = None,
+    ):
+        self.n_poses = n_poses
+        self.stride = stride
+        self.fps = fps
+        self.sr = sr
+        self.audio_len = int(n_poses / fps * sr)
+        cache_path = cache_path or os.path.join(shard_dir, f"_cache_{n_poses}_{stride}.npz")
+
+        if os.path.exists(cache_path):
+            blob = np.load(cache_path)
+            self.poses = blob["poses"]
+            self.styles = blob["styles"]
+            self.wavlm = blob["wavlm"] if "wavlm" in blob else None
+            self.audio = blob["audio"] if "audio" in blob else None
+            return
+
+        poses_w, styles_w, audio_w = [], [], []
+        for shard in sorted(glob.glob(os.path.join(shard_dir, "*.npz"))):
+            if os.path.basename(shard).startswith("_cache"):
+                continue
+            blob = np.load(shard)
+            poses, audio, style = blob["poses"], blob["audio_raw"], blob["style"]
+            minlen = min(len(poses), int(len(audio) * fps / sr))
+            num = math.floor((minlen - n_poses) / stride)
+            for i in range(max(0, num)):
+                s = i * stride
+                poses_w.append(poses[s: s + n_poses])
+                a0 = math.floor(s / len(poses) * len(audio))
+                seg = audio[a0: a0 + self.audio_len]
+                if len(seg) < self.audio_len:
+                    seg = np.pad(seg, (0, self.audio_len - len(seg)))
+                audio_w.append(seg)
+                styles_w.append(style)
+
+        self.poses = np.stack(poses_w).astype(np.float32) if poses_w else np.zeros((0, n_poses, 1141), np.float32)
+        self.styles = np.stack(styles_w).astype(np.float32) if styles_w else np.zeros((0, 6), np.float32)
+        self.audio = np.stack(audio_w).astype(np.float32) if audio_w else None
+
+        self.wavlm = None
+        if wavlm_fn is not None and self.audio is not None and len(self.audio):
+            # one batched device pass over all windows (vs the reference's
+            # per-window GPU calls inside the loader, `data_preprocessor.py:113`)
+            feats = []
+            B = 16
+            for i in range(0, len(self.audio), B):
+                feats.append(np.asarray(wavlm_fn(self.audio[i: i + B])))
+            self.wavlm = np.concatenate(feats, axis=0).astype(np.float32)
+
+        save = dict(poses=self.poses, styles=self.styles)
+        if self.audio is not None:
+            save["audio"] = self.audio
+        if self.wavlm is not None:
+            save["wavlm"] = self.wavlm
+        np.savez(cache_path, **save)
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def batches(
+        self, batch_size: int, seed: int = 0, epochs: Optional[int] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Shuffled batch iterator; epochs=None → infinite."""
+        rng = np.random.default_rng(seed)
+        ep = 0
+        while epochs is None or ep < epochs:
+            order = rng.permutation(len(self))
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                idx = order[i: i + batch_size]
+                batch = {
+                    "motion": self.poses[idx],
+                    "style": self.styles[idx],
+                }
+                if self.wavlm is not None:
+                    batch["wavlm"] = self.wavlm[idx]
+                elif self.audio is not None:
+                    batch["audio_raw"] = self.audio[idx]
+                yield batch
+            ep += 1

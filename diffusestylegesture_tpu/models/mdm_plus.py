@@ -170,7 +170,7 @@ class MDMPlus(nn.Module):
 def beat_mdm(**overrides) -> MDMPlus:
     """BEAT config (`BEAT-TWH-main/mydiffusion_beat_twh/end2end.py:81-89`)."""
     base = dict(
-        njoints=2052, latent_dim=384, source_audio_dim=1434, audio_feat_dim=64,
+        njoints=2052, latent_dim=384, source_audio_dim=1434, audio_feat_dim=96,
         style_dim_in=2,
     )
     base.update(overrides)

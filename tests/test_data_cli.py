@@ -1,0 +1,125 @@
+"""Data pipeline + CLI smoke tests on synthetic data."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from diffusestylegesture_tpu.data import (
+    SpeechGestureDataset,
+    ZeggsWindowDataset,
+    build_h5_dataset,
+    build_zeggs_dataset,
+    gesture_statistics,
+    load_wav_16k,
+)
+from diffusestylegesture_tpu.motion import bvh, zeggs_features as zf
+
+
+def write_synth_pair(dirpath, name, seconds=8.0, fps=60, seed=0):
+    """Write a paired (wav, bvh) ZEGGS-style clip."""
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(seed)
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    wavfile.write(os.path.join(dirpath, name + ".wav"), sr, (wav * 32767).astype(np.int16))
+
+    T = int(seconds * fps)
+    J = zf.ZEGGS_NJOINTS
+    anim = {
+        "rotations": rng.uniform(-20, 20, (T, J, 3)).astype(np.float32),
+        "positions": np.broadcast_to(
+            rng.uniform(-5, 5, (J, 3)).astype(np.float32), (T, J, 3)
+        ).copy(),
+        "offsets": rng.uniform(-5, 5, (J, 3)).astype(np.float32),
+        "parents": zf.ZEGGS_PARENTS,
+        "names": list(zf.ZEGGS_BONE_NAMES),
+        "order": "zyx",
+        "frametime": 1.0 / fps,
+    }
+    anim["positions"][:, 0, 1] = 100
+    bvh.save(os.path.join(dirpath, name + ".bvh"), anim)
+
+
+class TestZeggsPipeline:
+    def test_build_and_window(self, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        write_synth_pair(str(src), "001_Happy_0_x_1_0", seconds=9.0, seed=0)
+        write_synth_pair(str(src), "002_Sad_0_x_1_0", seconds=9.0, seed=1)
+        tgt = str(tmp_path / "out")
+        stats = build_zeggs_dataset(str(src), tgt, fps=20)
+        assert stats["mean"].shape == (1141,)
+        assert os.path.exists(os.path.join(tgt, "mean.npz"))
+
+        def fake_wavlm(windows):
+            return np.zeros((len(windows), 88, 1024), np.float32)
+
+        ds = ZeggsWindowDataset(os.path.join(tgt, "train"), fake_wavlm)
+        assert len(ds) > 0
+        batch = next(ds.batches(2))
+        assert batch["motion"].shape == (2, 88, 1141)
+        assert batch["style"].shape == (2, 6)
+        assert batch["wavlm"].shape == (2, 88, 1024)
+
+        # cache reload path
+        ds2 = ZeggsWindowDataset(os.path.join(tgt, "train"))
+        assert len(ds2) == len(ds)
+
+    def test_wav_io(self, tmp_path):
+        from scipy.io import wavfile
+
+        sr = 48000
+        t = np.arange(sr) / sr
+        y = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+        path = str(tmp_path / "a.wav")
+        wavfile.write(path, sr, y)
+        out = load_wav_16k(path)
+        assert abs(len(out) - 16000) < 10
+        assert np.abs(out).max() <= 1.0
+
+
+class TestH5Pipeline:
+    def test_build_stats_load(self, tmp_path):
+        rng = np.random.default_rng(0)
+        motion_dim, audio_dim, text_dim = 12, 20, 7
+        clips = []
+        for i in range(3):
+            T = 400 + 50 * i
+            sid = np.zeros(4, np.float32)
+            sid[i % 4] = 1
+            clips.append(
+                dict(
+                    speaker_id=sid,
+                    gesture=rng.standard_normal((T, motion_dim)).astype(np.float32),
+                    audio=rng.standard_normal((T, audio_dim)).astype(np.float32),
+                    text=rng.standard_normal((T, text_dim)).astype(np.float32),
+                )
+            )
+        path = str(tmp_path / "d.h5")
+        build_h5_dataset(path, clips)
+        mean, std = gesture_statistics(path)
+        assert mean.shape == (motion_dim,)
+
+        ds = SpeechGestureDataset(path, mean, std, n_poses=150)
+        batch = next(ds.batches(4, seed=0))
+        assert batch["motion"].shape == (4, 150, motion_dim * 3)
+        assert batch["audio"].shape == (4, 150, audio_dim + text_dim)
+        assert batch["style"].shape == (4, 4)
+        # z-normalized position block
+        assert abs(batch["motion"][..., :motion_dim].mean()) < 0.5
+
+
+class TestCLI:
+    def test_prepare_data_cli(self, tmp_path):
+        from diffusestylegesture_tpu.cli.prepare_data import main
+
+        src = tmp_path / "src"
+        src.mkdir()
+        write_synth_pair(str(src), "001_Neutral_0_x_1_0", seconds=6.0)
+        main(["--dataset", "ZEGGS", "--source", str(src), "--target", str(tmp_path / "o")])
+        assert os.path.exists(tmp_path / "o" / "mean.npz")
