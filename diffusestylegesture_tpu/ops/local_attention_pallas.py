@@ -1,0 +1,114 @@
+"""Fused windowed causal local attention as a Pallas TPU kernel.
+
+Same semantics as `models/local_attention.py` (reference
+`main/model/local_attention/local_attention.py:52-199` under the MDM
+configuration): per query window, keys = [previous window | own window],
+causal masking on global positions, pad keys/values of window 0 filled
+with −1.0 and masked only via the user mask, scale = D^-0.5.
+
+Kernel shape: one program per batch·head; q/k/v windows stream through
+VMEM; the (w × 2w) score tile, masking, f32 softmax and the value matmul
+all fuse in-register — no (BH, W, w, 2w) score tensor ever reaches HBM.
+The window loop is a static Python range (W = 8 or 10), so Mosaic can
+software-pipeline it.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(np.finfo(np.float32).max) * -1.0
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, window: int, windows: int, dim: int):
+    w = window
+    scale = dim**-0.5
+
+    # global-position causal pattern within a (w, 2w) tile is identical for
+    # every window: query global pos = base + i, key pos = base - w + j.
+    qi = jax.lax.broadcasted_iota(jnp.int32, (w, 2 * w), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (w, 2 * w), 1)
+    causal_bad = (qi + w) < kj  # q_pos < k_pos
+
+    for wi in range(windows):
+        q = q_ref[0, pl.ds(wi * w, w), :]  # (w, D)
+        own_k = k_ref[0, pl.ds(wi * w, w), :]
+        own_v = v_ref[0, pl.ds(wi * w, w), :]
+        if wi == 0:
+            prev_k = jnp.full((w, dim), -1.0, jnp.float32)
+            prev_v = jnp.full((w, dim), -1.0, jnp.float32)
+        else:
+            prev_k = k_ref[0, pl.ds((wi - 1) * w, w), :]
+            prev_v = v_ref[0, pl.ds((wi - 1) * w, w), :]
+        kk = jnp.concatenate([prev_k, own_k], axis=0)  # (2w, D)
+        vv = jnp.concatenate([prev_v, own_v], axis=0)
+
+        sim = (
+            jax.lax.dot_general(
+                q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        sim = jnp.where(causal_bad, NEG_INF, sim)
+
+        # user mask over keys: (2w,) slice of the padded (N + w) mask row
+        mrow = mask_ref[0, 0, pl.ds(wi * w, 2 * w)]
+        sim = jnp.where(mrow[None, :] > 0.5, sim, NEG_INF)
+
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jax.lax.dot_general(
+            attn, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, pl.ds(wi * w, w), :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "heads"))
+def local_attention_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    window_size: int,
+    mask: Optional[jax.Array] = None,
+    *,
+    heads: int = 1,
+) -> jax.Array:
+    """Drop-in for `models.local_attention.local_attention` (impl='xla')."""
+    bh, n, d = q.shape
+    w = window_size
+    assert n % w == 0
+    windows = n // w
+
+    if mask is None:
+        # reference quirk: without a user mask the −1.0 pad keys of window 0
+        # ARE attended (`local_attention.py:152-159` masks only causally)
+        mask_pad = jnp.ones((bh, n + w), jnp.float32)
+    else:
+        b = mask.shape[0]
+        mask_full = jnp.broadcast_to(
+            mask.astype(jnp.float32)[:, None, :], (b, heads, n)
+        ).reshape(bh, n)
+        # window 0's "previous" keys get mask False (look_around pad=False)
+        mask_pad = jnp.concatenate([jnp.zeros((bh, w), jnp.float32), mask_full], axis=1)
+
+    mask_pad = mask_pad[:, None, :]  # (bh, 1, n+w) — TPU tiling-friendly block
+
+    kernel = functools.partial(_kernel, window=w, windows=windows, dim=d)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n + w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(q, k, v, mask_pad)
+    return out
