@@ -1,0 +1,467 @@
+"""Channel-level motion pipeline (pymo-equivalent, pandas-free).
+
+Re-implements the subset of the vendored pymo library
+(`BEAT-TWH-main/process/pymo/`, `pymo_TWH/`, ~2600 LoC ×3 copies in the
+reference) that the live BEAT/TWH gesture paths use:
+
+  * channel-accurate BVH parsing (per-joint channel lists, 'Nub' end
+    sites) ↔ `pymo/parsers.py:53-76`;
+  * `JointSelector` (substring channel match, root prepend, dropped
+    channels remembered for inverse) ↔ `pymo/preprocessing.py:328-384`;
+  * `DownSampler` (rate = orig_fps // tgt, `values[0:-1:rate]` — the
+    last-frame drop is reproduced) ↔ `pymo/preprocessing.py:843-873`;
+  * `Numpyfier` (+ inverse to the stored column template)
+    ↔ `pymo/preprocessing.py:386-425`;
+  * `ConstantsRemover` variants ↔ `pymo_TWH/preprocessing.py:959-…`;
+  * BVH writing ↔ `pymo/writers.py`.
+
+On top sit the dataset featurizers:
+  * `beat_features` ↔ `process_BEAT_bvh.process_bvh_bugfix:53-85`
+    (120→30 fps, 74 joints + root, euler-XYZ → 9-d rotation matrices,
+    684-d — including the reference quirk that the root-position triplet
+    also passes through the euler→matrix conversion);
+  * `beat_features_to_bvh` ↔ `pose2bvh_bugfix:108-131` (savgol 15/2,
+    matrix→euler, pipeline inverse, BVH write);
+  * `twh_features` ↔ `process_TWH_bvh.load_bvh:26-65` (62 bones,
+    rotmat mode: per joint [3 pos | 9 rotmat] = 744-d);
+  * `twh_features_to_bvh` ↔ `process_TWH_bvh.pose2bvh:201-227`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.spatial.transform import Rotation as R
+
+
+@dataclasses.dataclass
+class ChannelData:
+    """Per-channel mocap values with full skeleton structure."""
+
+    names: List[str]  # joint order as parsed (incl. '<name>_Nub' end sites)
+    parents: Dict[str, Optional[str]]
+    offsets: Dict[str, np.ndarray]
+    channels: Dict[str, List[str]]  # joint → channel names (file order)
+    columns: List[str]  # flattened '<joint>_<channel>' in file order
+    values: np.ndarray  # (T, C)
+    framerate: float
+    root_name: str
+
+    def clone(self) -> "ChannelData":
+        return ChannelData(
+            list(self.names), dict(self.parents), dict(self.offsets),
+            {k: list(v) for k, v in self.channels.items()}, list(self.columns),
+            self.values.copy(), self.framerate, self.root_name,
+        )
+
+    def column_index(self) -> Dict[str, int]:
+        return {c: i for i, c in enumerate(self.columns)}
+
+
+def parse_bvh(path: str) -> ChannelData:
+    """Channel-preserving BVH parse (pymo `BVHParser.parse` semantics;
+    End Sites become zero-channel '<parent>_Nub' joints)."""
+    names: List[str] = []
+    parents: Dict[str, Optional[str]] = {}
+    offsets: Dict[str, np.ndarray] = {}
+    channels: Dict[str, List[str]] = {}
+    columns: List[str] = []
+    stack: List[str] = []
+    root_name = None
+    frametime = 1.0 / 60.0
+    rows: List[np.ndarray] = []
+    in_motion = False
+
+    with open(path) as f:
+        current = None
+        end_site = False
+        for line in f:
+            if in_motion:
+                vals = line.strip().split()
+                if vals:
+                    rows.append(np.array([float(v) for v in vals], np.float64))
+                continue
+            m = re.match(r"\s*(ROOT|JOINT)\s+(\S+)", line)
+            if m:
+                name = m.group(2)
+                parent = stack[-1] if stack else None
+                names.append(name)
+                parents[name] = parent
+                channels[name] = []
+                if root_name is None:
+                    root_name = name
+                current = name
+                continue
+            if "End Site" in line:
+                end_site = True
+                nub = f"{current}_Nub"
+                names.append(nub)
+                parents[nub] = current
+                channels[nub] = []
+                continue
+            if "{" in line:
+                if end_site:
+                    stack.append(f"{current}_Nub")
+                else:
+                    stack.append(current)
+                continue
+            if "}" in line:
+                popped = stack.pop()
+                if popped.endswith("_Nub"):
+                    end_site = False
+                current = stack[-1] if stack else None
+                continue
+            m = re.match(r"\s*OFFSET\s+(\S+)\s+(\S+)\s+(\S+)", line)
+            if m:
+                offsets[stack[-1]] = np.array([float(g) for g in m.groups()], np.float32)
+                continue
+            m = re.match(r"\s*CHANNELS\s+(\d+)\s+(.*)", line)
+            if m:
+                chans = m.group(2).split()[: int(m.group(1))]
+                channels[stack[-1]] = chans
+                for c in chans:
+                    columns.append(f"{stack[-1]}_{c}")
+                continue
+            m = re.match(r"\s*Frame Time:\s*([\d.eE+-]+)", line)
+            if m:
+                frametime = float(m.group(1))
+                in_motion = True
+                continue
+
+    values = np.stack(rows) if rows else np.zeros((0, len(columns)))
+    return ChannelData(
+        names, parents, offsets, channels, columns, values, frametime, root_name
+    )
+
+
+def write_bvh_channels(data: ChannelData, path: str) -> None:
+    """BVH writer for ChannelData (pymo `BVHWriter.write` layout)."""
+    children: Dict[str, List[str]] = {}
+    for n in data.names:
+        p = data.parents.get(n)
+        if p is not None:
+            children.setdefault(p, []).append(n)
+
+    lines: List[str] = ["HIERARCHY"]
+
+    def emit(name: str, depth: int, tag: str):
+        t = "\t" * depth
+        if name.endswith("_Nub"):
+            off = data.offsets.get(name, np.zeros(3))
+            lines.append(f"{t}End Site")
+            lines.append(f"{t}{{")
+            lines.append(f"{t}\tOFFSET {off[0]:.6f} {off[1]:.6f} {off[2]:.6f}")
+            lines.append(f"{t}}}")
+            return
+        off = data.offsets.get(name, np.zeros(3))
+        lines.append(f"{t}{tag} {name}")
+        lines.append(f"{t}{{")
+        lines.append(f"{t}\tOFFSET {off[0]:.6f} {off[1]:.6f} {off[2]:.6f}")
+        ch = data.channels.get(name, [])
+        if ch:
+            lines.append(f"{t}\tCHANNELS {len(ch)} " + " ".join(ch))
+        for c in children.get(name, []):
+            emit(c, depth + 1, "JOINT")
+        lines.append(f"{t}}}")
+
+    emit(data.root_name, 0, "ROOT")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        f.write("MOTION\n")
+        f.write(f"Frames: {len(data.values)}\n")
+        f.write(f"Frame Time: {data.framerate:.8f}\n")
+        for row in data.values:
+            f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+
+
+class JointSelector:
+    """pymo `JointSelector` parity (`preprocessing.py:328-384`)."""
+
+    def __init__(self, joints: Sequence[str], include_root: bool = False):
+        self.joints = list(joints)
+        self.include_root = include_root
+
+    def fit(self, data: ChannelData) -> "JointSelector":
+        selected_joints = ([data.root_name] if self.include_root else []) + self.joints
+        selected_channels: List[str] = []
+        for j in selected_joints:
+            selected_channels.extend(
+                [c for c in data.columns if (j + "_") in c and "Nub" not in c]
+            )
+        self.selected_joints = selected_joints
+        self.selected_channels = selected_channels
+        not_selected = [c for c in data.columns if c not in set(selected_channels)]
+        idx = data.column_index()
+        self.not_selected = not_selected
+        self.not_selected_values = {
+            c: float(data.values[0, idx[c]]) if len(data.values) else 0.0
+            for c in not_selected
+        }
+        self.orig = data.clone()
+        return self
+
+    def transform(self, data: ChannelData) -> ChannelData:
+        idx = data.column_index()
+        out = data.clone()
+        out.values = data.values[:, [idx[c] for c in self.selected_channels]]
+        out.columns = list(self.selected_channels)
+        keep = set(self.selected_joints)
+        out.names = [n for n in data.names if n in keep]
+        out.channels = {n: data.channels[n] for n in out.names}
+        return out
+
+    def inverse_transform(self, data: ChannelData) -> ChannelData:
+        """Re-add dropped channels as constant first-frame values
+        (`preprocessing.py:373-384`)."""
+        out = self.orig.clone()
+        T = len(data.values)
+        vals = np.zeros((T, len(out.columns)), np.float64)
+        idx_out = out.column_index()
+        for c, v in self.not_selected_values.items():
+            vals[:, idx_out[c]] = v
+        idx_in = data.column_index()
+        for c in self.selected_channels:
+            vals[:, idx_out[c]] = data.values[:, idx_in[c]]
+        out.values = vals
+        return out
+
+
+class DownSampler:
+    """pymo `DownSampler` parity incl. the `[0:-1:rate]` last-frame drop."""
+
+    def __init__(self, tgt_fps: int, keep_all: bool = False):
+        self.tgt_fps = tgt_fps
+        self.keep_all = keep_all
+
+    def fit(self, data: ChannelData) -> "DownSampler":
+        return self
+
+    def transform(self, data: ChannelData) -> ChannelData:
+        orig_fps = round(1.0 / data.framerate)
+        rate = orig_fps // self.tgt_fps
+        out = data.clone()
+        out.values = data.values[0:-1:rate].copy()
+        out.framerate = 1.0 / self.tgt_fps
+        return out
+
+    def inverse_transform(self, data: ChannelData) -> ChannelData:
+        return data
+
+
+class Numpyfier:
+    """pymo `Numpyfier` parity."""
+
+    def fit(self, data: ChannelData) -> "Numpyfier":
+        self.template = data.clone()
+        self.template.values = np.zeros((0, len(data.columns)))
+        return self
+
+    def transform(self, data: ChannelData) -> np.ndarray:
+        return data.values
+
+    def inverse_transform(self, arr: np.ndarray) -> ChannelData:
+        out = self.template.clone()
+        out.values = np.asarray(arr, np.float64)
+        return out
+
+
+class ConstantsRemover:
+    """pymo `ConstantsRemover` parity: drop zero-variance channels and
+    restore their constant values on inverse."""
+
+    def __init__(self, eps: float = 1e-6, keep_root: bool = False):
+        self.eps = eps
+        self.keep_root = keep_root
+
+    def fit(self, data: ChannelData) -> "ConstantsRemover":
+        stds = data.values.std(axis=0)
+        root_prefix = data.root_name + "_"
+        self.const_cols = []
+        self.const_values = {}
+        for i, c in enumerate(data.columns):
+            if stds[i] < self.eps and not (self.keep_root and c.startswith(root_prefix)):
+                self.const_cols.append(c)
+                self.const_values[c] = float(data.values[0, i]) if len(data.values) else 0.0
+        return self
+
+    def transform(self, data: ChannelData) -> ChannelData:
+        out = data.clone()
+        keep = [c for c in data.columns if c not in self.const_values]
+        idx = data.column_index()
+        out.values = data.values[:, [idx[c] for c in keep]]
+        out.columns = keep
+        return out
+
+    def inverse_transform(self, data: ChannelData) -> ChannelData:
+        T = len(data.values)
+        cols = self.fit_columns if hasattr(self, "fit_columns") else None
+        out = data.clone()
+        # rebuild in original column order: selected + constants
+        all_cols = list(data.columns)
+        for c in self.const_cols:
+            all_cols.append(c)
+        vals = np.zeros((T, len(all_cols)))
+        vals[:, : len(data.columns)] = data.values
+        for j, c in enumerate(self.const_cols):
+            vals[:, len(data.columns) + j] = self.const_values[c]
+        out.columns = all_cols
+        out.values = vals
+        del cols
+        return out
+
+
+class MotionPipeline:
+    """Minimal sklearn-Pipeline stand-in (fit_transform / inverse_transform)."""
+
+    def __init__(self, steps):
+        self.steps = steps
+
+    def fit_transform(self, data):
+        for step in self.steps:
+            step.fit(data)
+            data = step.transform(data)
+        return data
+
+    def transform(self, data):
+        for step in self.steps:
+            data = step.transform(data)
+        return data
+
+    def inverse_transform(self, data):
+        for step in reversed(self.steps):
+            data = step.inverse_transform(data)
+        return data
+
+
+# ---------------------------------------------------------------------------
+# BEAT
+# ---------------------------------------------------------------------------
+
+BEAT_TARGET_JOINTS = [
+    "Spine", "Spine1", "Spine2", "Spine3", "Neck", "Neck1", "Head", "HeadEnd",
+    "RightShoulder", "RightArm", "RightForeArm", "RightHand",
+    "RightHandMiddle1", "RightHandMiddle2", "RightHandMiddle3", "RightHandMiddle4",
+    "RightHandRing", "RightHandRing1", "RightHandRing2", "RightHandRing3",
+    "RightHandRing4", "RightHandPinky", "RightHandPinky1", "RightHandPinky2",
+    "RightHandPinky3", "RightHandPinky4", "RightHandIndex", "RightHandIndex1",
+    "RightHandIndex2", "RightHandIndex3", "RightHandIndex4", "RightHandThumb1",
+    "RightHandThumb2", "RightHandThumb3", "RightHandThumb4",
+    "LeftShoulder", "LeftArm", "LeftForeArm", "LeftHand",
+    "LeftHandMiddle1", "LeftHandMiddle2", "LeftHandMiddle3", "LeftHandMiddle4",
+    "LeftHandRing", "LeftHandRing1", "LeftHandRing2", "LeftHandRing3",
+    "LeftHandRing4", "LeftHandPinky", "LeftHandPinky1", "LeftHandPinky2",
+    "LeftHandPinky3", "LeftHandPinky4", "LeftHandIndex", "LeftHandIndex1",
+    "LeftHandIndex2", "LeftHandIndex3", "LeftHandIndex4", "LeftHandThumb1",
+    "LeftHandThumb2", "LeftHandThumb3", "LeftHandThumb4",
+    "RightUpLeg", "RightLeg", "RightFoot", "RightForeFoot", "RightToeBase",
+    "RightToeBaseEnd", "LeftUpLeg", "LeftLeg", "LeftFoot", "LeftForeFoot",
+    "LeftToeBase", "LeftToeBaseEnd",
+]
+
+BEAT_EULER_ORDER = "XYZ"
+TWH_EULER_ORDER = "ZXY"
+
+TWH_BONE_NAMES = [
+    "body_world", "b_root", "b_l_upleg", "b_l_leg", "b_l_foot_twist",
+    "b_l_foot", "b_r_upleg", "b_r_leg", "b_r_foot_twist", "b_r_foot",
+    "b_spine0", "b_spine1", "b_spine2", "b_spine3", "b_neck0", "b_head",
+    "b_l_shoulder", "p_l_scap", "b_l_arm", "b_l_arm_twist", "b_l_forearm",
+    "b_l_wrist_twist", "b_l_wrist", "b_l_thumb0", "b_l_thumb1", "b_l_thumb2",
+    "b_l_thumb3", "b_l_index1", "b_l_index2", "b_l_index3", "b_l_middle1",
+    "b_l_middle2", "b_l_middle3", "b_l_ring1", "b_l_ring2", "b_l_ring3",
+    "b_l_pinky1", "b_l_pinky2", "b_l_pinky3", "b_r_shoulder", "p_r_scap",
+    "b_r_arm", "b_r_arm_twist", "b_r_forearm", "b_r_wrist_twist", "b_r_wrist",
+    "b_r_index1", "b_r_index2", "b_r_index3", "b_r_ring1", "b_r_ring2",
+    "b_r_ring3", "b_r_middle1", "b_r_middle2", "b_r_middle3", "b_r_pinky1",
+    "b_r_pinky2", "b_r_pinky3", "b_r_thumb0", "b_r_thumb1", "b_r_thumb2",
+    "b_r_thumb3",
+]
+
+
+def beat_pipeline() -> MotionPipeline:
+    return MotionPipeline(
+        [
+            DownSampler(tgt_fps=30, keep_all=False),
+            JointSelector(BEAT_TARGET_JOINTS, include_root=True),
+            Numpyfier(),
+        ]
+    )
+
+
+def beat_features(bvh_path: str):
+    """BVH → (T, 684) rotation-matrix features + fitted pipeline
+    (parity: `process_bvh_bugfix:53-85`)."""
+    data = parse_bvh(bvh_path)
+    pipe = beat_pipeline()
+    out = pipe.fit_transform(data)  # (T, C) euler triplets (+ root pos triplet)
+    T = out.shape[0]
+    trip = out.reshape(T, -1, 3)
+    # NB: the first triplet is the ROOT POSITION but the reference runs it
+    # through the euler→matrix conversion too — quirk preserved.
+    rot = R.from_euler(BEAT_EULER_ORDER, trip.reshape(-1, 3), degrees=True)
+    mats = rot.as_matrix().reshape(T, -1, 9)
+    return mats.reshape(T, -1).astype(np.float32), pipe
+
+
+def beat_features_to_bvh(
+    poses: np.ndarray, pipe: MotionPipeline, out_path: str, smoothing: bool = True
+) -> None:
+    """(T, 684) → .bvh (parity: `pose2bvh_bugfix:108-131`)."""
+    from scipy.signal import savgol_filter
+
+    if smoothing:
+        poses = savgol_filter(poses, 15, 2, axis=0)
+    T = poses.shape[0]
+    mats = poses.reshape(T, -1, 3, 3)
+    euler = (
+        R.from_matrix(mats.reshape(-1, 3, 3))
+        .as_euler(BEAT_EULER_ORDER, degrees=True)
+        .reshape(T, -1)
+    )
+    data = pipe.inverse_transform(euler)
+    write_bvh_channels(data, out_path)
+
+
+def twh_pipeline() -> MotionPipeline:
+    return MotionPipeline(
+        [JointSelector(TWH_BONE_NAMES, include_root=False), Numpyfier()]
+    )
+
+
+def twh_features(bvh_path: str):
+    """BVH → (T, 744) [pos | rotmat] features + fitted pipeline
+    (parity: `process_TWH_bvh.load_bvh:26-65`, rotmat mode)."""
+    data = parse_bvh(bvh_path)
+    pipe = twh_pipeline()
+    out = pipe.fit_transform(data)
+    T = out.shape[0]
+    j6 = out.reshape(T, -1, 6)  # [Xpos Ypos Zpos | Zrot Xrot Yrot]
+    mats = (
+        R.from_euler(TWH_EULER_ORDER, j6[..., 3:].reshape(-1, 3), degrees=True)
+        .as_matrix()
+        .reshape(T, -1, 9)
+    )
+    feats = np.concatenate([j6[..., :3], mats], axis=-1)
+    return feats.reshape(T, -1).astype(np.float32), pipe
+
+
+def twh_features_to_bvh(
+    poses: np.ndarray, pipe: MotionPipeline, out_path: str, smoothing: bool = True
+) -> None:
+    """(T, 744) → .bvh (parity: `process_TWH_bvh.pose2bvh:201-227`)."""
+    from scipy.signal import savgol_filter
+
+    if smoothing:
+        poses = savgol_filter(poses, 15, 2, axis=0)
+    T = poses.shape[0]
+    j12 = poses.reshape(T, -1, 12)
+    euler = (
+        R.from_matrix(j12[..., 3:].reshape(-1, 3, 3))
+        .as_euler(TWH_EULER_ORDER, degrees=True)
+        .reshape(T, -1, 3)
+    )
+    out = np.concatenate([j12[..., :3], euler], axis=-1).reshape(T, -1)
+    data = pipe.inverse_transform(out)
+    write_bvh_channels(data, out_path)
