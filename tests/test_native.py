@@ -1,0 +1,40 @@
+"""Native C++ BVH parser: correctness vs the Python parser + speed sanity."""
+import time
+
+import numpy as np
+import pytest
+
+from diffusestylegesture_tpu import native
+from diffusestylegesture_tpu.motion import pipeline as P
+from test_pipeline import synth_beat_bvh
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+class TestNativeParser:
+    def test_matches_python(self, tmp_path):
+        path = str(tmp_path / "a.bvh")
+        synth_beat_bvh(path, T=200, seed=7)
+        py = P.parse_bvh(path)
+        cc = native.parse_bvh_fast(path)
+        assert cc.columns == py.columns
+        assert cc.names == py.names
+        assert cc.root_name == py.root_name
+        assert cc.parents == py.parents
+        np.testing.assert_allclose(cc.values, py.values, atol=1e-4)
+        np.testing.assert_allclose(
+            np.stack([cc.offsets[n] for n in cc.names]),
+            np.stack([py.offsets[n] for n in py.names]),
+            atol=1e-5,
+        )
+        assert abs(cc.framerate - py.framerate) < 1e-9
+
+    def test_faster_than_python(self, tmp_path):
+        path = str(tmp_path / "big.bvh")
+        synth_beat_bvh(path, T=4000, seed=8)
+        t0 = time.perf_counter()
+        P.parse_bvh(path)
+        t_py = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        native.parse_bvh_fast(path)
+        t_cc = time.perf_counter() - t0
+        assert t_cc < t_py  # typically 10-50x
