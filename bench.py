@@ -33,10 +33,14 @@ def main():
 
     seconds = float(os.environ.get("BENCH_SECONDS", "20"))
     steps = int(os.environ.get("BENCH_DIFFUSION_STEPS", "1000"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cdt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     # Flagship ZEGGS denoiser (real dims) + WavLM-Large (real dims, random
     # weights — identical FLOPs/memory to the released checkpoint).
-    mcfg = MDMConfig()
+    # Serving runs the trunk in bf16 (f32-accumulated attention/softmax,
+    # f32 diffusion math); numerical parity is validated in f32 by tests.
+    mcfg = MDMConfig(dtype=cdt)
     model = MDM(mcfg)
 
     wcfg = WavLMConfig()  # Large: 24 layers, d=1024
@@ -57,6 +61,12 @@ def main():
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond)
     wav_window = jnp.zeros((1, ecfg.samples_per_seed + ecfg.samples_per_stride))
     wparams = wavlm.init(jax.random.PRNGKey(1), wav_window)
+    if cdt == jnp.bfloat16:
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
+        )
+        params = cast(params)
+        wparams = cast(wparams)
 
     def model_apply(params, x, t, cond, uncond=None):
         return model.apply(params, x, t, cond, uncond=uncond)
@@ -80,8 +90,8 @@ def main():
     result = {
         "metric": "zeggs_gen_frames_per_sec_per_chip",
         "value": round(fps, 3),
-        "unit": "frames/s (DDPM-%d + WavLM-Large, batch 1, %.0fs clip; wall %.2fs)"
-        % (steps, seconds, dt),
+        "unit": "frames/s (DDPM-%d + WavLM-Large, batch 1, %.0fs clip, %s; wall %.2fs)"
+        % (steps, seconds, dtype_name, dt),
         "vs_baseline": round(fps / 20.0, 3),
     }
     print(json.dumps(result))

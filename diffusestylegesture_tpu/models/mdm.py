@@ -142,6 +142,14 @@ class MDM(nn.Module):
         token = emb_1 + emb_t  # (B, D)
         x_ = InputProcess(D, name="input_process")(x)  # (B, T, D)
 
+        # compute-dtype discipline: the trunk runs in cfg.dtype (bf16 for
+        # serving — halves HBM weight traffic, the batch-1 bottleneck);
+        # embeddings/softmax stay f32-accumulated, output is cast back.
+        cdt = cfg.dtype
+        token = token.astype(cdt)
+        x_ = x_.astype(cdt)
+        enc_audio = enc_audio.astype(cdt)
+
         mask_local = cond.get("mask_local")
 
         def local_block(seq_btd: jax.Array) -> jax.Array:
@@ -191,7 +199,7 @@ class MDM(nn.Module):
 
         return OutputProcess(
             cfg.input_feats, njoints, nfeats, name="output_process"
-        )(output)
+        )(output.astype(jnp.float32))
 
 
 def zeggs_mdm(latent_dim: int = 256, **overrides) -> MDM:

@@ -1,0 +1,88 @@
+"""BEAT/TWH composite feature assembly tests."""
+import numpy as np
+import pytest
+
+from diffusestylegesture_tpu.data import beat_twh as BT
+from test_audio import synth_wav
+from test_pipeline import synth_beat_bvh
+
+
+class TestAudioAssembly:
+    def test_1133_dims(self):
+        y = synth_wav(3.0)
+        out = BT.load_audio_features(y, 16000)
+        assert out.shape[1] == 40 + 64 + 4 + 1024 + 1
+        assert np.isfinite(out).all()
+
+
+class TestMetadata:
+    def test_load(self, tmp_path):
+        csv_text = (
+            "fname,main_id,main_finger,iloc_id,iloc_finger\n"
+            "clip_001,3,finger_incl,5,finger_excl\n"
+            "clip_002,1,finger_excl,2,finger_incl\n"
+        )
+        p = tmp_path / "meta.csv"
+        p.write_text(csv_text)
+        n, by_fname, by_idx = BT.load_metadata(str(p), "main-agent")
+        assert n == 2
+        assert by_fname["clip_001_main-agent"] == (True, 2)
+        assert by_idx[1] == (False, 0)
+        n2, by_fname2, _ = BT.load_metadata(str(p), "interloctr")
+        assert by_fname2["clip_001_interloctr"] == (False, 4)
+
+
+class TestTextGrid:
+    def test_long_format(self, tmp_path):
+        tg = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 2.5
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 2.5
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0
+            xmax = 0.5
+            text = ""
+        intervals [2]:
+            xmin = 0.5
+            xmax = 1.2
+            text = "hello"
+        intervals [3]:
+            xmin = 1.2
+            xmax = 2.5
+            text = "world"
+"""
+        p = tmp_path / "a.TextGrid"
+        p.write_text(tg)
+        tsv = BT.textgrid_to_tsv(str(p))
+        lines = open(tsv).read().strip().splitlines()
+        assert len(lines) == 2
+        assert lines[0].split("\t")[2] == "hello"
+
+
+class TestClipBuild:
+    def test_beat_clip(self, tmp_path):
+        path = str(tmp_path / "m.bvh")
+        synth_beat_bvh(path, T=121, fps=120, seed=9)
+        y = synth_wav(1.0)
+        tsv = tmp_path / "w.tsv"
+        tsv.write_text("0.1\t0.4\thello\n")
+        rng = np.random.default_rng(0)
+        w2v = {"hello": rng.standard_normal(300)}
+        sid = np.eye(2, dtype=np.float32)[0]
+        clip = BT.build_beat_twh_clip(
+            path, y, 16000, str(tsv), w2v, sid, dataset="BEAT"
+        )
+        T = len(clip["gesture"])
+        assert clip["audio"].shape == (T, 1133)
+        assert clip["text"].shape == (T, 301)
+        assert clip["gesture"].shape[1] % 9 == 0
