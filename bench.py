@@ -33,7 +33,7 @@ def main():
 
     seconds = float(os.environ.get("BENCH_SECONDS", "20"))
     steps = int(os.environ.get("BENCH_DIFFUSION_STEPS", "1000"))
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     cdt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     # Flagship ZEGGS denoiser (real dims) + WavLM-Large (real dims, random
