@@ -338,3 +338,58 @@ def training_losses(
         + lambda_vel * terms.get("vel_mse", 0.0)
     )
     return terms, x_t
+
+
+def prior_bpd(sched: Schedule, x_start: jax.Array) -> jax.Array:
+    """Prior KL term in bits/dim (ref `_prior_bpd:1531-1547`)."""
+    B = x_start.shape[0]
+    t = jnp.full((B,), sched.num_timesteps - 1, jnp.int32)
+    qt_mean, _, qt_log_var = q_mean_variance(sched, x_start, t)
+    kl = normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+    return mean_flat(kl) / jnp.log(2.0)
+
+
+def calc_bpd_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x_start: jax.Array,
+    key: jax.Array,
+    *,
+    mean_type: MeanType = MeanType.START_X,
+    var_type: VarType = VarType.FIXED_SMALL,
+    clip_denoised: bool = False,
+):
+    """Full VLB in bits/dim as one `lax.scan` over t = T-1…0
+    (ref `calc_bpd_loop:1549-1604`, which loops in Python).
+
+    Returns dict(total_bpd, prior_bpd, vb[N,T], xstart_mse[N,T], mse[N,T]);
+    the [N, T] axes are ordered t = T-1 … 0 like the reference's append order.
+    """
+    B = x_start.shape[0]
+
+    def step(key, t_scalar):
+        key, nk = jax.random.split(key)
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        noise = jax.random.normal(nk, x_start.shape, jnp.float32)
+        x_t = q_sample(sched, x_start, t, noise)
+        model_output = model_fn(x_t, sched.timestep_map[t])
+        vb, pred_xstart = vb_terms_bpd(
+            sched, model_output, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type, clip_denoised=clip_denoised,
+        )
+        xstart_mse = mean_flat((pred_xstart - x_start) ** 2)
+        eps = predict_eps_from_xstart(sched, x_t, t, pred_xstart)
+        mse = mean_flat((eps - noise) ** 2)
+        return key, (vb, xstart_mse, mse)
+
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(step, key, ts)
+    vb = vb.T  # (N, T)
+    pb = prior_bpd(sched, x_start)
+    return {
+        "total_bpd": vb.sum(axis=1) + pb,
+        "prior_bpd": pb,
+        "vb": vb,
+        "xstart_mse": xstart_mse.T,
+        "mse": mse.T,
+    }

@@ -4,3 +4,4 @@ from .engine_beat import (  # noqa: F401
     BeatTwhSampler,
     prepare_seed_gesture,
 )
+from .styles import blend_styles, style_grid, style_vector  # noqa: F401

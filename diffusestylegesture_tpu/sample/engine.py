@@ -32,8 +32,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion import Schedule, SamplerConfig, p_sample_loop
+from ..diffusion import (
+    Schedule,
+    SamplerConfig,
+    ddim_sample_loop,
+    p_sample_loop,
+    plms_sample_loop,
+)
 from ..diffusion.sampling import cfg_combine
+
+SAMPLE_LOOPS = {
+    "ddpm": p_sample_loop,
+    "ddim": ddim_sample_loop,
+    "plms": plms_sample_loop,
+}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +63,7 @@ class ZeggsEngineConfig:
     # many overlap frames (the behavior the code comments describe).
     crossfade_n: Optional[int] = None
     root_delta_correction: bool = True  # ref `:269-282` (ZEGGS on, BEAT off)
+    sampler: str = "ddpm"  # ddpm | ddim | plms (use a respaced Schedule for ddimN)
 
     @property
     def stride(self) -> int:
@@ -129,9 +142,8 @@ class ZeggsSampler:
                 return self.model_apply(params, x, t, cond)
 
         shape = (B, cfg.njoints, 1, cfg.n_poses)
-        return p_sample_loop(
-            self.schedule, model_fn, shape, key, cfg=self.sampler_cfg
-        )
+        loop = SAMPLE_LOOPS[self.cfg.sampler]
+        return loop(self.schedule, model_fn, shape, key, cfg=self.sampler_cfg)
 
     def _generate_impl(self, params, wavlm_params, audio_windows, style, key, *, num_windows):
         cfg = self.cfg

@@ -301,3 +301,22 @@ class TestReferenceParity:
     @classmethod
     def gd_space(cls, T, spec):
         return cls.respace.space_timesteps(T, spec)
+
+
+class TestBpd:
+    def test_calc_bpd_loop(self):
+        import jax
+
+        sched = D.Schedule.create(D.named_beta_schedule("cosine", 10))
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.standard_normal((2, 4, 1, 6)).astype(np.float32) * 0.1)
+        out = G.calc_bpd_loop(sched, toy_model_fn, x0, jax.random.PRNGKey(0))
+        assert out["vb"].shape == (2, 10)
+        assert out["total_bpd"].shape == (2,)
+        assert np.isfinite(np.asarray(out["total_bpd"])).all()
+        # total = sum(vb) + prior
+        np.testing.assert_allclose(
+            np.asarray(out["total_bpd"]),
+            np.asarray(out["vb"]).sum(1) + np.asarray(out["prior_bpd"]),
+            rtol=1e-5,
+        )
