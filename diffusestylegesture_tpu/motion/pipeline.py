@@ -465,3 +465,280 @@ def twh_features_to_bvh(
     out = np.concatenate([j12[..., :3], euler], axis=-1).reshape(T, -1)
     data = pipe.inverse_transform(out)
     write_bvh_channels(data, out_path)
+
+
+# ---------------------------------------------------------------------------
+# additional pymo transforms (expmap parameterization, mirror, root norm)
+# ---------------------------------------------------------------------------
+
+
+def joint_rot_order(data: ChannelData, joint: str) -> str:
+    """'ZXY'-style rotation order from a joint's channel list."""
+    return "".join(c[0] for c in data.channels.get(joint, []) if c.endswith("rotation"))
+
+
+def fix_rotvec(rots: np.ndarray) -> np.ndarray:
+    """Rotation-vector continuity fix (parity:
+    `pymo_TWH/preprocessing.py:60-85`, incl. the odd-swap-drop behavior)."""
+    new_rots = rots.copy()
+    angs = np.linalg.norm(rots, axis=1)
+    alt_angs = 2 * np.pi - angs
+    d_angs = np.diff(angs, axis=0)
+    d_angs2 = alt_angs[1:] - angs[:-1]
+    swps = np.where(np.abs(d_angs2) < np.abs(d_angs))[0]
+    if swps.shape[0] % 2 == 1:
+        swps = swps[:-1]
+    intv = 1 + swps.reshape((swps.shape[0] // 2, 2))
+    for ii in range(intv.shape[0]):
+        s, e = intv[ii, 0], intv[ii, 1]
+        new_ax = -rots[s:e] / np.tile(angs[s:e, None], (1, 3))
+        new_rots[s:e] = new_ax * np.tile(alt_angs[s:e, None], (1, 3))
+    return new_rots
+
+
+class MocapParameterizer:
+    """pymo `MocapParameterizer` parity for the live modes:
+    'euler' (identity), 'expmap' (+ inverse), 'position' (FK).
+
+    Column-ordering quirk preserved: expmap trios are inserted at the
+    FRONT per joint (`preprocessing.py:198-201`), so after iterating
+    joints in skeleton order the front of the frame is
+    [last-joint α β γ | … | first-joint α β γ | remaining pos columns].
+    Euler→rotvec uses scipy with the LOWERCASE (extrinsic) order string,
+    matching the reference exactly.
+    """
+
+    def __init__(self, param_type: str = "euler"):
+        assert param_type in ("euler", "expmap", "position")
+        self.param_type = param_type
+
+    def fit(self, data: ChannelData) -> "MocapParameterizer":
+        return self
+
+    def transform(self, data: ChannelData):
+        if self.param_type == "euler":
+            return data
+        if self.param_type == "expmap":
+            return self._to_expmap(data)
+        return self._to_pos(data)
+
+    def inverse_transform(self, data):
+        if self.param_type == "euler":
+            return data
+        if self.param_type == "expmap":
+            return self._expmap_to_euler(data)
+        raise NotImplementedError("positions → eulers is not supported (parity)")
+
+    def _joints(self, data: ChannelData):
+        return [n for n in data.names if "Nub" not in n]
+
+    def _to_expmap(self, data: ChannelData) -> ChannelData:
+        out = data.clone()
+        idx = data.column_index()
+        cols = list(data.columns)
+        series: Dict[str, np.ndarray] = {c: data.values[:, idx[c]] for c in cols}
+        for joint in self._joints(data):
+            order = joint_rot_order(data, joint)
+            if len(order) != 3:
+                continue
+            rc = [f"{joint}_{a}rotation" for a in order]
+            euler = np.stack([series[c] for c in rc], axis=1)
+            exps = fix_rotvec(
+                R.from_euler(order.lower(), euler, degrees=True).as_rotvec()
+            )
+            for c in rc:
+                cols.remove(c)
+                series.pop(c)
+            for name, vals in (
+                (f"{joint}_gamma", exps[:, 2]),
+                (f"{joint}_beta", exps[:, 1]),
+                (f"{joint}_alpha", exps[:, 0]),
+            ):
+                cols.insert(0, name)
+                series[name] = vals
+            out.channels[joint] = [
+                c for c in data.channels[joint] if not c.endswith("rotation")
+            ] + ["alpha", "beta", "gamma"]
+        out.columns = cols
+        out.values = np.stack([series[c] for c in cols], axis=1)
+        self._orders = {j: joint_rot_order(data, j) for j in self._joints(data)}
+        self._orig_channels = {k: list(v) for k, v in data.channels.items()}
+        return out
+
+    def _expmap_to_euler(self, data: ChannelData) -> ChannelData:
+        out = data.clone()
+        idx = data.column_index()
+        cols = list(data.columns)
+        series: Dict[str, np.ndarray] = {c: data.values[:, idx[c]] for c in cols}
+        for joint in self._joints(data):
+            order = self._orders.get(joint, "")
+            if len(order) != 3:
+                continue
+            trio = [f"{joint}_alpha", f"{joint}_beta", f"{joint}_gamma"]
+            exp = np.stack([series[c] for c in trio], axis=1)
+            eul = R.from_rotvec(exp).as_euler(order.lower(), degrees=True)
+            for c in trio:
+                cols.remove(c)
+                series.pop(c)
+            # reference appends euler cols at the END per joint
+            for k, a in enumerate(order):
+                name = f"{joint}_{a}rotation"
+                cols.append(name)
+                series[name] = eul[:, k]
+            out.channels[joint] = list(self._orig_channels[joint])
+        out.columns = cols
+        out.values = np.stack([series[c] for c in cols], axis=1)
+        return out
+
+    def _to_pos(self, data: ChannelData) -> ChannelData:
+        """Euler channels → global joint positions (pymo `_to_pos`,
+        `preprocessing.py:88-169`): INTRINSIC (uppercase) euler order,
+        position channels ADDED to the stored offsets for non-root joints,
+        Nub end-sites included with zero rotations."""
+        T = len(data.values)
+        idx = data.column_index()
+        ginv: Dict[str, R] = {}  # pymo stores the INVERSE global rotation
+        gpos: Dict[str, np.ndarray] = {}
+        out_cols: List[str] = []
+        series: Dict[str, np.ndarray] = {}
+        for joint in data.names:
+            parent = data.parents.get(joint)
+            order = joint_rot_order(data, joint)
+            if len(order) == 3:
+                euler = np.stack(
+                    [data.values[:, idx[f"{joint}_{a}rotation"]] for a in order], axis=1
+                )
+                rot_inv = R.from_euler(order, euler, degrees=True).inv()
+            else:
+                rot_inv = R.identity(T).inv()
+            pos_cols = [c for c in data.channels.get(joint, []) if c.endswith("position")]
+            if len(pos_cols) == 3:
+                pos_values = np.stack(
+                    [data.values[:, idx[f"{joint}_{a}position"]] for a in "XYZ"], axis=1
+                )
+            else:
+                pos_values = np.zeros((T, 3))
+            if parent is None:
+                ginv[joint] = rot_inv
+                gpos[joint] = pos_values
+            else:
+                ginv[joint] = rot_inv * ginv[parent]
+                k = pos_values + np.asarray(data.offsets.get(joint, np.zeros(3)))
+                gpos[joint] = gpos[parent] + ginv[parent].inv().apply(k)
+            for k_i, a in enumerate("XYZ"):
+                name = f"{joint}_{a}position"
+                out_cols.append(name)
+                series[name] = np.asarray(gpos[joint])[:, k_i]
+        out = data.clone()
+        out.columns = out_cols
+        out.values = np.stack([series[c] for c in out_cols], axis=1)
+        return out
+
+
+class ConstantsRemoverWithRoot:
+    """TWH `ConstantsRemover_withroot` parity (`preprocessing.py:959-1006`):
+    drops every position/rotation channel EXCEPT the root's world position,
+    plus the root's expmap trio; restores the first-frame constants on
+    inverse."""
+
+    def __init__(self, root_name: str = "body_world"):
+        self.root_name = root_name
+
+    def fit(self, data: ChannelData) -> "ConstantsRemoverWithRoot":
+        cols = list(data.columns)
+        const = [c for c in cols if "position" in c or "rotation" in c]
+        for a in "XYZ":
+            name = f"{self.root_name}_{a}position"
+            if name in const:
+                const.remove(name)
+        for g in ("alpha", "beta", "gamma"):
+            const.append(f"{self.root_name}_{g}")
+        idx = data.column_index()
+        self.const_dims = const
+        self.const_values = {
+            c: float(data.values[0, idx[c]]) if c in idx and len(data.values) else 0.0
+            for c in const
+        }
+        return self
+
+    def transform(self, data: ChannelData) -> ChannelData:
+        out = data.clone()
+        drop = set(self.const_dims)
+        idx = data.column_index()
+        keep = [c for c in data.columns if c not in drop]
+        out.columns = keep
+        out.values = data.values[:, [idx[c] for c in keep]]
+        return out
+
+    def inverse_transform(self, data: ChannelData) -> ChannelData:
+        out = data.clone()
+        cols = list(data.columns) + [c for c in self.const_dims]
+        T = len(data.values)
+        vals = np.zeros((T, len(cols)))
+        vals[:, : len(data.columns)] = data.values
+        for j, c in enumerate(self.const_dims):
+            vals[:, len(data.columns) + j] = self.const_values[c]
+        out.columns = cols
+        out.values = vals
+        return out
+
+
+def mirror(data: ChannelData, axis: str = "X") -> ChannelData:
+    """pymo `Mirror` parity for one track (`preprocessing.py:244-319`):
+    negated root positions, Left↔Right rotation swap with per-axis signs,
+    trunk rotations sign-flipped. Returns the mirrored track; pymo's
+    append=True semantics = [data, mirror(data)]."""
+    signs = {"X": np.array([1, -1, -1]), "Y": np.array([-1, 1, -1]),
+             "Z": np.array([-1, -1, 1])}[axis]
+    idx = data.column_index()
+    cols: List[str] = []
+    series: Dict[str, np.ndarray] = {}
+
+    root = data.root_name
+    for k, a in enumerate("XYZ"):
+        name = f"{root}_{a}position"
+        cols.append(name)
+        series[name] = -signs[k] * data.values[:, idx[name]]
+
+    def put(dst, src, k):
+        name = f"{dst}_{'XYZ'[k]}rotation"
+        cols.append(name)
+        series[name] = signs[k] * data.values[:, idx[f"{src}_{'XYZ'[k]}rotation"]]
+
+    lft = [j for j in data.names if "Left" in j and "Nub" not in j]
+    for lj in lft:
+        rj = lj.replace("Left", "Right")
+        for k in range(3):
+            put(lj, rj, k)
+        for k in range(3):
+            put(rj, lj, k)
+    for j in data.names:
+        if "Nub" in j or "Left" in j or "Right" in j:
+            continue
+        if joint_rot_order(data, j):
+            for k in range(3):
+                put(j, j, k)
+    out = data.clone()
+    out.columns = cols
+    out.values = np.stack([series[c] for c in cols], axis=1)
+    return out
+
+
+def root_normalizer(data: ChannelData) -> ChannelData:
+    """TWH `RootNormalizer` parity (`preprocessing.py:720-768`): center the
+    root's mean position, zero X/Z root rotation, and face ±90° about Y
+    depending on the starting X position."""
+    out = data.clone()
+    idx = data.column_index()
+    vals = data.values.copy()
+    root = data.root_name
+    xp, yp, zp = (idx[f"{root}_{a}position"] for a in "XYZ")
+    for col in (xp, yp, zp):
+        vals[:, col] = vals[:, col] - vals[:, col].mean()
+    new_yr = -90.0 if data.values[0, xp] < 0 else 90.0
+    for a, v in (("X", 0.0), ("Y", new_yr), ("Z", 0.0)):
+        c = f"{root}_{a}rotation"
+        if c in idx:
+            vals[:, idx[c]] = v
+    out.values = vals
+    return out

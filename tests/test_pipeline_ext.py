@@ -1,0 +1,145 @@
+"""Extended pymo transforms: expmap, Mirror, RootNormalizer, ConstantsRemover_withroot."""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference, REFERENCE_ROOT
+
+from diffusestylegesture_tpu.motion import pipeline as P
+from test_pipeline import synth_beat_bvh
+
+
+def _stub_pymo_deps():
+    for m in ("transforms3d", "transforms3d.euler", "transforms3d.quaternions"):
+        if m not in sys.modules:
+            sys.modules[m] = types.ModuleType(m)
+    sys.path.insert(0, f"{REFERENCE_ROOT}/BEAT-TWH-main/process")
+
+
+def synth_twh_bvh(path, T=40, seed=0):
+    rng = np.random.default_rng(seed)
+    joints = ["body_world", "b_root", "b_spine0", "b_l_arm", "b_r_arm"]
+    parents = {"body_world": None, "b_root": "body_world", "b_spine0": "b_root",
+               "b_l_arm": "b_spine0", "b_r_arm": "b_spine0"}
+    channels = {
+        j: ["Xposition", "Yposition", "Zposition", "Zrotation", "Xrotation", "Yrotation"]
+        for j in joints
+    }
+    names = joints + ["b_l_arm_Nub", "b_r_arm_Nub"]
+    parents["b_l_arm_Nub"] = "b_l_arm"
+    parents["b_r_arm_Nub"] = "b_r_arm"
+    channels["b_l_arm_Nub"] = []
+    channels["b_r_arm_Nub"] = []
+    offsets = {n: rng.uniform(-2, 2, 3).astype(np.float32) for n in names}
+    columns = [f"{j}_{c}" for j in joints for c in channels[j]]
+    vals = rng.uniform(-30, 30, (T, len(columns)))
+    data = P.ChannelData(names, parents, offsets, channels, columns, vals, 1 / 30, "body_world")
+    P.write_bvh_channels(data, path)
+    return data
+
+
+class TestExpmap:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "a.bvh")
+        synth_twh_bvh(path)
+        data = P.parse_bvh(path)
+        mp = P.MocapParameterizer("expmap")
+        exp = mp.transform(data)
+        assert any(c.endswith("_alpha") for c in exp.columns)
+        back = mp.inverse_transform(exp)
+        # compare per-channel (column order differs from the original)
+        idx_o = data.column_index()
+        idx_b = back.column_index()
+        for c in data.columns:
+            o = data.values[:, idx_o[c]]
+            b = back.values[:, idx_b[c]]
+            diff = np.abs((o - b + 180) % 360 - 180)
+            assert diff.max() < 1e-6, c
+
+    @requires_reference
+    def test_vs_pymo(self, tmp_path):
+        _stub_pymo_deps()
+        from pymo_TWH.parsers import BVHParser  # type: ignore
+        from pymo_TWH.preprocessing import MocapParameterizer  # type: ignore
+
+        path = str(tmp_path / "b.bvh")
+        synth_twh_bvh(path, seed=2)
+        ref = MocapParameterizer("expmap").fit_transform([BVHParser().parse(path)])[0]
+        mine = P.MocapParameterizer("expmap").transform(P.parse_bvh(path))
+        assert list(ref.values.columns) == mine.columns
+        np.testing.assert_allclose(ref.values.values, mine.values, atol=1e-8)
+
+    @requires_reference
+    def test_constants_remover_withroot(self, tmp_path):
+        _stub_pymo_deps()
+        from pymo_TWH.parsers import BVHParser  # type: ignore
+        from pymo_TWH.preprocessing import (  # type: ignore
+            ConstantsRemover_withroot,
+            MocapParameterizer,
+        )
+
+        path = str(tmp_path / "c.bvh")
+        synth_twh_bvh(path, seed=3)
+        tracks = MocapParameterizer("expmap").fit_transform([BVHParser().parse(path)])
+        cr = ConstantsRemover_withroot()
+        cr.fit(tracks)
+        ref_out = cr.transform(tracks)[0]
+
+        mp = P.MocapParameterizer("expmap")
+        exp = mp.transform(P.parse_bvh(path))
+        mine_cr = P.ConstantsRemoverWithRoot()
+        mine_cr.fit(exp)
+        mine_out = mine_cr.transform(exp)
+        assert list(ref_out.values.columns) == mine_out.columns
+        np.testing.assert_allclose(ref_out.values.values, mine_out.values, atol=1e-8)
+
+    @requires_reference
+    def test_positions_vs_pymo(self, tmp_path):
+        _stub_pymo_deps()
+        from pymo_TWH.parsers import BVHParser  # type: ignore
+        from pymo_TWH.preprocessing import MocapParameterizer  # type: ignore
+
+        path = str(tmp_path / "d.bvh")
+        synth_twh_bvh(path, seed=4, T=10)
+        ref = MocapParameterizer("position").fit_transform([BVHParser().parse(path)])[0]
+        mine = P.MocapParameterizer("position").transform(P.parse_bvh(path))
+        common = [c for c in mine.columns if c in set(ref.values.columns)]
+        idx_m = mine.column_index()
+        for c in common:
+            np.testing.assert_allclose(
+                mine.values[:, idx_m[c]], ref.values[c].values, atol=1e-6, err_msg=c
+            )
+
+
+class TestMirrorRootNorm:
+    @requires_reference
+    def test_mirror_vs_pymo(self, tmp_path):
+        _stub_pymo_deps()
+        from pymo.parsers import BVHParser  # type: ignore
+        from pymo.preprocessing import Mirror  # type: ignore
+
+        path = str(tmp_path / "e.bvh")
+        synth_beat_bvh(path, T=30, seed=5)
+        tracks = Mirror(axis="X", append=False).fit_transform([BVHParser().parse(path)])
+        ref = tracks[0]
+        mine = P.mirror(P.parse_bvh(path), axis="X")
+        assert list(ref.values.columns) == mine.columns
+        np.testing.assert_allclose(ref.values.values, mine.values, atol=1e-8)
+
+    @requires_reference
+    def test_rootnorm_vs_pymo(self, tmp_path):
+        _stub_pymo_deps()
+        from pymo_TWH.parsers import BVHParser  # type: ignore
+        from pymo_TWH.preprocessing import RootNormalizer  # type: ignore
+
+        path = str(tmp_path / "f.bvh")
+        synth_twh_bvh(path, seed=6)
+        ref = RootNormalizer().fit_transform([BVHParser().parse(path)])[0]
+        mine = P.root_normalizer(P.parse_bvh(path))
+        idx = mine.column_index()
+        for c in mine.columns:
+            np.testing.assert_allclose(
+                mine.values[:, idx[c]], ref.values[c].values, atol=1e-8, err_msg=c
+            )
