@@ -86,3 +86,41 @@ class TestClipBuild:
         assert clip["audio"].shape == (T, 1133)
         assert clip["text"].shape == (T, 301)
         assert clip["gesture"].shape[1] % 9 == 0
+
+
+class TestBVHRepair:
+    def test_fix_frame_count(self, tmp_path):
+        from diffusestylegesture_tpu.data.bvh_repair import fix_frame_count
+        from diffusestylegesture_tpu.motion import pipeline as P
+
+        path = str(tmp_path / "broken.bvh")
+        synth_beat_bvh(path, T=50, seed=10)
+        # corrupt the header
+        content = open(path).read().replace("Frames: 50", "Frames: 777")
+        open(path, "w").write(content)
+        fixed, n = fix_frame_count(path)
+        assert fixed and n == 50
+        data = P.parse_bvh(path)
+        assert len(data.values) == 50
+        # idempotent
+        fixed2, _ = fix_frame_count(path)
+        assert not fixed2
+
+    def test_reorient_t_pose(self, tmp_path):
+        from diffusestylegesture_tpu.data.bvh_repair import reorient_t_pose
+        from diffusestylegesture_tpu.motion import pipeline as P
+
+        path = str(tmp_path / "t.bvh")
+        synth_beat_bvh(path, T=10, seed=11)
+        before = P.parse_bvh(path)
+        out = str(tmp_path / "t_re.bvh")
+        reorient_t_pose(path, out)
+        after = P.parse_bvh(out)
+        # offsets X/Z negated
+        for n in before.names:
+            np.testing.assert_allclose(after.offsets[n][0], -before.offsets[n][0], atol=1e-4)
+            np.testing.assert_allclose(after.offsets[n][2], -before.offsets[n][2], atol=1e-4)
+        # root rotation channel 4 shifted by -180
+        np.testing.assert_allclose(
+            after.values[:, 4], before.values[:, 4] - 180.0, atol=1e-4
+        )
