@@ -108,3 +108,66 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     if isinstance(sd, dict) and "model_state_dict" in sd:
         sd = sd["model_state_dict"]
     return {k: _np(v) for k, v in sd.items()}
+
+
+def _conv1d_t(sd, prefix):
+    """torch Conv1d (out, in, k) → flax Conv kernel (k, in, out)."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _gru_layer(sd, prefix, layer, reverse=False):
+    sfx = f"_l{layer}" + ("_reverse" if reverse else "")
+    return {
+        "ih": {
+            "kernel": _np(sd[f"{prefix}.weight_ih{sfx}"]).T,
+            "bias": _np(sd[f"{prefix}.bias_ih{sfx}"]),
+        },
+        "hh": {
+            "kernel": _np(sd[f"{prefix}.weight_hh{sfx}"]).T,
+            "bias": _np(sd[f"{prefix}.bias_hh{sfx}"]),
+        },
+    }
+
+
+def convert_zeroeggs_speech_encoder(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """ZeroEGGS `SpeechEncoder` (`modules.py:237-260`) → flax params."""
+    return {
+        "layer0": _conv1d_t(sd, "layer0"),
+        "layer1": _conv1d_t(sd, "layer1"),
+        "layer2": _dense(sd, "layer2"),
+    }
+
+
+def convert_zeroeggs_style_encoder(sd: Mapping[str, Any], vae: bool = True) -> Dict[str, Any]:
+    """ZeroEGGS `StyleEncoder(type='gru')` (`modules.py:266-331`)."""
+    enc = {
+        "conv0": _conv1d_t(sd, "encoder.convs.0.conv"),
+        "conv1": _conv1d_t(sd, "encoder.convs.2.conv"),
+        "rnn": {
+            "l0_fwd": _gru_layer(sd, "encoder.rnn_layer", 0, reverse=False),
+            "l0_bwd": _gru_layer(sd, "encoder.rnn_layer", 0, reverse=True),
+        },
+        "projection": _dense(sd, "encoder.projection_layer.linear_layer"),
+    }
+    return {"encoder": enc} if vae else enc
+
+
+def convert_zeroeggs_decoder(sd: Mapping[str, Any], num_rnn_layers: int = 2) -> Dict[str, Any]:
+    """ZeroEGGS `Decoder` (`modules.py:13-173`) → `ZeroEGGSDecoder` params."""
+    rec = {
+        "layer0": _dense(sd, "recurrent_decoder.layer0"),
+        "layer2": _dense(sd, "recurrent_decoder.layer2"),
+    }
+    for k in range(num_rnn_layers):
+        rec[f"gru_l{k}"] = _gru_layer(sd, "recurrent_decoder.layer1", k)
+    return {
+        "recurrent_decoder": rec,
+        "cell_state_encoder": {
+            "layer0": _dense(sd, "cell_state_encoder.layer0"),
+            "layer1": _dense(sd, "cell_state_encoder.layer1"),
+            "layer2": _dense(sd, "cell_state_encoder.layer2"),
+        },
+    }

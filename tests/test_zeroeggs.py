@@ -1,0 +1,169 @@
+"""ZeroEGGS RNN system parity tests vs the reference torch modules."""
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference, REFERENCE_ROOT
+
+import jax
+import jax.numpy as jnp
+
+from diffusestylegesture_tpu.models import convert
+from diffusestylegesture_tpu.models.zeroeggs import (
+    CellStateEncoder,
+    RecurrentDecoderNormal,
+    SpeechEncoder,
+    StyleEncoderVAE,
+    ZeroEGGSConfig,
+    ZeroEGGSDecoder,
+    kl_divergence,
+)
+
+NJ = 5
+POSE_IN = NJ * 15 + 9
+POSE_OUT = NJ * 15 + 6
+HID = 32
+SPEECH = 12
+STYLE = 8
+
+
+def _ref_modules():
+    import torch
+
+    sys.path.insert(0, f"{REFERENCE_ROOT}/ubisoft-laforge-ZeroEGGS-main/ZEGGS")
+    import pdb as _pdb
+
+    _pdb.set_trace = lambda *a, **k: None  # Decoder.forward has a live set_trace
+    import modules as ref  # type: ignore
+
+    assert "ubisoft" in ref.__file__
+    torch.manual_seed(0)
+    return ref
+
+
+class TestComponents:
+    @requires_reference
+    def test_speech_encoder(self):
+        import torch
+
+        ref_mod = _ref_modules()
+        ref = ref_mod.SpeechEncoder(7, HID, SPEECH)
+        ref.eval()
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 40, 7)).astype(np.float32)
+        with torch.no_grad():
+            theirs = ref(torch.as_tensor(x)).numpy()
+        params = {"params": convert.convert_zeroeggs_speech_encoder(ref.state_dict())}
+        ours = np.asarray(SpeechEncoder(HID, SPEECH).apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    @requires_reference
+    def test_style_encoder_vae_mu(self):
+        import torch
+
+        ref_mod = _ref_modules()
+        ref = ref_mod.StyleEncoder(9, HID, STYLE, type="gru", use_vae=True)
+        ref.eval()
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 25, 9)).astype(np.float32)
+        with torch.no_grad():
+            _, mu_t, logvar_t = ref(torch.as_tensor(x))
+        params = {"params": convert.convert_zeroeggs_style_encoder(ref.state_dict())}
+        _, mu, logvar = StyleEncoderVAE(HID, STYLE).apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(), atol=1e-5)
+
+    @requires_reference
+    def test_decoder_rollout(self):
+        import torch
+
+        ref_mod = _ref_modules()
+        ref = ref_mod.Decoder(POSE_IN, POSE_OUT, SPEECH, STYLE, HID, 2, rnn_cond="normal")
+        ref.eval()
+
+        rng = np.random.default_rng(2)
+        B, T = 2, 6
+        q = rng.standard_normal((B, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        state = dict(
+            root_pos=rng.standard_normal((B, 3)).astype(np.float32),
+            root_rot=q,
+            root_vel=rng.standard_normal((B, 3)).astype(np.float32) * 0.1,
+            root_vrt=rng.standard_normal((B, 3)).astype(np.float32) * 0.1,
+            lpos=rng.standard_normal((B, NJ, 3)).astype(np.float32),
+            ltxy=rng.standard_normal((B, NJ, 2, 3)).astype(np.float32),
+            lvel=rng.standard_normal((B, NJ, 3)).astype(np.float32) * 0.1,
+            lvrt=rng.standard_normal((B, NJ, 3)).astype(np.float32) * 0.1,
+        )
+        gaze = rng.standard_normal((B, T, 3)).astype(np.float32)
+        speech = rng.standard_normal((B, T, SPEECH)).astype(np.float32)
+        style = rng.standard_normal((B, T, STYLE)).astype(np.float32)
+        in_mean = rng.standard_normal(POSE_IN).astype(np.float32) * 0.1
+        in_std = (rng.uniform(0.5, 2.0, POSE_IN)).astype(np.float32)
+        out_mean = rng.standard_normal(POSE_OUT).astype(np.float32) * 0.1
+        out_std = (rng.uniform(0.5, 2.0, POSE_OUT)).astype(np.float32)
+
+        with torch.no_grad():
+            t = {k: torch.as_tensor(v) for k, v in state.items()}
+            ref_out = ref(
+                t["root_pos"], t["root_rot"], t["root_vel"], t["root_vrt"],
+                t["lpos"], t["ltxy"], t["lvel"], t["lvrt"],
+                torch.as_tensor(gaze), torch.as_tensor(speech), torch.as_tensor(style),
+                None,
+                torch.as_tensor(in_mean), torch.as_tensor(in_std),
+                torch.as_tensor(out_mean), torch.as_tensor(out_std),
+                1.0 / 60.0,
+            )
+        rp_ref, rr_ref, lp_ref, lt_ref = (
+            ref_out[0].numpy(), ref_out[1].numpy(), ref_out[4].numpy(), ref_out[5].numpy()
+        )
+
+        cfg = ZeroEGGSConfig(
+            njoints=NJ, pose_input_size=POSE_IN, pose_output_size=POSE_OUT,
+            speech_encoding_size=SPEECH, style_embedding_size=STYLE,
+            hidden_size=HID, num_rnn_layers=2,
+        )
+        model = ZeroEGGSDecoder(cfg)
+        params = {"params": convert.convert_zeroeggs_decoder(ref.state_dict(), 2)}
+        init = tuple(jnp.asarray(state[k]) for k in
+                     ("root_pos", "root_rot", "root_vel", "root_vrt", "lpos", "ltxy", "lvel", "lvrt"))
+        rp, rr, lp, lt = model.apply(
+            params, init, jnp.asarray(gaze), jnp.asarray(speech), jnp.asarray(style),
+            jnp.asarray(in_mean), jnp.asarray(in_std), jnp.asarray(out_mean), jnp.asarray(out_std),
+        )
+        np.testing.assert_allclose(np.asarray(rp), rp_ref, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(rr), rr_ref, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(lp), lp_ref, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(lt), lt_ref, atol=2e-4)
+
+
+class TestSelf:
+    def test_kl(self):
+        mu = jnp.zeros((4, 8))
+        logvar = jnp.zeros((4, 8))
+        assert float(kl_divergence(mu, logvar)) < 1e-6
+
+    def test_rollout_shapes(self):
+        cfg = ZeroEGGSConfig(
+            njoints=NJ, pose_input_size=POSE_IN, pose_output_size=POSE_OUT,
+            speech_encoding_size=SPEECH, style_embedding_size=STYLE,
+            hidden_size=HID, num_rnn_layers=2,
+        )
+        rng = np.random.default_rng(3)
+        B, T = 2, 5
+        q = np.tile(np.array([1, 0, 0, 0], np.float32), (B, 1))
+        init = (
+            jnp.zeros((B, 3)), jnp.asarray(q), jnp.zeros((B, 3)), jnp.zeros((B, 3)),
+            jnp.zeros((B, NJ, 3)), jnp.zeros((B, NJ, 2, 3)), jnp.zeros((B, NJ, 3)),
+            jnp.zeros((B, NJ, 3)),
+        )
+        model = ZeroEGGSDecoder(cfg)
+        args = (
+            init, jnp.zeros((B, T, 3)), jnp.zeros((B, T, SPEECH)), jnp.zeros((B, T, STYLE)),
+            jnp.zeros(POSE_IN), jnp.ones(POSE_IN), jnp.zeros(POSE_OUT), jnp.ones(POSE_OUT),
+        )
+        params = model.init(jax.random.PRNGKey(0), *args)
+        rp, rr, lp, lt = model.apply(params, *args)
+        assert rp.shape == (B, T, 3) and rr.shape == (B, T, 4)
+        assert lp.shape == (B, T, NJ, 3) and lt.shape == (B, T, NJ, 2, 3)
