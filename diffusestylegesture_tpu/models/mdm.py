@@ -192,10 +192,34 @@ class MDM(nn.Module):
             h = trunk(x_)
             output = local_block(h)
         else:
-            raise NotImplementedError(
-                f"cond_mode {cfg.cond_mode!r}: only the cross_local_attention "
-                "family is on the live ZEGGS path"
-            )
+            # plain trans_enc branch (ref `:297-328`): audio (+ style2 embed)
+            # concatenated to the pose features before InputProcess, token
+            # prepended, sinusoidal additive PE instead of RoPE.
+            # NB: the reference's branch references an undefined `emb`
+            # (`main/model/mdm.py:325`) and cannot actually run; this is the
+            # repaired equivalent using the style/seed+timestep token.
+            feats = [x.reshape(B, njoints * nfeats, T).transpose(0, 2, 1), enc_audio]
+            if "style2" in cfg.cond_mode:
+                style2 = nn.Dense(cfg.style_dim, name="embed_style")(cond["style"])
+                style2 = mk(style2, cm_rng)
+                feats.append(jnp.broadcast_to(style2[:, None, :], (B, T, cfg.style_dim)))
+            seq_in = jnp.concatenate(feats, axis=-1)
+            h = nn.Dense(D, name="input_process_plain")(seq_in)
+            seq = jnp.concatenate([token[:, None, :], h], axis=1)
+            from .embeddings import sinusoidal_pe
+
+            pe = jnp.asarray(sinusoidal_pe(5000, D))[: T + 1]
+            seq = seq + pe[None]
+            output = TorchTransformerEncoder(
+                num_layers=cfg.num_layers,
+                d_model=D,
+                nhead=cfg.num_heads,
+                dim_feedforward=cfg.ff_size,
+                dropout=cfg.dropout,
+                activation=cfg.activation,
+                remat=cfg.remat,
+                name="seqTransEncoder",
+            )(seq, deterministic=not train)[:, 1:]
 
         return OutputProcess(
             cfg.input_feats, njoints, nfeats, name="output_process"

@@ -48,6 +48,9 @@ class TrainConfig:
     mean_type: G.MeanType = G.MeanType.START_X
     var_type: G.VarType = G.VarType.FIXED_SMALL
     loss_kind: G.LossKind = G.LossKind.MSE
+    # Skip non-finite updates (TPU-native analog of the reference fp16
+    # trainer's NaN-overflow backoff, `fp16_util.py:193-197`). 0 disables.
+    skip_nonfinite_updates: int = 0
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -57,7 +60,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             return cfg.lr * frac
         return cfg.lr
 
-    return optax.adamw(lr_schedule, weight_decay=cfg.weight_decay)
+    tx = optax.adamw(lr_schedule, weight_decay=cfg.weight_decay)
+    if cfg.skip_nonfinite_updates:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=cfg.skip_nonfinite_updates)
+    return tx
 
 
 def create_train_state(

@@ -222,3 +222,21 @@ class TestMDMParity:
             )
         )
         np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+class TestPlainBranch:
+    def test_plain_trans_enc_style2(self):
+        rng = np.random.default_rng(9)
+        model = MDM(small_cfg(cond_mode="style2", audio_feat="mfcc"))
+        x = jnp.asarray(rng.standard_normal((B, NJ, 1, T)).astype(np.float32))
+        t = jnp.array([3, 17])
+        cond = {
+            "style": jnp.asarray(rng.standard_normal((B, 6)).astype(np.float32)),
+            "seed": jnp.asarray(rng.standard_normal((B, NJ, 1, 8)).astype(np.float32)),
+            "audio": jnp.asarray(rng.standard_normal((B, T, 13)).astype(np.float32)),
+            "mask_local": jnp.ones((B, T), bool),
+        }
+        params = model.init(jax.random.PRNGKey(0), x, t, cond)
+        out = model.apply(params, x, t, cond)
+        assert out.shape == (B, NJ, 1, T)
+        assert np.isfinite(np.asarray(out)).all()

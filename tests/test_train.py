@@ -168,3 +168,23 @@ class TestLoopAndCheckpoint:
             assert int(np.asarray(state.step)) <= 3
         finally:
             del os.environ["DIFFUSION_TRAINING_TEST"]
+
+
+class TestNonFiniteSkip:
+    def test_nan_batch_skipped(self):
+        _, params, apply = make_model_and_params()
+        cfg = TrainConfig(lr=1e-3, skip_nonfinite_updates=3)
+        step_fn = jax.jit(make_train_step(apply, SCHED, cfg, make_zeggs_cond_builder(4)))
+        state = create_train_state(params, cfg, SCHED.num_timesteps)
+        bad = make_batch(np.random.default_rng(7))
+        bad["motion"][:] = np.nan
+        leaf = lambda t: np.asarray(jax.tree_util.tree_leaves(t)[0])  # noqa: E731
+        before = leaf(state.params).copy()
+        state, metrics = step_fn(state, bad, jax.random.PRNGKey(0))
+        after = leaf(state.params)
+        # params unchanged on a NaN batch
+        np.testing.assert_array_equal(before, after)
+        # and a good batch still updates
+        good = make_batch(np.random.default_rng(8))
+        state, _ = step_fn(state, good, jax.random.PRNGKey(1))
+        assert np.abs(leaf(state.params) - before).max() > 0
