@@ -185,6 +185,18 @@ class JointSelector:
 
     def fit(self, data: ChannelData) -> "JointSelector":
         selected_joints = ([data.root_name] if self.include_root else []) + self.joints
+        # NB: when include_root=True and the root also appears in `joints`
+        # (TWH: 'body_world' is bone_names[0]), pymo selects the root's
+        # channels TWICE and its expmap mode then crashes on the duplicated
+        # pandas columns (`pymo_TWH/preprocessing.py:195`). We keep the
+        # selection order but de-duplicate — the only behavior that runs.
+        seen = set()
+        sj = []
+        for j in selected_joints:
+            if j not in seen:
+                seen.add(j)
+                sj.append(j)
+        selected_joints = sj
         selected_channels: List[str] = []
         for j in selected_joints:
             selected_channels.extend(
@@ -742,3 +754,25 @@ def root_normalizer(data: ChannelData) -> ChannelData:
             vals[:, idx[c]] = v
     out.values = vals
     return out
+
+
+def twh_expmap_pipeline() -> MotionPipeline:
+    """TWH expmap mode (`process_TWH_bvh.load_bvh:33-40`): JointSelector
+    (root included) → MocapParameterizer('expmap') → ConstantsRemover_withroot
+    → Numpyfier."""
+    return MotionPipeline(
+        [
+            JointSelector(TWH_BONE_NAMES, include_root=True),
+            MocapParameterizer("expmap"),
+            ConstantsRemoverWithRoot(),
+            Numpyfier(),
+        ]
+    )
+
+
+def twh_features_expmap(bvh_path: str):
+    """BVH → (T, C) expmap features + fitted pipeline (TWH 'expmap' mode)."""
+    data = parse_bvh(bvh_path)
+    pipe = twh_expmap_pipeline()
+    out = pipe.fit_transform(data)
+    return out.astype(np.float32), pipe

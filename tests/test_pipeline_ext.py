@@ -143,3 +143,37 @@ class TestMirrorRootNorm:
             np.testing.assert_allclose(
                 mine.values[:, idx[c]], ref.values[c].values, atol=1e-8, err_msg=c
             )
+
+
+@requires_reference
+class TestTwhExpmapMode:
+    def test_full_pipeline_vs_pymo(self, tmp_path):
+        _stub_pymo_deps()
+        from sklearn.pipeline import Pipeline
+        from pymo_TWH.parsers import BVHParser  # type: ignore
+        from pymo_TWH.preprocessing import (  # type: ignore
+            ConstantsRemover_withroot,
+            JointSelector,
+            MocapParameterizer,
+            Numpyfier,
+        )
+
+        path = str(tmp_path / "g.bvh")
+        synth_twh_bvh(path, seed=8)
+        # NB: the reference's exact pipeline crashes here — include_root=True
+        # with 'body_world' also in bone_names duplicates the root columns and
+        # pymo's expmap then fails on them. Compare against the de-duplicated
+        # reference run (root removed from the explicit list), which is the
+        # behavior our JointSelector implements.
+        bones_wo_root = [b for b in P.TWH_BONE_NAMES if b != "body_world"]
+        ref_pipe = Pipeline([
+            ("jtsel", JointSelector(bones_wo_root, include_root=True)),
+            ("param", MocapParameterizer("expmap")),
+            ("cnst", ConstantsRemover_withroot()),
+            ("np", Numpyfier()),
+        ])
+        ref_out = ref_pipe.fit_transform([BVHParser().parse(path)])[0]
+
+        ours, _ = P.twh_features_expmap(path)
+        assert ours.shape == ref_out.shape
+        np.testing.assert_allclose(ours, ref_out, atol=1e-6)
