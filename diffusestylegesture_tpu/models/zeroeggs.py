@@ -68,6 +68,9 @@ class TorchGRU(nn.Module):
             if reverse:
                 seq = seq[:, ::-1]
 
+            if self.is_initializing():
+                cell(h_init, seq[:, 0])  # create params outside the scan
+
             def step(h, xt):
                 h2 = cell(h, xt)
                 return h2, h2

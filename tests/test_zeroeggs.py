@@ -167,3 +167,67 @@ class TestSelf:
         rp, rr, lp, lt = model.apply(params, *args)
         assert rp.shape == (B, T, 3) and rr.shape == (B, T, 4)
         assert lp.shape == (B, T, NJ, 3) and lt.shape == (B, T, NJ, 2, 3)
+
+
+class TestGenerator:
+    def test_generate_and_blends(self):
+        from diffusestylegesture_tpu.sample.engine_zeroeggs import (
+            ZeroEggsGenerator,
+            blend_style_encodings,
+            split_by_ratio,
+        )
+
+        cfg = ZeroEGGSConfig(
+            njoints=NJ, pose_input_size=POSE_IN, pose_output_size=POSE_OUT,
+            speech_encoding_size=SPEECH, style_embedding_size=STYLE,
+            hidden_size=HID, num_rnn_layers=2,
+        )
+        rng = np.random.default_rng(4)
+        A = 11
+        key = jax.random.PRNGKey(0)
+
+        sp_enc = SpeechEncoder(hidden_size=cfg.hidden_size, output_size=SPEECH)
+        sp_params = sp_enc.init(key, jnp.zeros((1, 8, A)))
+        st_enc = StyleEncoderVAE(cfg.hidden_size, STYLE)
+        st_params = st_enc.init(key, jnp.zeros((1, 9, POSE_IN)))
+        dec = ZeroEGGSDecoder(cfg)
+        q = np.tile(np.array([1, 0, 0, 0], np.float32), (1, 1))
+        init1 = (
+            jnp.zeros((1, 3)), jnp.asarray(q), jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+            jnp.zeros((1, NJ, 3)), jnp.zeros((1, NJ, 2, 3)), jnp.zeros((1, NJ, 3)),
+            jnp.zeros((1, NJ, 3)),
+        )
+        dec_params = dec.init(
+            key, init1, jnp.zeros((1, 4, 3)), jnp.zeros((1, 4, SPEECH)),
+            jnp.zeros((1, 4, STYLE)), jnp.zeros(POSE_IN), jnp.ones(POSE_IN),
+            jnp.zeros(POSE_OUT), jnp.ones(POSE_OUT),
+        )
+
+        stats = dict(
+            audio_input_mean=np.zeros(A, np.float32), audio_input_std=np.ones(A, np.float32),
+            anim_input_mean=np.zeros(POSE_IN, np.float32), anim_input_std=np.ones(POSE_IN, np.float32),
+            anim_output_mean=np.zeros(POSE_OUT, np.float32), anim_output_std=np.ones(POSE_OUT, np.float32),
+        )
+        gen = ZeroEggsGenerator(cfg, sp_params, st_params, dec_params, stats)
+
+        ex = rng.standard_normal((9, POSE_IN)).astype(np.float32)
+        z1 = gen.encode_style(ex)
+        z2 = gen.encode_style(ex * -1.0)
+        assert z1.shape == (1, STYLE)
+
+        audio = rng.standard_normal((12, A)).astype(np.float32)
+        first = tuple(np.asarray(x[0]) for x in init1)
+        rp, rr, lp, lt = gen.generate(audio, [z1, z2], first, blend_type="add")
+        assert rp.shape[1] == 12 and lt.shape[2] == NJ
+
+        rp2, *_ = gen.generate(audio, [z1, z2], first, blend_type="stitch",
+                               blend_ratio=[0.3, 0.7])
+        assert rp2.shape == rp.shape
+
+        segs = split_by_ratio(10, [0.3, 0.7])
+        assert sum(len(s) for s in segs) == 10
+
+        sched = blend_style_encodings([z1, z2], 10, "stitch", [0.5, 0.5])
+        assert sched.shape == (1, 10, STYLE)
+        np.testing.assert_allclose(np.asarray(sched[0, 0]), np.asarray(z1[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sched[0, -1]), np.asarray(z2[0]), atol=1e-6)
