@@ -219,3 +219,27 @@ class ZeggsSampler:
         if mean is not None:
             seq = seq + np.asarray(mean).squeeze()
         return seq
+
+
+def make_mfcc_window_fn(n_poses: int = 88, fps: int = 20):
+    """Audio-feature fn for the MFCC conditioning mode.
+
+    Drop-in for the WavLM window encoder in `ZeggsSampler` when the model
+    was trained with `audio_feat='mfcc'` (reference `inference_mfcc`,
+    `main/mydiffusion_zeggs/sample.py:59-207`): per window, 13 Sphinx
+    cepstra at the motion frame rate. Host-side numpy (offline DSP), the
+    result feeds the compiled sampler.
+    """
+    from ..audio import sphinx_mfcc_energy
+
+    def fn(_unused_params, windows) -> jnp.ndarray:
+        windows = np.asarray(windows)
+        feats = []
+        for w in windows:
+            m = sphinx_mfcc_energy(w, frate=fps)[:, :-2]  # (T', 13)
+            if len(m) < n_poses:
+                m = np.pad(m, ((0, n_poses - len(m)), (0, 0)))
+            feats.append(m[:n_poses])
+        return jnp.asarray(np.stack(feats), jnp.float32)
+
+    return fn
