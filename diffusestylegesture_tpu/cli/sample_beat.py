@@ -1,0 +1,112 @@
+"""BEAT/TWH sampling CLI (DiffuseStyleGesture / + / ++).
+
+Usage (mirrors `BEAT-TWH-main/mydiffusion_beat_twh/sample.py:271-344`):
+  python -m diffusestylegesture_tpu.cli.sample_beat --config configs/beat_twh.yml \
+      --dataset TWH --name DiffuseStyleGesture+ --model_path model001200000.pt \
+      --textaudio_npy features.npy --seed_gesture_npy seed.npy --speaker 5
+
+Feature inputs are the precomputed text+audio npy path (the reference's
+`audio_*.npy + text_*.npy` concat path, `sample.py:239-244`) or are built
+live from wav+tsv with `data.beat_twh.build_beat_twh_clip` components.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from .. import diffusion as D
+from ..config import apply_beat_twh_derivations, load_yaml_config
+from ..models import convert
+from ..models.mdm_plus import MDMPlus, MDMPlusConfig
+from ..sample import BeatEngineConfig, BeatTwhSampler, prepare_seed_gesture
+
+VARIANTS = {
+    "DiffuseStyleGesture": "attention3",
+    "DiffuseStyleGesture+": "attention4",
+    "DiffuseStyleGesture++": "attention5",
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DiffuseStyleGesture+ TPU sampling")
+    p.add_argument("--config", required=True)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--name", default=None)
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--textaudio_npy", required=True)
+    p.add_argument("--seed_gesture_npy", required=True,
+                   help="(n_seed+2, motion_dim) raw reference clip")
+    p.add_argument("--mean_npy", required=True)
+    p.add_argument("--std_npy", required=True)
+    p.add_argument("--speaker", type=int, default=0)
+    p.add_argument("--max_len", type=int, default=0)
+    p.add_argument("--seed", type=int, default=123456)
+    p.add_argument("--save_dir", default="./sample_dir")
+    args = p.parse_args(argv)
+
+    cfg = load_yaml_config(args.config, {"dataset": args.dataset, "name": args.name})
+    cfg = apply_beat_twh_derivations(cfg)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    mcfg = MDMPlusConfig(
+        njoints=cfg.njoints, latent_dim=cfg.latent_dim, n_seed=cfg.n_seed,
+        cond_mode=cfg.cond_mode, cond_mask_prob=cfg.cond_mask_prob,
+        source_audio_dim=cfg.audio_feature_dim,
+        audio_feat_dim=cfg.audio_feat_dim_latent, style_dim_in=cfg.style_dim,
+    )
+    model = MDMPlus(mcfg)
+    if args.model_path.endswith(".pt"):
+        sd = convert.load_torch_checkpoint(args.model_path)
+        params = {"params": convert.convert_mdm_beat_twh(sd)}
+    else:
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(os.path.abspath(args.model_path))
+
+    mean = np.load(args.mean_npy)
+    std = np.load(args.std_npy)
+    textaudio = np.load(args.textaudio_npy)
+    seed_raw = np.load(args.seed_gesture_npy)[: cfg.n_seed + 2]
+    seed = prepare_seed_gesture(seed_raw, mean, std)
+
+    style = np.zeros(cfg.style_dim, np.float32)
+    style[args.speaker] = 1.0
+
+    sched = D.Schedule.create(
+        D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
+    )
+
+    def model_apply(params, x, t, cond, uncond=None):
+        return model.apply(params, x, t, cond, uncond=uncond)
+
+    sampler = BeatTwhSampler(
+        model_apply, sched,
+        BeatEngineConfig(
+            n_poses=cfg.n_poses, n_seed=cfg.n_seed, njoints=cfg.njoints,
+            audio_dim=cfg.audio_feature_dim, variant=VARIANTS[cfg.name],
+        ),
+    )
+    kwargs = {}
+    if VARIANTS[cfg.name] == "attention5":
+        kwargs["seed_last"] = seed
+    out = sampler.generate(
+        params, textaudio, seed, style[None], jax.random.PRNGKey(args.seed),
+        mean, std, max_len=args.max_len, **kwargs,
+    )
+
+    prefix = datetime.now().strftime("%Y%m%d_%H%M%S") + f"_spk{args.speaker}"
+    npy_path = os.path.join(args.save_dir, prefix + "_motion.npy")
+    np.save(npy_path, out[0])
+    print("wrote", npy_path, out.shape)
+    print(
+        "convert to BVH with motion.pipeline.beat_features_to_bvh / "
+        "twh_features_to_bvh using the pipeline fitted at data-prep time"
+    )
+
+
+if __name__ == "__main__":
+    main()

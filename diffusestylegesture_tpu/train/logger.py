@@ -64,6 +64,24 @@ class CSVOutput:
                 f.write(",".join(str(row.get(k, "")) for k in self.keys) + "\n")
 
 
+class TensorBoardOutput:
+    """TensorBoard sink (ref `TensorBoardOutputFormat`, `logger.py:150-188`)."""
+
+    def __init__(self, log_dir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir)
+        self.step = 0
+
+    def writekvs(self, kvs: Dict) -> None:
+        step = int(kvs.get("step", self.step))
+        for k, v in kvs.items():
+            if hasattr(v, "__float__"):
+                self.writer.add_scalar(k, float(v), step)
+        self.writer.flush()
+        self.step = step + 1
+
+
 class KVLogger:
     def __init__(self, log_dir: Optional[str] = None, format_strs=("stdout",)):
         self.name2val: Dict[str, float] = defaultdict(float)
@@ -81,6 +99,9 @@ class KVLogger:
             elif fmt == "csv":
                 assert log_dir
                 self.outputs.append(CSVOutput(os.path.join(log_dir, "progress.csv")))
+            elif fmt == "tensorboard":
+                assert log_dir
+                self.outputs.append(TensorBoardOutput(log_dir))
         self._start = time.time()
 
     def logkv(self, key: str, val) -> None:
