@@ -188,3 +188,32 @@ class TestNonFiniteSkip:
         good = make_batch(np.random.default_rng(8))
         state, _ = step_fn(state, good, jax.random.PRNGKey(1))
         assert np.abs(leaf(state.params) - before).max() > 0
+
+
+class TestTensorParallel:
+    def test_tp_matches_dp(self):
+        from diffusestylegesture_tpu.parallel import (
+            make_mesh, mdm_param_specs, replicate, shard_batch, shard_params,
+        )
+
+        _, params, apply = make_model_and_params()
+        cfg = TrainConfig(lr=1e-3)
+        step_fn = jax.jit(make_train_step(apply, SCHED, cfg, make_zeggs_cond_builder(4)))
+        batch = make_batch(np.random.default_rng(11))
+        rng = jax.random.PRNGKey(13)
+
+        s1 = create_train_state(params, cfg, SCHED.num_timesteps)
+        s1, m1 = step_fn(s1, batch, rng)
+
+        mesh = make_mesh(axes=("data", "model"), shape=(4, 2))
+        with mesh:
+            s2 = replicate(mesh, create_train_state(params, cfg, SCHED.num_timesteps))
+            specs = mdm_param_specs(s2.params["params"])
+            s2 = s2.replace(
+                params={"params": shard_params(mesh, s2.params["params"], specs)}
+            )
+            s2, m2 = step_fn(s2, shard_batch(mesh, batch), rng)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)[0]
+        l2 = jax.tree_util.tree_leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
