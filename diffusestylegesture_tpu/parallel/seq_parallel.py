@@ -120,6 +120,6 @@ def sequence_parallel_local_attention(
         mesh=mesh,
         in_specs=(P(None, axis, None), P(None, axis, None), P(None, axis, None), P(None, axis)),
         out_specs=P(None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, mask_full)
