@@ -15,18 +15,17 @@ windows), matching the reference's own seqlen-divisibility requirement.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map  # jax >= 0.6 canonical location
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..models.local_attention import NEG_INF, _look_around_tokens
+from ..models.local_attention import NEG_INF
 
 
 def _local_attn_shard(q, k, v, mask, k_halo, v_halo, m_halo, pos0, window, heads):
