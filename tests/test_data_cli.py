@@ -123,3 +123,38 @@ class TestCLI:
         write_synth_pair(str(src), "001_Neutral_0_x_1_0", seconds=6.0)
         main(["--dataset", "ZEGGS", "--source", str(src), "--target", str(tmp_path / "o")])
         assert os.path.exists(tmp_path / "o" / "mean.npz")
+
+
+class TestConvertCkptCLI:
+    def test_zeggs_roundtrip(self, tmp_path):
+        import torch
+
+        from conftest import has_reference
+
+        if not has_reference():
+            pytest.skip("reference not mounted")
+        import sys
+
+        sys.path.insert(0, "/root/reference/main")
+        sys.path.insert(0, "/root/reference/main/model")
+        from model.mdm import MDM as RefMDM  # type: ignore
+
+        torch.manual_seed(0)
+        ref = RefMDM(
+            modeltype="", njoints=16, nfeats=1,
+            cond_mode="cross_local_attention3_style1", audio_feat="wavlm",
+            arch="trans_enc", latent_dim=128, ff_size=64, num_layers=1,
+            n_seed=4, cond_mask_prob=0.1,
+        )
+        pt = str(tmp_path / "m.pt")
+        torch.save(ref.state_dict(), pt)
+
+        from diffusestylegesture_tpu.cli.convert_ckpt import main
+
+        dst = str(tmp_path / "orbax")
+        main(["--kind", "zeggs", "--src", pt, "--dst", dst, "--num_layers", "1"])
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(dst)
+        assert "params" in restored
+        assert "seqTransEncoder" in restored["params"]
