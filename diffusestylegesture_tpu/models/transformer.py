@@ -63,7 +63,11 @@ class TorchEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True,
                  attn_mask: Optional[jax.Array] = None) -> jax.Array:
-        act: Callable = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
+        # torch F.gelu is the exact (erf) form; flax's default is tanh-approx
+        act: Callable = {
+            "gelu": lambda x: nn.gelu(x, approximate=False),
+            "relu": nn.relu,
+        }[self.activation]
         attn_out = TorchMultiheadAttention(
             self.d_model, self.nhead, self.dropout, name="self_attn"
         )(x, deterministic=deterministic, attn_mask=attn_mask)
