@@ -29,7 +29,7 @@ def _dense(p, x):
     return x @ p["kernel"] + p["bias"]
 
 
-def make_fused_zeggs_apply(cfg: MDMConfig, attn_impl: str = "xla"):
+def make_fused_zeggs_apply(cfg: MDMConfig, attn_impl: str = "xla", mxu_bf16: bool = True):
     assert "cross_local_attention3" in cfg.cond_mode and "style1" in cfg.cond_mode
 
     D = cfg.latent_dim
@@ -91,7 +91,7 @@ def make_fused_zeggs_apply(cfg: MDMConfig, attn_impl: str = "xla"):
         hh = rope(heads_split(seq, H))
         seq = heads_merge(hh, B, H)
 
-        trunk_out = fused_trunk_apply(seq, p["seqTransEncoder"], cfg.num_heads)[:, 1:]
+        trunk_out = fused_trunk_apply(seq, p["seqTransEncoder"], cfg.num_heads, mxu_bf16)[:, 1:]
 
         out = _dense(p["output_process"]["poseFinal"], trunk_out)
         out = out.reshape(B, T, njoints, nfeats)

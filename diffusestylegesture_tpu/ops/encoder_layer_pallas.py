@@ -15,6 +15,14 @@ T is padded to a sublane multiple with key-masking so padded positions
 never contribute.
 
 Inference path only (no custom VJP — training uses the Flax layer).
+
+MEASURED (v5e, batch 1, T=88, D=256, 1000-step sampling scan): XLA path
+90 µs/step, this kernel 106 µs/step (bf16-MXU mode; 112 µs full-f32).
+XLA's fusion pipeline is already near-optimal at these shapes — the
+Mosaic per-kernel entry cost outweighs the dispatch savings — so the
+flax trunk remains the default and this kernel is an opt-in
+(`models/fused_mdm.py`). It becomes the better tool when layers grow
+past VMEM-resident shapes or when fusing custom epilogues XLA can't.
 """
 from __future__ import annotations
 
@@ -30,53 +38,56 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(np.finfo(np.float32).max) * -1.0
 
 
+def _erf(x):
+    """erf via Abramowitz–Stegun 7.1.26 (|err| ≤ 1.5e-7 — fp32-exact).
+
+    Mosaic has no erf lowering; per the Pallas playbook, implement it.
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _layer_kernel(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     ln2s_ref, ln2b_ref, o_ref,
-    *, T: int, Tp: int, D: int, H: int,
+    *, T: int, Tp: int, D: int, H: int, mxu_bf16: bool,
 ):
     hd = D // H
     x = x_ref[0]  # (Tp, D)
+    mdt = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
-    qkv = (
-        jax.lax.dot_general(
-            x, wqkv_ref[...], (((1,), (0,)), ((), ())),
+    def mm(a, b, dims):
+        return jax.lax.dot_general(
+            a.astype(mdt), b.astype(mdt), dims,
             preferred_element_type=jnp.float32,
         )
-        + bqkv_ref[...]
-    )  # (Tp, 3D)
+
+    qkv = mm(x, wqkv_ref[...], (((1,), (0,)), ((), ()))) + bqkv_ref[...]  # (Tp, 3D)
 
     # key-position validity mask (padded tail excluded)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     invalid = kpos >= T
 
     scale = hd**-0.5
-    attn_out = jnp.zeros((Tp, D), jnp.float32)
+    head_outs = []
     for h in range(H):
         q = qkv[:, h * hd: (h + 1) * hd]
         k = qkv[:, D + h * hd: D + (h + 1) * hd]
         v = qkv[:, 2 * D + h * hd: 2 * D + (h + 1) * hd]
-        sim = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-        )
+        sim = mm(q, k, (((1,), (1,)), ((), ()))) * scale
         sim = jnp.where(invalid, NEG_INF, sim)
         attn = jax.nn.softmax(sim, axis=-1)
-        out_h = jax.lax.dot_general(
-            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        attn_out = attn_out.at[:, h * hd: (h + 1) * hd].set(out_h)
+        head_outs.append(mm(attn, v, (((1,), (0,)), ((), ()))))
+    attn_out = jnp.concatenate(head_outs, axis=1)
 
-    proj = (
-        jax.lax.dot_general(
-            attn_out, wo_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + bo_ref[...]
-    )
+    proj = mm(attn_out, wo_ref[...], (((1,), (0,)), ((), ()))) + bo_ref[...]
 
     # residual + LN1
     y = x + proj
@@ -85,21 +96,9 @@ def _layer_kernel(
     y = (y - mean) * jax.lax.rsqrt(var + 1e-5) * ln1s_ref[...] + ln1b_ref[...]
 
     # MLP: erf-GELU
-    h1 = (
-        jax.lax.dot_general(
-            y, w1_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + b1_ref[...]
-    )
-    h1 = 0.5 * h1 * (1.0 + jax.lax.erf(h1 / np.sqrt(2.0).astype(np.float32)))
-    h2 = (
-        jax.lax.dot_general(
-            h1, w2_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + b2_ref[...]
-    )
+    h1 = mm(y, w1_ref[...], (((1,), (0,)), ((), ()))) + b1_ref[...]
+    h1 = 0.5 * h1 * (1.0 + _erf(h1 * np.float32(1.0 / np.sqrt(2.0))))
+    h2 = mm(h1, w2_ref[...], (((1,), (0,)), ((), ()))) + b2_ref[...]
 
     z = y + h2
     mean = jnp.mean(z, axis=-1, keepdims=True)
@@ -109,8 +108,10 @@ def _layer_kernel(
     o_ref[0] = z.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("nhead",))
-def encoder_layer_pallas(x: jax.Array, lp: Dict[str, Any], nhead: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("nhead", "mxu_bf16"))
+def encoder_layer_pallas(
+    x: jax.Array, lp: Dict[str, Any], nhead: int, mxu_bf16: bool = True
+) -> jax.Array:
     """x: (B, T, D); lp: one layer's param subtree (flax layout)."""
     B, T, D = x.shape
     Tp = -(-T // 8) * 8  # pad to sublane multiple
@@ -135,7 +136,7 @@ def encoder_layer_pallas(x: jax.Array, lp: Dict[str, Any], nhead: int) -> jax.Ar
 
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
     out = pl.pallas_call(
-        functools.partial(_layer_kernel, T=T, Tp=Tp, D=D, H=nhead),
+        functools.partial(_layer_kernel, T=T, Tp=Tp, D=D, H=nhead, mxu_bf16=mxu_bf16),
         out_shape=jax.ShapeDtypeStruct((B, Tp, D), x.dtype),
         grid=(B,),
         in_specs=[
@@ -158,10 +159,17 @@ def encoder_layer_pallas(x: jax.Array, lp: Dict[str, Any], nhead: int) -> jax.Ar
     return out[:, :T]
 
 
-def fused_trunk_apply(seq: jax.Array, enc_params: Dict[str, Any], nhead: int) -> jax.Array:
-    """Run the whole encoder stack through the fused kernel."""
+def fused_trunk_apply(
+    seq: jax.Array, enc_params: Dict[str, Any], nhead: int, mxu_bf16: bool = True
+) -> jax.Array:
+    """Run the whole encoder stack through the fused kernel.
+
+    mxu_bf16=True matches XLA's default f32 matmul precision on TPU
+    (bf16 operands, f32 accumulation) — same speed class as the Flax
+    path's MXU usage; False runs full-f32 MXU (more accurate, slower).
+    """
     n_layers = len([k for k in enc_params if k.startswith("layers_")])
     x = seq
     for i in range(n_layers):
-        x = encoder_layer_pallas(x, enc_params[f"layers_{i}"], nhead)
+        x = encoder_layer_pallas(x, enc_params[f"layers_{i}"], nhead, mxu_bf16)
     return x

@@ -28,7 +28,8 @@ def test_fused_matches_flax():
     params = model.init(jax.random.PRNGKey(0), x, t, cond)
     ref = model.apply(params, x, t, cond)
 
-    fused = make_fused_zeggs_apply(cfg)
+    # full-f32 MXU for exactness in interpret mode; bf16 is the TPU-speed mode
+    fused = make_fused_zeggs_apply(cfg, mxu_bf16=False)
     with pltpu.force_tpu_interpret_mode():
         out = fused(params, x, t, cond)
         out_u = fused(params, x, t, cond, uncond=jnp.ones((B,), bool))
