@@ -16,9 +16,16 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser(description="DiffuseStyleGesture-TPU data prep")
     p.add_argument("--dataset", choices=["ZEGGS", "BEAT", "TWH"], required=True)
-    p.add_argument("--source", required=True, help="dir with paired .wav/.bvh (+ .tsv)")
-    p.add_argument("--target", required=True)
+    p.add_argument("--source", required=True,
+                   help="dir with paired .wav/.bvh (+ .tsv for BEAT/TWH)")
+    p.add_argument("--target", required=True,
+                   help="ZEGGS: output dir; BEAT/TWH: output .h5 path")
     p.add_argument("--fps", type=int, default=None)
+    p.add_argument("--word_vectors", default=None,
+                   help="fastText .vec path (BEAT/TWH); zeros used if absent")
+    p.add_argument("--metadata", default=None, help="GENEA metadata csv (TWH)")
+    p.add_argument("--num_speakers", type=int, default=17)
+    p.add_argument("--wavlm_path", default=None)
     args = p.parse_args(argv)
 
     if args.dataset == "ZEGGS":
@@ -26,13 +33,84 @@ def main(argv=None):
 
         stats = build_zeggs_dataset(args.source, args.target, fps=args.fps or 20)
         print("mean/std written;", stats["mean"].shape)
-    else:
-        raise SystemExit(
-            "BEAT/TWH preparation requires the dataset-specific BVH pipelines "
-            "(pymo-style) — build the .h5 with "
-            "diffusestylegesture_tpu.data.build_h5_dataset from your "
-            "featurized clips; see data/h5_loader.py."
+        return
+
+    prepare_beat_twh(args)
+
+
+def prepare_beat_twh(args):
+    """BEAT/TWH: (bvh, wav, tsv)+ → one .h5 + mean/std npys.
+
+    Parity flow: `process_BEAT_bvh.make_gesture_dataset:355-441` /
+    `process_TWH_bvh.prepare_data:271-355` + `calculate_gesture_statistics`.
+    """
+    import glob
+    import os
+
+    import numpy as np
+
+    from ..data import build_h5_dataset, load_wav_16k
+    from ..data.beat_twh import build_beat_twh_clip, load_metadata
+    from ..data.h5_loader import gesture_statistics
+    from ..data.text import load_word_vectors
+
+    w2v = {}
+    if args.word_vectors:
+        w2v = load_word_vectors(args.word_vectors, cache=args.word_vectors + ".npz")
+
+    meta = None
+    if args.metadata:
+        _, meta, _ = load_metadata(args.metadata)
+
+    wavlm_fn = None
+    wparams = None
+    if args.wavlm_path and os.path.exists(args.wavlm_path):
+        import jax
+
+        from ..models.wavlm import WavLM, load_wavlm_checkpoint, make_twh_wavlm_fn
+
+        wcfg, wparams = load_wavlm_checkpoint(args.wavlm_path)
+        raw_fn = make_twh_wavlm_fn(WavLM(wcfg))
+        wavlm_fn = jax.jit(raw_fn)
+
+    clips = []
+    for bvh_path in sorted(glob.glob(os.path.join(args.source, "*.bvh"))):
+        name = os.path.splitext(os.path.basename(bvh_path))[0]
+        wav_path = os.path.join(args.source, name + ".wav")
+        tsv_path = os.path.join(args.source, name + ".tsv")
+        if not (os.path.exists(wav_path) and os.path.exists(tsv_path)):
+            print("skip (missing wav/tsv):", name)
+            continue
+        wav = load_wav_16k(wav_path)
+        if args.dataset == "TWH" and meta is not None and name in meta:
+            _, speaker_id = meta[name]
+        elif args.dataset == "BEAT":
+            speaker_id = int(name.split("_")[0]) % args.num_speakers
+        else:
+            speaker_id = 0
+        onehot = np.zeros(args.num_speakers, np.float32)
+        onehot[speaker_id] = 1
+        wavlm_feats = None
+        if wavlm_fn is not None:
+            import jax.numpy as jnp
+
+            wavlm_feats = np.asarray(wavlm_fn(wparams, jnp.asarray(wav)))
+        clips.append(
+            build_beat_twh_clip(
+                bvh_path, wav, 16000, tsv_path, w2v, onehot,
+                dataset=args.dataset, wavlm_features=wavlm_feats,
+            )
         )
+        print("processed:", name)
+
+    if not clips:
+        raise SystemExit("no usable (bvh, wav, tsv) triples found")
+    build_h5_dataset(args.target, clips)
+    mean, std = gesture_statistics(args.target)
+    root = os.path.splitext(args.target)[0]
+    np.save(root + "_mean.npy", mean)
+    np.save(root + "_std.npy", std)
+    print(f"wrote {args.target} ({len(clips)} clips), mean/std {mean.shape}")
 
 
 if __name__ == "__main__":

@@ -158,3 +158,31 @@ class TestConvertCkptCLI:
         restored = ocp.StandardCheckpointer().restore(dst)
         assert "params" in restored
         assert "seqTransEncoder" in restored["params"]
+
+
+class TestPrepareBeatCLI:
+    def test_beat_h5_build(self, tmp_path):
+        from test_pipeline import synth_beat_bvh
+        from scipy.io import wavfile
+        from diffusestylegesture_tpu.cli.prepare_data import main
+
+        src = tmp_path / "src"
+        src.mkdir()
+        name = "2_scott_0_1_1"
+        synth_beat_bvh(str(src / f"{name}.bvh"), T=121, fps=120, seed=12)
+        sr = 16000
+        t = np.arange(sr) / sr
+        wav = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+        wavfile.write(str(src / f"{name}.wav"), sr, wav)
+        (src / f"{name}.tsv").write_text("0.1\t0.5\thello\n")
+
+        out = str(tmp_path / "beat.h5")
+        main(["--dataset", "BEAT", "--source", str(src), "--target", out,
+              "--num_speakers", "4"])
+        import h5py
+
+        with h5py.File(out) as h5:
+            assert "0" in h5
+            assert h5["0"]["audio"].shape[1] == 1133
+            assert h5["0"]["text"].shape[1] == 301
+        assert os.path.exists(str(tmp_path / "beat_mean.npy"))
