@@ -1,0 +1,73 @@
+"""Device-resident training data with in-jit batch sampling.
+
+The whole ZEGGS window cache fits in HBM (~1.3 GB for the full dataset:
+poses + WavLM features), so instead of streaming ~230 MB host batches
+per step (the reference's DataLoader-worker pattern — and a measured
+7.5 s/step of transfer in tunneled environments vs a 79 ms step), the
+arrays are uploaded ONCE and each step gathers a random batch on device
+inside the compiled train step. Epoch semantics become with-replacement
+uniform sampling (the BEAT loader's own `RandomSampler` behavior,
+`h5_data_loader.py:71-77`).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceWindowCache:
+    """Uploads dataset arrays once; provides a jittable batch sampler."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray], sharding=None):
+        n = None
+        self.arrays = {}
+        for k, v in arrays.items():
+            if v is None:
+                continue
+            arr = jnp.asarray(v)
+            if sharding is not None:
+                arr = jax.device_put(arr, sharding)
+            self.arrays[k] = arr
+            n = arr.shape[0] if n is None else n
+            assert arr.shape[0] == n, f"{k} length mismatch"
+        self.n = n or 0
+
+    def sample_batch(self, key: jax.Array, batch_size: int) -> Dict[str, jax.Array]:
+        """Uniform with-replacement batch gather (jit-compatible)."""
+        idx = jax.random.randint(key, (batch_size,), 0, self.n)
+        return {k: v[idx] for k, v in self.arrays.items()}
+
+    @classmethod
+    def from_zeggs(cls, dataset, sharding=None) -> "DeviceWindowCache":
+        arrays = {"motion": dataset.poses, "style": dataset.styles}
+        if dataset.wavlm is not None:
+            arrays["wavlm"] = dataset.wavlm
+        return cls(arrays, sharding)
+
+
+def make_device_data_train_step(
+    model_apply: Callable,
+    sched,
+    train_cfg,
+    cache: DeviceWindowCache,
+    cond_builder: Callable,
+    batch_size: int,
+) -> Callable:
+    """Train step `(state, key) → (state, metrics)` with on-device batching.
+
+    The batch gather fuses into the compiled step — zero host traffic per
+    iteration.
+    """
+    from ..train.state import make_train_step
+
+    inner = make_train_step(model_apply, sched, train_cfg, cond_builder)
+
+    def step(state, key):
+        k_data, k_step = jax.random.split(key)
+        batch = cache.sample_batch(k_data, batch_size)
+        return inner(state, batch, k_step)
+
+    return step

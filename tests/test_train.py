@@ -217,3 +217,31 @@ class TestTensorParallel:
         l1 = jax.tree_util.tree_leaves(s1.params)[0]
         l2 = jax.tree_util.tree_leaves(s2.params)[0]
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+class TestDeviceCache:
+    def test_device_resident_training(self):
+        from diffusestylegesture_tpu.data.device_cache import (
+            DeviceWindowCache,
+            make_device_data_train_step,
+        )
+
+        _, params, apply = make_model_and_params()
+        rng = np.random.default_rng(21)
+        N = 32
+        cache = DeviceWindowCache({
+            "motion": rng.standard_normal((N, T, NJ)).astype(np.float32),
+            "style": rng.standard_normal((N, 6)).astype(np.float32),
+            "wavlm": rng.standard_normal((N, T, 1024)).astype(np.float32),
+        })
+        cfg = TrainConfig(lr=1e-3)
+        step = jax.jit(make_device_data_train_step(
+            apply, SCHED, cfg, cache, make_zeggs_cond_builder(4), batch_size=B,
+        ))
+        state = create_train_state(params, cfg, SCHED.num_timesteps)
+        losses = []
+        for i in range(3):
+            state, m = step(state, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert int(state.step) == 3
