@@ -309,6 +309,68 @@ def kl_divergence(mu, logvar):
 
 
 def kl_weight(iteration, center=7500.0, growth=0.005, threshold=0.2):
-    """KL annealing weight (`modules.py:733-777`)."""
-    w = 1.0 / (1.0 + np.exp(-growth * (iteration - center)))
-    return float(min(w, threshold))
+    """KL annealing weight (`modules.py:733-777`). jit-compatible."""
+    it = jnp.asarray(iteration, jnp.float32)
+    w = 1.0 / (1.0 + jnp.exp(-growth * (it - center)))
+    return jnp.minimum(w, threshold)
+
+
+def make_zeroeggs_train_step(
+    speech_encoder: SpeechEncoder,
+    style_encoder: StyleEncoderVAE,
+    decoder: ZeroEGGSDecoder,
+    stats: dict,
+    lr: float = 1e-4,
+):
+    """Teacher-style training step for the ported ZeroEGGS system.
+
+    Functional equivalent of the reference trainer's core
+    (`ubisoft-laforge-ZeroEGGS-main/ZEGGS/train.py:30-770`): autoregressive
+    rollout from the window's first frame, position/rotation reconstruction
+    losses against ground truth, VAE KL with the annealing schedule
+    (`compute_KL_div`, `modules.py:752-777`), RAdam ↔ optax.radam.
+    Returns (init_fn, step_fn) where step_fn(state, batch, key, iteration)
+    expects batch = dict(initial_state, gaze, audio_features, style_example,
+    target_root_pos/rot, target_lpos, target_ltxy).
+    """
+    import optax
+
+    tx = optax.radam(lr)
+
+    def loss_fn(params, batch, key, iteration):
+        sp, st, dp = params["speech"], params["style"], params["decoder"]
+        af = (batch["audio_features"] - stats["audio_input_mean"]) / stats["audio_input_std"]
+        speech = speech_encoder.apply(sp, af)
+        z, mu, logvar = style_encoder.apply(st, batch["style_example"], key=key)
+        T = speech.shape[1]
+        style_seq = jnp.broadcast_to(z[:, None, :], (z.shape[0], T, z.shape[1]))
+        rp, rr, lp, lt = decoder.apply(
+            dp, batch["initial_state"], batch["gaze"], speech, style_seq,
+            stats["anim_input_mean"], stats["anim_input_std"],
+            stats["anim_output_mean"], stats["anim_output_std"],
+        )
+        rec = (
+            jnp.mean(jnp.abs(rp - batch["target_root_pos"]))
+            + jnp.mean(jnp.abs(rr - batch["target_root_rot"]))
+            + jnp.mean(jnp.abs(lp - batch["target_lpos"]))
+            + jnp.mean(jnp.abs(lt - batch["target_ltxy"]))
+        )
+        kl = kl_divergence(mu, logvar)
+        w = kl_weight(iteration)
+        return rec + w * kl, {"rec": rec, "kl": kl, "kl_weight": w}
+
+    def init_fn(params):
+        return tx.init(params)
+
+    def step_fn(params, opt_state, batch, key, iteration):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, iteration
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _optax
+
+        params = _optax.apply_updates(params, updates)
+        aux["loss"] = loss
+        return params, opt_state, aux
+
+    return init_fn, step_fn

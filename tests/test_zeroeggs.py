@@ -231,3 +231,61 @@ class TestGenerator:
         assert sched.shape == (1, 10, STYLE)
         np.testing.assert_allclose(np.asarray(sched[0, 0]), np.asarray(z1[0]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(sched[0, -1]), np.asarray(z2[0]), atol=1e-6)
+
+
+class TestZeroEggsTraining:
+    def test_train_step_decreases_loss(self):
+        from diffusestylegesture_tpu.models.zeroeggs import make_zeroeggs_train_step
+
+        cfg = ZeroEGGSConfig(
+            njoints=NJ, pose_input_size=POSE_IN, pose_output_size=POSE_OUT,
+            speech_encoding_size=SPEECH, style_embedding_size=STYLE,
+            hidden_size=HID, num_rnn_layers=2,
+        )
+        key = jax.random.PRNGKey(0)
+        A = 7
+        sp = SpeechEncoder(hidden_size=HID, output_size=SPEECH)
+        st = StyleEncoderVAE(HID, STYLE)
+        dec = ZeroEGGSDecoder(cfg)
+
+        rng = np.random.default_rng(5)
+        B, T = 2, 6
+        q = np.tile(np.array([1, 0, 0, 0], np.float32), (B, 1))
+        init_state = (
+            jnp.zeros((B, 3)), jnp.asarray(q), jnp.zeros((B, 3)), jnp.zeros((B, 3)),
+            jnp.zeros((B, NJ, 3)), jnp.zeros((B, NJ, 2, 3)), jnp.zeros((B, NJ, 3)),
+            jnp.zeros((B, NJ, 3)),
+        )
+        params = {
+            "speech": sp.init(key, jnp.zeros((B, T, A))),
+            "style": st.init(key, jnp.zeros((B, 9, POSE_IN))),
+            "decoder": dec.init(
+                key, init_state, jnp.zeros((B, T, 3)), jnp.zeros((B, T, SPEECH)),
+                jnp.zeros((B, T, STYLE)), jnp.zeros(POSE_IN), jnp.ones(POSE_IN),
+                jnp.zeros(POSE_OUT), jnp.ones(POSE_OUT),
+            ),
+        }
+        stats = dict(
+            audio_input_mean=jnp.zeros(A), audio_input_std=jnp.ones(A),
+            anim_input_mean=jnp.zeros(POSE_IN), anim_input_std=jnp.ones(POSE_IN),
+            anim_output_mean=jnp.zeros(POSE_OUT), anim_output_std=jnp.ones(POSE_OUT),
+        )
+        batch = dict(
+            initial_state=init_state,
+            gaze=jnp.zeros((B, T, 3)),
+            audio_features=jnp.asarray(rng.standard_normal((B, T, A)).astype(np.float32)),
+            style_example=jnp.asarray(rng.standard_normal((B, 9, POSE_IN)).astype(np.float32)),
+            target_root_pos=jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32) * 0.1),
+            target_root_rot=jnp.broadcast_to(jnp.asarray(q)[:, None], (B, T, 4)),
+            target_lpos=jnp.zeros((B, T, NJ, 3)),
+            target_ltxy=jnp.zeros((B, T, NJ, 2, 3)),
+        )
+        init_fn, step_fn = make_zeroeggs_train_step(sp, st, dec, stats, lr=1e-3)
+        step_fn = jax.jit(step_fn, static_argnames=())
+        opt_state = init_fn(params)
+        losses = []
+        for i in range(4):
+            params, opt_state, aux = step_fn(params, opt_state, batch, jax.random.PRNGKey(i), i)
+            losses.append(float(aux["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
