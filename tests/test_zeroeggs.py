@@ -284,8 +284,9 @@ class TestZeroEggsTraining:
         step_fn = jax.jit(step_fn, static_argnames=())
         opt_state = init_fn(params)
         losses = []
-        for i in range(4):
-            params, opt_state, aux = step_fn(params, opt_state, batch, jax.random.PRNGKey(i), i)
+        for i in range(8):
+            # fixed VAE key so the loss comparison is apples-to-apples
+            params, opt_state, aux = step_fn(params, opt_state, batch, jax.random.PRNGKey(0), i)
             losses.append(float(aux["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
