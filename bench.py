@@ -81,9 +81,12 @@ def main():
     # warmup (compile)
     _ = sampler.generate(params, wparams, audio, style, jax.random.PRNGKey(0))
 
-    t0 = time.perf_counter()
-    out = sampler.generate(params, wparams, audio, style, jax.random.PRNGKey(1))
-    dt = time.perf_counter() - t0
+    # best of 3 (dispatch-path latency varies run to run)
+    dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = sampler.generate(params, wparams, audio, style, jax.random.PRNGKey(1 + rep))
+        dt = min(dt, time.perf_counter() - t0)
 
     frames = out.shape[1]
     fps = frames / dt

@@ -16,7 +16,6 @@ import os
 from datetime import datetime
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .. import diffusion as D

@@ -14,7 +14,6 @@ import argparse
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import diffusion as D
 from ..config import apply_beat_twh_derivations, load_yaml_config

@@ -15,9 +15,8 @@ Parity targets:
 from __future__ import annotations
 
 import csv
-import os
 import re
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -12,7 +12,6 @@ Parity with `BEAT-TWH-main/process/process_BEAT_bvh.py`:
 """
 from __future__ import annotations
 
-import re
 from typing import Optional, Tuple
 
 

@@ -11,7 +11,7 @@ uniform sampling (the BEAT loader's own `RandomSampler` behavior,
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

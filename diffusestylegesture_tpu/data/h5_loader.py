@@ -12,8 +12,6 @@ and the H5 builders (`process_BEAT_bvh.py:355-441`, `process_TWH_bvh.py:271-355`
 """
 from __future__ import annotations
 
-import math
-import os
 from typing import Dict, Iterator, List, Optional
 
 import h5py

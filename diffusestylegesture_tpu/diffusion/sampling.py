@@ -23,7 +23,6 @@ Tests can inject exact noise via `training`-style hooks (`noise` arg).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

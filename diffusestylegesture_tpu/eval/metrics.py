@@ -18,8 +18,6 @@ automatically:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 from scipy import linalg
 

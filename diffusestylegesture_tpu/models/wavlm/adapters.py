@@ -18,7 +18,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .model import WavLM, WavLMConfig, interpolate_linear
+from .model import WavLM, interpolate_linear
 
 
 def make_zeggs_wavlm_fn(model: WavLM, n_poses: int = 88) -> Callable:

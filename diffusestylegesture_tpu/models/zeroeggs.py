@@ -20,12 +20,11 @@ training parity.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..motion import quat
 

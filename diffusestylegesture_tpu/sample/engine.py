@@ -25,7 +25,6 @@ TPU-first restructuring (same outputs, different schedule):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax
