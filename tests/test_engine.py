@@ -115,3 +115,32 @@ class TestBeatEngine:
             )
             assert out.shape == (1, 250, motion_dim)
             assert np.isfinite(out).all()
+
+
+class TestEditing:
+    def test_in_between_inpainting(self):
+        from diffusestylegesture_tpu.sample.edit import (
+            edit_motion,
+            feature_mask,
+            in_between_mask,
+        )
+
+        rng = np.random.default_rng(0)
+        shape = (1, NJ, 1, 24)
+        ref_motion = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        mask = in_between_mask(shape, prefix_frames=6, suffix_frames=4)
+
+        out = edit_motion(SCHED, lambda x, t: 0.3 * x, ref_motion, mask, jax.random.PRNGKey(0))
+        out = np.asarray(out)
+        refm = np.asarray(ref_motion)
+        # kept regions equal the reference; middle differs
+        np.testing.assert_allclose(out[..., :6], refm[..., :6], atol=1e-6)
+        np.testing.assert_allclose(out[..., -4:], refm[..., -4:], atol=1e-6)
+        assert np.abs(out[..., 6:-4] - refm[..., 6:-4]).max() > 1e-3
+
+        fmask = feature_mask(shape, keep_channels=range(3))
+        out2 = np.asarray(
+            edit_motion(SCHED, lambda x, t: 0.3 * x, ref_motion, fmask, jax.random.PRNGKey(1))
+        )
+        np.testing.assert_allclose(out2[:, :3], refm[:, :3], atol=1e-6)
+        assert np.abs(out2[:, 3:] - refm[:, 3:]).max() > 1e-3
