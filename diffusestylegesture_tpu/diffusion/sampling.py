@@ -105,8 +105,14 @@ def p_sample_loop(
     skip_timesteps: int = 0,
     init_image: Optional[jax.Array] = None,
     inpaint: Optional[tuple] = None,
+    return_trajectory: bool = False,
 ) -> jax.Array:
-    """Ancestral DDPM sampling as one `lax.scan` (ref `p_sample_loop:608`)."""
+    """Ancestral DDPM sampling as one `lax.scan` (ref `p_sample_loop:608`).
+
+    `return_trajectory=True` additionally returns the (T, *shape) stack of
+    intermediate samples, t = t0 … 0 (ref's `dump_steps` /
+    `p_sample_loop_progressive` surface).
+    """
     key, init_key = jax.random.split(key)
     img, t0 = _init_img(sched, init_key, shape, noise, skip_timesteps, init_image)
 
@@ -119,10 +125,12 @@ def p_sample_loop(
         if cfg.const_noise:
             noise = jnp.broadcast_to(noise[:1], shape)
         sample = out.mean + _nonzero_mask(t, img.ndim) * jnp.exp(0.5 * out.log_variance) * noise
-        return (sample, key), None
+        return (sample, key), (sample if return_trajectory else None)
 
     ts = jnp.arange(t0, -1, -1)
-    (img, _), _ = jax.lax.scan(step, (img, key), ts)
+    (img, _), traj = jax.lax.scan(step, (img, key), ts)
+    if return_trajectory:
+        return img, traj
     return img
 
 

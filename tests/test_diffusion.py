@@ -320,3 +320,15 @@ class TestBpd:
             np.asarray(out["vb"]).sum(1) + np.asarray(out["prior_bpd"]),
             rtol=1e-5,
         )
+
+
+class TestTrajectory:
+    def test_return_trajectory(self):
+        import jax
+
+        sched = D.Schedule.create(D.named_beta_schedule("cosine", 6))
+        final, traj = D.p_sample_loop(
+            sched, toy_model_fn, SHAPE, jax.random.PRNGKey(0), return_trajectory=True
+        )
+        assert traj.shape == (6,) + SHAPE
+        np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(final))
