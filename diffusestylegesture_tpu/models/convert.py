@@ -171,3 +171,28 @@ def convert_zeroeggs_decoder(sd: Mapping[str, Any], num_rnn_layers: int = 2) -> 
             "layer2": _dense(sd, "cell_state_encoder.layer2"),
         },
     }
+
+
+def convert_zeroeggs_style_encoder_attn(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """ZeroEGGS `StyleEncoderAttn` (`modules.py:334-408`) → flax params."""
+    return {
+        "conv0": _conv1d_t(sd, "convs.0.conv"),
+        "ln0": _layernorm(sd, "convs.2"),
+        "conv1": _conv1d_t(sd, "convs.4.conv"),
+        "ln1": _layernorm(sd, "convs.6"),
+        "block0": {
+            "mha": {
+                "in_proj": {
+                    "kernel": _np(sd["blocks.0.attention.multi_head_attention.in_proj_weight"]).T,
+                    "bias": _np(sd["blocks.0.attention.multi_head_attention.in_proj_bias"]),
+                },
+                "out_proj": _dense(sd, "blocks.0.attention.multi_head_attention.out_proj"),
+            },
+            "attn_norm": _layernorm(sd, "blocks.0.attention.layer_norm"),
+            "ff": {
+                "conv0": _conv1d_t(sd, "blocks.0.feed_forward.convs.0.conv"),
+                "conv1": _conv1d_t(sd, "blocks.0.feed_forward.convs.2.conv"),
+                "layer_norm": _layernorm(sd, "blocks.0.feed_forward.layer_norm"),
+            },
+        },
+    }

@@ -373,3 +373,55 @@ def make_zeroeggs_train_step(
         return params, opt_state, aux
 
     return init_fn, step_fn
+
+
+class PositionWiseConvFF(nn.Module):
+    """(`modules.py:548-601`): two 3-wide convs + ReLU, residual + LN."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = jax.nn.relu(nn.Conv(self.hidden_size, (3,), padding=1, name="conv0")(x))
+        h = nn.Conv(self.hidden_size, (3,), padding=1, name="conv1")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(h + x)
+
+
+class FFTBlock(nn.Module):
+    """(`modules.py:472-501`): post-LN MHA + conv feed-forward.
+
+    The live generate path runs full-length sequences (the padding mask is
+    all-False, `modules.py:387-399`), so key-padding masking is omitted.
+    """
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from .transformer import TorchMultiheadAttention
+
+        attn = TorchMultiheadAttention(self.hidden_size, 4, 0.0, name="mha")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="attn_norm")(attn + x)
+        return PositionWiseConvFF(self.hidden_size, name="ff")(x)
+
+
+class StyleEncoderAttn(nn.Module):
+    """StyleEncoder(type='attn') (`modules.py:334-408`): convs + LN +
+    positional encoding + FFT block + mean pooling."""
+
+    hidden_size: int
+    out_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from .embeddings import sinusoidal_pe
+
+        h = jax.nn.relu(nn.Conv(self.hidden_size, (3,), padding=1, name="conv0")(x))
+        h = nn.LayerNorm(epsilon=1e-5, name="ln0")(h)
+        h = jax.nn.relu(nn.Conv(self.out_size, (3,), padding=1, name="conv1")(h))
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(h)
+        T = h.shape[1]
+        pos = jnp.asarray(sinusoidal_pe(max(T, 64), self.out_size))[:T]
+        h = h + pos[None]
+        h = FFTBlock(self.out_size, name="block0")(h)
+        return jnp.mean(h, axis=1)

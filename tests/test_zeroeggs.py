@@ -290,3 +290,26 @@ class TestZeroEggsTraining:
             losses.append(float(aux["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+@requires_reference
+class TestStyleEncoderAttn:
+    def test_parity(self):
+        import torch
+
+        from diffusestylegesture_tpu.models.zeroeggs import StyleEncoderAttn
+
+        ref_mod = _ref_modules()
+        ref = ref_mod.StyleEncoderAttn(9, HID, STYLE)
+        ref.eval()
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((2, 25, 9)).astype(np.float32)
+        with torch.no_grad():
+            theirs = ref(torch.as_tensor(x)).numpy()
+        from diffusestylegesture_tpu.models.convert import (
+            convert_zeroeggs_style_encoder_attn,
+        )
+
+        params = {"params": convert_zeroeggs_style_encoder_attn(ref.state_dict())}
+        ours = np.asarray(StyleEncoderAttn(HID, STYLE).apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, theirs, atol=2e-5)
