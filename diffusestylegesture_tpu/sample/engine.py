@@ -25,6 +25,7 @@ TPU-first restructuring (same outputs, different schedule):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -218,6 +219,108 @@ class ZeggsSampler:
         if mean is not None:
             seq = seq + np.asarray(mean).squeeze()
         return seq
+
+
+def generate_multi_clip(
+    sampler: "ZeggsSampler",
+    params,
+    wavlm_params,
+    audios,  # sequence of 1-D 16 kHz arrays (different lengths OK)
+    styles: np.ndarray,  # (n_clips, 6)
+    key,
+    mean=None,
+    std=None,
+):
+    """Batched MULTI-CLIP sampling (BASELINE config: saturate the chip).
+
+    Different clips are padded to the max window count and generated as
+    one batch through the compiled engine — window w of every clip runs
+    in the same denoiser call — then cropped per clip on the host.
+    Returns a list of (T_i, njoints) arrays.
+    """
+    import jax
+
+    cfg = sampler.cfg
+    sliced = [slice_audio_windows(np.asarray(a, np.float32), cfg) for a in audios]
+    counts = [s.shape[0] for s in sliced]
+    w_max = max(counts)
+    S = sliced[0].shape[1]
+    B = len(audios)
+
+    padded = np.zeros((B, w_max, S), np.float32)
+    for i, s in enumerate(sliced):
+        padded[i, : s.shape[0]] = s
+
+    # batch the encoder over clips×windows, then scan windows with
+    # per-clip features
+    flat = padded.reshape(B * w_max, S)
+    feats = np.asarray(sampler.wavlm_apply(wavlm_params, jnp.asarray(flat)))
+    feats = feats.reshape(B, w_max, cfg.n_poses, -1)
+
+    out = _generate_multi(sampler, params, jnp.asarray(feats),
+                          jnp.asarray(styles, jnp.float32), key, w_max)
+    seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T_max, C)
+    if std is not None:
+        seq = seq * np.clip(np.asarray(std).squeeze(), 0.01, None)
+    if mean is not None:
+        seq = seq + np.asarray(mean).squeeze()
+    results = []
+    for i, c in enumerate(counts):
+        results.append(seq[i, : c * cfg.stride - cfg.n_seed])
+    return results
+
+
+def _generate_multi(sampler, params, feats, styles, key, w_max):
+    cfg = sampler.cfg
+    B = styles.shape[0]
+    n_seed, n_poses = cfg.n_seed, cfg.n_poses
+
+    n = B if cfg.crossfade_n is None else int(cfg.crossfade_n)
+    j = np.arange(n_seed, dtype=np.float32)
+    wa = jnp.asarray(np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32))
+    wb = jnp.asarray(np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32))
+
+    @partial(jax.jit, static_argnames=("num_windows",))
+    def run(params, feats, styles, key, *, num_windows):
+        def window_sample(params, key, feats_i, seed, style):
+            cond = {
+                "style": style,
+                "seed": seed,
+                "audio": feats_i,  # (B, n_poses, A) — per-clip features
+                "mask_local": jnp.ones((B, cfg.n_poses), bool),
+            }
+
+            def model_fn(x, t):
+                return sampler.model_apply(params, x, t, cond)
+
+            shape = (B, cfg.njoints, 1, cfg.n_poses)
+            loop = SAMPLE_LOOPS[cfg.sampler]
+            return loop(sampler.schedule, model_fn, shape, key, cfg=sampler.sampler_cfg)
+
+        def body(carry, xs):
+            seed, k = carry
+            feats_i, idx = xs
+            k, sub = jax.random.split(k)
+            sample = window_sample(params, sub, feats_i, seed, styles)
+            is_first = idx == 0
+            if cfg.root_delta_correction:
+                delta = (sample[:, 0:3, :, 0] - seed[:, 0:3, :, 0])[..., None]
+                corrected = sample.at[:, 0:3].add(-delta)
+                sample = jnp.where(is_first, sample, corrected)
+            blended = seed * wa + sample[..., :n_seed] * wb
+            head = jnp.where(is_first, sample[..., :n_seed], blended)
+            sample = jnp.concatenate([head, sample[..., n_seed:]], axis=-1)
+            return (sample[..., -n_seed:], k), sample[..., : n_poses - n_seed]
+
+        seed0 = jnp.zeros((B, cfg.njoints, 1, n_seed), jnp.float32)
+        feats_t = jnp.swapaxes(feats, 0, 1)  # (W, B, n_poses, A)
+        (_, _), chunks = jax.lax.scan(body, (seed0, key), (feats_t, jnp.arange(num_windows)))
+        out = jnp.moveaxis(chunks, 0, -2).reshape(
+            B, cfg.njoints, 1, num_windows * (n_poses - n_seed)
+        )
+        return out[..., n_seed:]
+
+    return run(params, feats, styles, key, num_windows=w_max)
 
 
 def make_mfcc_window_fn(n_poses: int = 88, fps: int = 20):

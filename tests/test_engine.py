@@ -144,3 +144,23 @@ class TestEditing:
         )
         np.testing.assert_allclose(out2[:, :3], refm[:, :3], atol=1e-6)
         assert np.abs(out2[:, 3:] - refm[:, 3:]).max() > 1e-3
+
+
+class TestMultiClip:
+    def test_different_lengths(self):
+        from diffusestylegesture_tpu.sample.engine import generate_multi_clip
+
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        rng = np.random.default_rng(0)
+        audios = [
+            rng.standard_normal(cfg.samples_per_stride * 1).astype(np.float32),
+            rng.standard_normal(cfg.samples_per_stride * 3).astype(np.float32),
+        ]
+        styles = np.eye(6, dtype=np.float32)[:2]
+        outs = generate_multi_clip(eng, {}, {}, audios, styles, jax.random.PRNGKey(0))
+        assert len(outs) == 2
+        assert outs[0].shape == (1 * cfg.stride - cfg.n_seed, NJ)
+        assert outs[1].shape == (3 * cfg.stride - cfg.n_seed, NJ)
+        for o in outs:
+            assert np.isfinite(o).all()
