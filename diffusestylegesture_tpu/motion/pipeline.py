@@ -776,3 +776,75 @@ def twh_features_expmap(bvh_path: str):
     pipe = twh_expmap_pipeline()
     out = pipe.fit_transform(data)
     return out.astype(np.float32), pipe
+
+
+class RootTransformer:
+    """pymo `RootTransformer` parity (`pymo/preprocessing.py:480-…`).
+
+    Methods:
+      * 'hip_centric': zero the root's position and rotation channels;
+      * 'abdolute_translation_deltas' (pymo's spelling): replace root X/Z
+        positions with frame deltas `_dXposition`/`_dZposition`
+        (d[0] = d[1]), dropping the absolute columns (no-smoothing path).
+    Inverse restores absolute positions by cumulative summation from a
+    configurable start position (pymo's inverse with start_pos=0).
+    """
+
+    def __init__(self, method: str):
+        assert method in ("hip_centric", "abdolute_translation_deltas")
+        self.method = method
+
+    def fit(self, data: ChannelData) -> "RootTransformer":
+        if self.method == "hip_centric":
+            idx = data.column_index()
+            root = data.root_name
+            self._saved = {
+                c: data.values[:, idx[c]].copy()
+                for c in data.columns
+                if c.startswith(root + "_")
+            }
+        return self
+
+    def transform(self, data: ChannelData) -> ChannelData:
+        out = data.clone()
+        root = data.root_name
+        idx = data.column_index()
+        if self.method == "hip_centric":
+            for a in "XYZ":
+                for ch in ("position", "rotation"):
+                    c = f"{root}_{a}{ch}"
+                    if c in idx:
+                        out.values[:, idx[c]] = 0.0
+            return out
+        # abdolute_translation_deltas
+        xp, zp = f"{root}_Xposition", f"{root}_Zposition"
+        dx = np.diff(data.values[:, idx[xp]], prepend=np.nan)
+        dz = np.diff(data.values[:, idx[zp]], prepend=np.nan)
+        dx[0] = dx[1]
+        dz[0] = dz[1]
+        keep = [c for c in data.columns if c not in (xp, zp)]
+        vals = data.values[:, [idx[c] for c in keep]]
+        out.columns = keep + [f"{root}_dXposition", f"{root}_dZposition"]
+        out.values = np.concatenate([vals, dx[:, None], dz[:, None]], axis=1)
+        return out
+
+    def inverse_transform(self, data: ChannelData, start_pos=(0.0, 0.0)) -> ChannelData:
+        out = data.clone()
+        root = data.root_name
+        idx = data.column_index()
+        if self.method == "hip_centric":
+            for c, v in self._saved.items():
+                if c in idx:
+                    T = min(len(v), len(out.values))
+                    out.values[:T, idx[c]] = v[:T]
+            return out
+        dxc, dzc = f"{root}_dXposition", f"{root}_dZposition"
+        dx = data.values[:, idx[dxc]]
+        dz = data.values[:, idx[dzc]]
+        x = start_pos[0] + np.concatenate([[0.0], np.cumsum(dx[1:])])
+        z = start_pos[1] + np.concatenate([[0.0], np.cumsum(dz[1:])])
+        keep = [c for c in data.columns if c not in (dxc, dzc)]
+        vals = data.values[:, [idx[c] for c in keep]]
+        out.columns = keep + [f"{root}_Xposition", f"{root}_Zposition"]
+        out.values = np.concatenate([vals, x[:, None], z[:, None]], axis=1)
+        return out

@@ -177,3 +177,43 @@ class TestTwhExpmapMode:
         ours, _ = P.twh_features_expmap(path)
         assert ours.shape == ref_out.shape
         np.testing.assert_allclose(ours, ref_out, atol=1e-6)
+
+
+class TestRootTransformer:
+    @requires_reference
+    def test_hip_centric_vs_pymo(self, tmp_path):
+        _stub_pymo_deps()
+        from pymo.parsers import BVHParser  # type: ignore
+        from pymo.preprocessing import RootTransformer  # type: ignore
+
+        path = str(tmp_path / "h.bvh")
+        synth_beat_bvh(path, T=30, seed=9)
+        ref = RootTransformer("hip_centric").fit_transform([BVHParser().parse(path)])[0]
+        mine = P.RootTransformer("hip_centric")
+        data = P.parse_bvh(path)
+        mine.fit(data)
+        out = mine.transform(data)
+        idx = out.column_index()
+        for c in out.columns:
+            np.testing.assert_allclose(
+                out.values[:, idx[c]], ref.values[c].values, atol=1e-8, err_msg=c
+            )
+
+    def test_deltas_roundtrip(self, tmp_path):
+        path = str(tmp_path / "i.bvh")
+        synth_beat_bvh(path, T=30, seed=10)
+        data = P.parse_bvh(path)
+        tr = P.RootTransformer("abdolute_translation_deltas")
+        tr.fit(data)
+        out = tr.transform(data)
+        assert f"{data.root_name}_dXposition" in out.columns
+        back = tr.inverse_transform(out, start_pos=(
+            data.values[0, data.column_index()[f"{data.root_name}_Xposition"]],
+            data.values[0, data.column_index()[f"{data.root_name}_Zposition"]],
+        ))
+        i_o = data.column_index()
+        i_b = back.column_index()
+        for c in (f"{data.root_name}_Xposition", f"{data.root_name}_Zposition"):
+            np.testing.assert_allclose(
+                back.values[:, i_b[c]], data.values[:, i_o[c]], atol=1e-6, err_msg=c
+            )
