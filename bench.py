@@ -22,6 +22,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeat bench invocations skip the
+    # multi-minute engine compile
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/dsg_tpu_jax_cache"),
+        )
+    except Exception:
+        pass
+
     from diffusestylegesture_tpu import diffusion as D
     from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig
     from diffusestylegesture_tpu.models.wavlm import (
