@@ -313,3 +313,34 @@ class TestStyleEncoderAttn:
         params = {"params": convert_zeroeggs_style_encoder_attn(ref.state_dict())}
         ours = np.asarray(StyleEncoderAttn(HID, STYLE).apply(params, jnp.asarray(x)))
         np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+class TestZeroEggsData:
+    def test_audio_features(self):
+        from diffusestylegesture_tpu.data.zeroeggs_data import audio_features
+
+        from test_audio import synth_wav
+
+        y = synth_wav(2.0)
+        T = int(2.0 * 60)
+        feats = audio_features(y, 16000, 60.0, T)
+        assert feats.shape == (T, 81)
+        assert np.isfinite(feats).all()
+        # energy channel correlates with the bursty envelope
+        assert feats[:, -1].std() > 0
+
+    def test_window_index(self):
+        from diffusestylegesture_tpu.data.zeroeggs_data import window_index
+
+        R, L, S = window_index([(0, 20), (100, 115)], [2, 0], nlabels=3, window=10)
+        assert R.shape == (10 + 5, 10)
+        assert (L[:10] == [0, 0, 1]).all()
+        assert S[-1] == 1
+
+    def test_feature_statistics(self):
+        from diffusestylegesture_tpu.data.zeroeggs_data import feature_statistics
+
+        rng = np.random.default_rng(0)
+        st = feature_statistics({"anim_input": rng.standard_normal((100, 5))})
+        assert st["anim_input_mean"].shape == (5,)
+        assert (st["anim_input_std"] > 0).all()
