@@ -46,3 +46,40 @@ class TestProfiling:
         means = profile_means()
         assert "wait_unit_scope" in means and means["wait_unit_scope"] >= 0
         assert x == 499500
+
+
+class TestStyles:
+    def test_style_helpers(self):
+        from diffusestylegesture_tpu.sample import blend_styles, style_grid, style_vector
+
+        v = style_vector("Happy", 0.5)
+        assert v[0] == 0.5 and v.sum() == 0.5
+        b = blend_styles(["Happy", "Sad"], [0.7, 0.3])
+        assert abs(b.sum() - 1.0) < 1e-6 and b[0] == np.float32(0.7)
+        g = style_grid(["Happy", "Sad"], [0.5, 1.0])
+        assert g.shape == (4, 6)
+
+
+class TestMultiHost:
+    def test_single_process_global_batch(self):
+        import jax
+
+        from diffusestylegesture_tpu.parallel import make_mesh
+        from diffusestylegesture_tpu.parallel.multihost import (
+            global_batch_from_host_local,
+            global_mesh,
+        )
+
+        mesh = global_mesh(("data",))
+        batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
+        out = global_batch_from_host_local(mesh, batch)
+        assert out["x"].shape == (8, 2)
+        np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+
+
+class TestCLIImports:
+    def test_all_cli_modules_import(self):
+        import importlib
+
+        for m in ("train", "sample", "sample_beat", "prepare_data", "convert_ckpt"):
+            importlib.import_module(f"diffusestylegesture_tpu.cli.{m}")
