@@ -128,6 +128,7 @@ def main(argv=None):
             lr=cfg.lr,
             weight_decay=cfg.get("weight_decay", 0.0),
             lr_anneal_steps=cfg.get("lr_anneal_steps", 0),
+            schedule_sampler=cfg.get("schedule_sampler", "uniform"),
         ),
         loop_cfg=LoopConfig(
             num_steps=cfg.get("num_steps", 100000),

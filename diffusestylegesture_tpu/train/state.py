@@ -99,16 +99,20 @@ def make_train_step(
     tx = make_optimizer(cfg)
     if cond_builder is None:
         cond_builder = zeggs_cond_builder
+    loss_aware = cfg.schedule_sampler == "loss-second-moment"
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, la_state):
         x_start, cond, mask = cond_builder(batch)
         B = x_start.shape[0]
         rng_t, rng_noise, rng_cm, rng_do = jax.random.split(rng, 4)
 
-        if cfg.schedule_sampler == "loss-second-moment":
-            # handled outside via state.loss_aware weights
-            raise NotImplementedError("use make_loss_aware_train_step")
-        t, weights = resample.uniform_sample_t(rng_t, B, sched.num_timesteps)
+        if loss_aware:
+            # LossSecondMomentResampler (ref `resample.py:124-154`): t drawn
+            # from the running sqrt-second-moment distribution, weighted by
+            # 1/(T·p_t). la_state is data, not a differentiable input.
+            t, weights = resample.loss_aware_sample_t(rng_t, la_state, B)
+        else:
+            t, weights = resample.uniform_sample_t(rng_t, B, sched.num_timesteps)
 
         noise = jax.random.normal(rng_noise, x_start.shape, jnp.float32)
 
@@ -128,8 +132,20 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         (loss, (terms, t)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+            state.params, batch, rng, state.loss_aware
         )
+        new_loss_aware = state.loss_aware
+        if loss_aware:
+            # ref `TrainLoop.forward_backward`
+            # (`main/train/training_loop.py:256-259`): feed the *unweighted*
+            # per-example losses into the history before the next draw. Under
+            # jit-over-mesh the batch is already global, matching the
+            # reference's all_gather in `update_with_local_losses`; pass
+            # axis_name only inside shard_map/pmap.
+            new_loss_aware = resample.update_with_losses(
+                state.loss_aware, t, jax.lax.stop_gradient(terms["loss"]),
+                axis_name=axis_name,
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -149,6 +165,7 @@ def make_train_step(
             params=new_params,
             opt_state=new_opt,
             ema_params=ema,
+            loss_aware=new_loss_aware,
         )
         return new_state, metrics
 

@@ -219,6 +219,68 @@ class TestTensorParallel:
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
 
 
+class TestLossAwareSampler:
+    """Integration of LossSecondMomentResampler into the train step
+    (ref `main/diffusion/resample.py:124-154` + `training_loop.py:256-259`)."""
+
+    def test_history_fills_and_loss_finite(self):
+        _, params, apply = make_model_and_params()
+        cfg = TrainConfig(lr=1e-3, schedule_sampler="loss-second-moment")
+        step_fn = jax.jit(make_train_step(apply, SCHED, cfg, make_zeggs_cond_builder(4)))
+        state = create_train_state(params, cfg, SCHED.num_timesteps)
+        assert state.loss_aware is not None
+        batch = make_batch(np.random.default_rng(31))
+        for i in range(4):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+            assert np.isfinite(float(metrics["loss"]))
+        # 4 steps × B=8 examples inserted into the ring history
+        assert int(np.asarray(state.loss_aware.counts).sum()) == 4 * B
+        assert np.asarray(state.loss_aware.history).max() > 0
+
+    def test_warmed_weights_nonuniform(self):
+        """With a warmed history the train step draws non-uniform t and
+        weights them by 1/(T·p_t) (ref `resample.py:42-58,137-144`)."""
+        from diffusestylegesture_tpu.diffusion import resample
+
+        nt = SCHED.num_timesteps
+        state = resample.LossAwareState.create(nt)
+        # deterministically warm every timestep: loss grows with t
+        for k in range(10):
+            ts = jnp.arange(nt)
+            losses = (ts + 1).astype(jnp.float32) * (1.0 + 0.01 * k)
+            state = resample.update_with_losses(state, ts, losses)
+        assert (np.asarray(state.counts) == 10).all()
+        w = np.asarray(resample.loss_aware_weights(state))
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+        assert w[-1] > w[0]  # higher loss ⇒ sampled more often
+        t, weights = resample.loss_aware_sample_t(
+            jax.random.PRNGKey(0), state, 4096
+        )
+        # large-t draws dominate, and importance weights are inverted
+        assert np.asarray(t).mean() > (nt - 1) / 2
+        hi, lo = np.asarray(t).max(), np.asarray(t).min()
+        wmap = {int(tt): float(ww) for tt, ww in zip(np.asarray(t), np.asarray(weights))}
+        assert wmap[int(hi)] < wmap[int(lo)]
+
+    def test_loss_aware_on_mesh(self):
+        _, params, apply = make_model_and_params()
+        cfg = TrainConfig(lr=1e-3, schedule_sampler="loss-second-moment")
+        step_fn = jax.jit(make_train_step(apply, SCHED, cfg, make_zeggs_cond_builder(4)))
+        batch = make_batch(np.random.default_rng(33))
+        rng = jax.random.PRNGKey(5)
+
+        s1 = create_train_state(params, cfg, SCHED.num_timesteps)
+        s1, m1 = step_fn(s1, batch, rng)
+
+        mesh = make_mesh()
+        s2 = replicate(mesh, create_train_state(params, cfg, SCHED.num_timesteps))
+        s2, m2 = step_fn(s2, shard_batch(mesh, batch), rng)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(s1.loss_aware.counts), np.asarray(s2.loss_aware.counts)
+        )
+
+
 class TestDeviceCache:
     def test_device_resident_training(self):
         from diffusestylegesture_tpu.data.device_cache import (
