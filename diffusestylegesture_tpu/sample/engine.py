@@ -118,8 +118,13 @@ class ZeggsSampler:
         self.sampler_cfg = sampler_cfg
         self._generate = jax.jit(self._generate_impl, static_argnames=("num_windows",))
 
-    def _window_sample(self, params, key, wavlm_feats, seed, style):
-        """One 88-frame window: DDPM chain with seed/style conditioning."""
+    def _window_sample(self, params, key, wavlm_feats, seed, style, noise=None):
+        """One 88-frame window: DDPM chain with seed/style conditioning.
+
+        `noise` optionally injects the initial x_T (the reference's `noise=`
+        hook, `gaussian_diffusion.py:612,631`) — used by the cross-framework
+        parity harness to drive both samplers from identical noise.
+        """
         cfg = self.cfg
         B = style.shape[0]
         cond = {
@@ -143,9 +148,10 @@ class ZeggsSampler:
 
         shape = (B, cfg.njoints, 1, cfg.n_poses)
         loop = SAMPLE_LOOPS[self.cfg.sampler]
-        return loop(self.schedule, model_fn, shape, key, cfg=self.sampler_cfg)
+        return loop(self.schedule, model_fn, shape, key, cfg=self.sampler_cfg, noise=noise)
 
-    def _generate_impl(self, params, wavlm_params, audio_windows, style, key, *, num_windows):
+    def _generate_impl(self, params, wavlm_params, audio_windows, style, key,
+                       noise_windows=None, *, num_windows):
         cfg = self.cfg
         B = style.shape[0]
         n_seed, n_poses = cfg.n_seed, cfg.n_poses
@@ -165,9 +171,9 @@ class ZeggsSampler:
 
         def body(carry, xs):
             seed, k = carry
-            feats_i, idx = xs
+            feats_i, idx, noise_i = xs
             k, sub = jax.random.split(k)
-            sample = self._window_sample(params, sub, feats_i, seed, style)
+            sample = self._window_sample(params, sub, feats_i, seed, style, noise=noise_i)
             is_first = idx == 0
 
             if cfg.root_delta_correction:
@@ -187,7 +193,7 @@ class ZeggsSampler:
         (_, _), chunks = jax.lax.scan(
             body,
             (seed0, key),
-            (feats, jnp.arange(num_windows)),
+            (feats, jnp.arange(num_windows), noise_windows),
         )
         # (W, B, C, 1, stride) → (B, C, 1, W·stride)
         out = jnp.moveaxis(chunks, 0, -2).reshape(
@@ -204,13 +210,21 @@ class ZeggsSampler:
         key: jax.Array,
         mean: Optional[np.ndarray] = None,
         std: Optional[np.ndarray] = None,
+        noise_windows: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        """Full pipeline: audio → (B, T_frames, njoints) un-normalized poses."""
+        """Full pipeline: audio → (B, T_frames, njoints) un-normalized poses.
+
+        `noise_windows` (num_windows, B, njoints, 1, n_poses) injects each
+        window's initial x_T for deterministic cross-framework comparison.
+        """
         windows = slice_audio_windows(np.asarray(audio, np.float32), self.cfg)
         num_windows = windows.shape[0]
         style = jnp.atleast_2d(jnp.asarray(style, jnp.float32))
+        if noise_windows is not None:
+            noise_windows = jnp.asarray(noise_windows, jnp.float32)
         out = self._generate(
             params, wavlm_params, jnp.asarray(windows), style, key,
+            noise_windows,
             num_windows=num_windows,
         )
         seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
