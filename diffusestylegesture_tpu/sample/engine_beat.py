@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion import Schedule, SamplerConfig, p_sample_loop
+from ..diffusion import Schedule, SamplerConfig
 from ..diffusion.sampling import cfg_combine
+from .engine import SAMPLE_LOOPS
 
 
 def prepare_seed_gesture(raw: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
@@ -48,6 +49,7 @@ class BeatEngineConfig:
     motion_feature_division: int = 3  # v0; 1 for v2
     guidance_scale: float = 0.0
     crossfade_n: Optional[int] = None  # None = reference quirk
+    sampler: str = "ddpm"  # ddpm | ddim | plms (use a respaced Schedule for ddimN)
 
     @property
     def stride(self) -> int:
@@ -89,7 +91,7 @@ class BeatTwhSampler:
             return main[:, : stride - cfg.n_seed], num, real_n
         raise ValueError(cfg.variant)
 
-    def _window_sample(self, params, key, audio_i, seed, style, seed_last):
+    def _window_sample(self, params, key, audio_i, seed, style, seed_last, noise=None):
         cfg = self.cfg
         B = style.shape[0]
         cond = {
@@ -114,10 +116,12 @@ class BeatTwhSampler:
                 return self.model_apply(params, x, t, cond)
 
         shape = (B, cfg.njoints, 1, cfg.n_poses)
-        return p_sample_loop(self.schedule, model_fn, shape, key, cfg=self.sampler_cfg)
+        loop = SAMPLE_LOOPS[cfg.sampler]
+        return loop(self.schedule, model_fn, shape, key, cfg=self.sampler_cfg, noise=noise)
 
     def _generate_impl(
-        self, params, audio_windows, seed0, style, key, seed_last, *, num_windows
+        self, params, audio_windows, seed0, style, key, seed_last,
+        noise_windows=None, *, num_windows
     ):
         cfg = self.cfg
         n_seed = cfg.n_seed
@@ -130,9 +134,11 @@ class BeatTwhSampler:
 
         def body(carry, xs):
             seed, k = carry
-            audio_i, idx = xs
+            audio_i, idx, noise_i = xs
             k, sub = jax.random.split(k)
-            sample = self._window_sample(params, sub, audio_i, seed, style, seed_last)
+            sample = self._window_sample(
+                params, sub, audio_i, seed, style, seed_last, noise=noise_i
+            )
             is_first = idx == 0
             blended = seed * wa + sample[..., :n_seed] * wb
             head = jnp.where(is_first, sample[..., :n_seed], blended)
@@ -140,7 +146,8 @@ class BeatTwhSampler:
             return (sample[..., -n_seed:], k), sample
 
         (_, _), samples = jax.lax.scan(
-            body, (seed0, key), (audio_windows, jnp.arange(num_windows))
+            body, (seed0, key),
+            (audio_windows, jnp.arange(num_windows), noise_windows),
         )
         return samples  # (W, B, C, 1, n_poses)
 
@@ -155,14 +162,21 @@ class BeatTwhSampler:
         std: np.ndarray,
         seed_last: Optional[np.ndarray] = None,
         max_len: int = 0,
+        noise_windows: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        """→ (B, real_n_frames, motion_dim) un-normalized position block."""
+        """→ (B, real_n_frames, motion_dim) un-normalized position block.
+
+        `noise_windows` (num_windows, B, njoints, 1, n_poses) injects each
+        window's initial x_T (deterministic cross-framework comparison).
+        """
         cfg = self.cfg
         if max_len:
             textaudio = textaudio[:max_len]
         windows, num, real_n = self.slice_windows(np.asarray(textaudio, np.float32))
         style = jnp.atleast_2d(jnp.asarray(style, jnp.float32))
         B = style.shape[0]
+        if noise_windows is not None:
+            noise_windows = jnp.asarray(noise_windows, jnp.float32)
         seed0 = jnp.asarray(seed_gesture.T[None, :, None, :], jnp.float32)  # (1,C,1,n_seed)
         seed0 = jnp.broadcast_to(seed0, (B,) + seed0.shape[1:])
         sl = None
@@ -172,7 +186,8 @@ class BeatTwhSampler:
                 (B, cfg.njoints, 1, cfg.n_seed),
             )
         samples = self._generate(
-            params, jnp.asarray(windows), seed0, style, key, sl, num_windows=num
+            params, jnp.asarray(windows), seed0, style, key, sl, noise_windows,
+            num_windows=num,
         )
         samples = np.asarray(samples)  # (W, B, C, 1, n_poses)
         keep = cfg.njoints // cfg.motion_feature_division
