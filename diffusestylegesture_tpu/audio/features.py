@@ -10,10 +10,10 @@ DCT-II pipeline, since librosa itself is not a dependency here.
 (`tool.py:151-217`): pitch & intensity at 1/300 s steps, Chiu-style log
 normalization (clip(log(p+1)−4, 0) / clip(log(I)−3, 0)), FDM derivative
 (`tool.py:24-45` incl. its 1-sample convolve shift and der[0]=0), then
-10× averaging to the 30 fps frame rate. Praat's autocorrelation pitch
-tracker is approximated by a windowed normalized-autocorrelation tracker
-(documented deviation — praat-parselmouth is native code outside this
-stack; the downstream 4 channels are low-resolution prosody cues).
+10× averaging to the 30 fps frame rate. Pitch/intensity are computed by
+the Boersma-1993 autocorrelation method and praat's Kaiser-window
+intensity (`praat_pitch.py` — the algorithms parselmouth wraps; residual
+deviations documented there).
 
 `onset_flags` follows `extract_onsets` (`tool.py:219-`): HFC onset
 detection function on 1024/512 frames and per-motion-frame max-pooled
@@ -146,55 +146,28 @@ def average(arr: np.ndarray, n: int) -> np.ndarray:
     return np.mean(arr[:end].reshape(-1, n), 1)
 
 
-def _autocorr_pitch(y: np.ndarray, sr: int, time_step: float,
-                    fmin: float = 75.0, fmax: float = 600.0) -> np.ndarray:
-    """Normalized-autocorrelation pitch (Hz, 0 where unvoiced)."""
-    win = int(0.04 * sr)
-    hop = int(time_step * sr)
-    n = max(0, 1 + (len(y) - win) // hop)
-    lags_min = int(sr / fmax)
-    lags_max = min(int(sr / fmin), win - 1)
-    out = np.zeros(n, np.float64)
-    for i in range(n):
-        fr = y[i * hop: i * hop + win].astype(np.float64)
-        fr = fr - fr.mean()
-        e = np.sum(fr * fr)
-        if e < 1e-9:
-            continue
-        ac = np.correlate(fr, fr, "full")[win - 1:]
-        ac = ac / (ac[0] + 1e-12)
-        seg = ac[lags_min:lags_max]
-        if len(seg) == 0:
-            continue
-        k = np.argmax(seg) + lags_min
-        if ac[k] > 0.45:  # voicing threshold
-            out[i] = sr / k
-    return out
-
-
-def _intensity_db(y: np.ndarray, sr: int, time_step: float) -> np.ndarray:
-    win = int(0.04 * sr)
-    hop = int(time_step * sr)
-    n = max(0, 1 + (len(y) - win) // hop)
-    out = np.zeros(n, np.float64)
-    ref = 4e-10  # praat's hearing-threshold reference (2e-5 Pa)^2
-    for i in range(n):
-        fr = y[i * hop: i * hop + win].astype(np.float64)
-        p = np.mean(fr * fr)
-        out[i] = 10.0 * np.log10(max(p, 1e-12) / ref)
-    return out
-
-
 def compute_prosody(y: np.ndarray, sr: int, time_step: float):
-    """Chiu-normalized (pitch, energy) tracks (`tool.py:194-217`)."""
+    """Chiu-normalized (pitch, energy) tracks (`tool.py:194-217`).
+
+    Pitch/intensity come from the Boersma-1993/praat port in
+    `praat_pitch.py` (the algorithms parselmouth wraps natively); sampling
+    follows the reference exactly: `get_value_at_time` on an
+    `arange(0, duration - time_step, time_step)` grid, NaN→0, then the
+    Chiu '11 log normalizations.
+    """
+    from .praat_pitch import (
+        intensity_value_at_time,
+        pitch_value_at_time,
+        sound_to_intensity,
+        sound_to_pitch_ac,
+    )
+
     duration = len(y) / sr
     times = np.arange(0, duration - time_step, time_step)
-    pitch = _autocorr_pitch(y, sr, time_step)[: len(times)]
-    intensity = _intensity_db(y, sr, time_step)[: len(times)]
-    if len(pitch) < len(times):
-        pitch = np.pad(pitch, (0, len(times) - len(pitch)))
-    if len(intensity) < len(times):
-        intensity = np.pad(intensity, (0, len(times) - len(intensity)))
+    ptimes, pfreqs = sound_to_pitch_ac(y, sr, time_step)
+    itimes, ivals = sound_to_intensity(y, sr, time_step)
+    pitch = np.nan_to_num(pitch_value_at_time(ptimes, pfreqs, times))
+    intensity = np.nan_to_num(intensity_value_at_time(itimes, ivals, times))
     intensity = np.clip(intensity, np.finfo(np.float64).eps, None)
     pitch_norm = np.clip(np.log(pitch + 1) - 4, 0, None)
     intensity_norm = np.clip(np.log(intensity) - 3, 0, None)
