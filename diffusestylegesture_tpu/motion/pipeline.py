@@ -62,7 +62,28 @@ class ChannelData:
 
 def parse_bvh(path: str) -> ChannelData:
     """Channel-preserving BVH parse (pymo `BVHParser.parse` semantics;
-    End Sites become zero-channel '<parent>_Nub' joints)."""
+    End Sites become zero-channel '<parent>_Nub' joints).
+
+    Dispatches to the C++ parser (`native.parse_bvh_fast`, ~10× faster on
+    multi-MB mocap files) when the toolchain is available; the pure-Python
+    path is the reference implementation and the fallback. Set
+    `DSG_TPU_NO_NATIVE=1` to force Python. Equality of the two parsers is
+    pinned by `tests/test_native.py`."""
+    import os
+
+    if not os.environ.get("DSG_TPU_NO_NATIVE"):
+        from .. import native
+
+        if native.available():
+            try:
+                return native.parse_bvh_fast(path)
+            except Exception:
+                pass  # fall back to the Python parser on any native error
+    return parse_bvh_python(path)
+
+
+def parse_bvh_python(path: str) -> ChannelData:
+    """Pure-Python reference BVH parser (see `parse_bvh`)."""
     names: List[str] = []
     parents: Dict[str, Optional[str]] = {}
     offsets: Dict[str, np.ndarray] = {}

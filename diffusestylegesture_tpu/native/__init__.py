@@ -68,7 +68,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bvh_parents.argtypes = [ctypes.c_void_p]
         lib.bvh_offsets.restype = ctypes.POINTER(ctypes.c_float)
         lib.bvh_offsets.argtypes = [ctypes.c_void_p]
-        lib.bvh_values.restype = ctypes.POINTER(ctypes.c_float)
+        lib.bvh_values.restype = ctypes.POINTER(ctypes.c_double)
         lib.bvh_values.argtypes = [ctypes.c_void_p]
         lib.bvh_free.restype = None
         lib.bvh_free.argtypes = [ctypes.c_void_p]
@@ -99,7 +99,7 @@ def parse_bvh_fast(path: str):
         columns = lib.bvh_channel_names(h).decode().splitlines()
         parents_idx = np.ctypeslib.as_array(lib.bvh_parents(h), shape=(J,)).copy()
         offsets_arr = np.ctypeslib.as_array(lib.bvh_offsets(h), shape=(J, 3)).copy()
-        values = np.ctypeslib.as_array(lib.bvh_values(h), shape=(T, C)).astype(np.float64)
+        values = np.ctypeslib.as_array(lib.bvh_values(h), shape=(T, C)).copy()
         frametime = lib.bvh_frametime(h)
     finally:
         lib.bvh_free(h)

@@ -26,7 +26,7 @@ struct Joint {
 
 struct ParseResult {
   std::vector<Joint> joints;
-  std::vector<float> frames;  // T * C row-major
+  std::vector<double> frames;  // T * C row-major (double: parity with the float64 Python/pymo parse)
   long num_frames = 0;
   long num_channels = 0;
   double frametime = 1.0 / 60.0;
@@ -145,7 +145,7 @@ ParseResult* parse_file(const char* path) {
     long cnt = 0;
     while (q < line_end) {
       char* next;
-      float v = std::strtof(q, &next);
+      double v = std::strtod(q, &next);
       if (next == q) break;
       res->frames.push_back(v);
       ++cnt;
@@ -202,7 +202,7 @@ const char* bvh_joint_names(void* h) {
 }
 const int* bvh_parents(void* h) { return static_cast<ParseResult*>(h)->parents.data(); }
 const float* bvh_offsets(void* h) { return static_cast<ParseResult*>(h)->offsets.data(); }
-const float* bvh_values(void* h) { return static_cast<ParseResult*>(h)->frames.data(); }
+const double* bvh_values(void* h) { return static_cast<ParseResult*>(h)->frames.data(); }
 
 void bvh_free(void* h) { delete static_cast<ParseResult*>(h); }
 

@@ -14,7 +14,7 @@ class TestNativeParser:
     def test_matches_python(self, tmp_path):
         path = str(tmp_path / "a.bvh")
         synth_beat_bvh(path, T=200, seed=7)
-        py = P.parse_bvh(path)
+        py = P.parse_bvh_python(path)
         cc = native.parse_bvh_fast(path)
         assert cc.columns == py.columns
         assert cc.names == py.names
@@ -32,9 +32,26 @@ class TestNativeParser:
         path = str(tmp_path / "big.bvh")
         synth_beat_bvh(path, T=4000, seed=8)
         t0 = time.perf_counter()
-        P.parse_bvh(path)
+        P.parse_bvh_python(path)
         t_py = time.perf_counter() - t0
         t0 = time.perf_counter()
         native.parse_bvh_fast(path)
         t_cc = time.perf_counter() - t0
         assert t_cc < t_py  # typically 10-50x
+
+    def test_dispatch_uses_native(self, tmp_path, monkeypatch):
+        """`pipeline.parse_bvh` (the featurizers' entry) routes to the C++
+        parser when available and falls back under DSG_TPU_NO_NATIVE."""
+        path = str(tmp_path / "d.bvh")
+        synth_beat_bvh(path, T=50, seed=9)
+        calls = []
+        orig = native.parse_bvh_fast
+        monkeypatch.setattr(
+            native, "parse_bvh_fast", lambda p: calls.append(p) or orig(p)
+        )
+        out = P.parse_bvh(path)
+        assert calls == [path]
+        monkeypatch.setenv("DSG_TPU_NO_NATIVE", "1")
+        out_py = P.parse_bvh(path)
+        assert len(calls) == 1  # not called again
+        np.testing.assert_allclose(out.values, out_py.values, atol=1e-4)
