@@ -21,6 +21,8 @@ from .sampling import (  # noqa: F401
     SamplerConfig,
     p_sample_loop,
     ddim_sample_loop,
+    ddim_reverse_sample,
+    ddim_reverse_sample_loop,
     plms_sample_loop,
     cfg_combine,
     make_cfg_model_fn,

@@ -177,6 +177,43 @@ def ddim_sample_loop(
     return img
 
 
+def ddim_reverse_sample(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x: jax.Array,
+    t: jax.Array,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+) -> jax.Array:
+    """One DDIM reverse-ODE step x_t → x_{t+1} (ref
+    `gaussian_diffusion.py:851-888`; deterministic encoding direction)."""
+    out = _model_and_stats(sched, model_fn, x, t, cfg)
+    eps = G.predict_eps_from_xstart(sched, x, t, out.pred_xstart)
+    nd = x.ndim
+    alpha_bar_next = G._bcast(sched.alphas_cumprod_next, t, nd)
+    return out.pred_xstart * jnp.sqrt(alpha_bar_next) + jnp.sqrt(1 - alpha_bar_next) * eps
+
+
+def ddim_reverse_sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    x0: jax.Array,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+) -> jax.Array:
+    """Encode x_0 → x_T along the deterministic DDIM ODE (the inversion
+    used for editing/latent-space round trips), as one `lax.scan` over
+    t = 0 … T−1."""
+    B = x0.shape[0]
+
+    def step(img, i):
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        return ddim_reverse_sample(sched, model_fn, img, t, cfg=cfg), None
+
+    out, _ = jax.lax.scan(step, x0, jnp.arange(sched.num_timesteps))
+    return out
+
+
 def plms_sample_loop(
     sched: Schedule,
     model_fn: ModelFn,

@@ -55,6 +55,15 @@ class MDMConfig:
     cond_mode: str = "cross_local_attention3_style1"
     cond_mask_prob: float = 0.1
     window_size: int = 11
+    # Trunk architecture for the NON-cross_local_attention path
+    # (ref `main/model/mdm.py:77-100,297-345`): trans_enc | trans_dec | gru.
+    # NB the reference's trans_dec/gru forward branches reference an
+    # undefined `emb` (`mdm.py:325,331-345`) and raise NameError — verified
+    # unexecutable dead code. These ports use the evident intent,
+    # emb := style/seed embedding + timestep embedding (the same token the
+    # trans_enc branch prepends). cross_local_attention modes ignore arch,
+    # as in the reference.
+    arch: str = "trans_enc"
     attn_impl: str = "xla"
     remat: bool = False
     dtype: Any = jnp.float32
@@ -192,34 +201,67 @@ class MDM(nn.Module):
             h = trunk(x_)
             output = local_block(h)
         else:
-            # plain trans_enc branch (ref `:297-328`): audio (+ style2 embed)
-            # concatenated to the pose features before InputProcess, token
-            # prepended, sinusoidal additive PE instead of RoPE.
-            # NB: the reference's branch references an undefined `emb`
-            # (`main/model/mdm.py:325`) and cannot actually run; this is the
-            # repaired equivalent using the style/seed+timestep token.
+            # plain branches (ref `:297-345`): audio (+ style2 embed / gru
+            # token) concatenated to the pose features before InputProcess,
+            # sinusoidal additive PE instead of RoPE, then the arch trunk.
+            # NB: the reference's trans_enc branch uses the prepended token,
+            # while its trans_dec/gru branches reference an undefined `emb`
+            # (`main/model/mdm.py:325,331-345`) and cannot actually run;
+            # those are repaired here with the same style/seed+timestep
+            # token (memory token for trans_dec, per-frame feature for gru).
+            from .embeddings import sinusoidal_pe
+
             feats = [x.reshape(B, njoints * nfeats, T).transpose(0, 2, 1), enc_audio]
-            if "style2" in cfg.cond_mode:
+            if "style2" in cfg.cond_mode and cfg.arch != "gru":
                 style2 = nn.Dense(cfg.style_dim, name="embed_style")(cond["style"])
                 style2 = mk(style2, cm_rng)
                 feats.append(jnp.broadcast_to(style2[:, None, :], (B, T, cfg.style_dim)))
+            if cfg.arch == "gru":
+                # ref `:310-318`: the conditioning token rides along as a
+                # per-frame input feature (gru_emb_dim = latent_dim)
+                feats.insert(1, jnp.broadcast_to(token[:, None, :], (B, T, D)))
             seq_in = jnp.concatenate(feats, axis=-1)
             h = nn.Dense(D, name="input_process_plain")(seq_in)
-            seq = jnp.concatenate([token[:, None, :], h], axis=1)
-            from .embeddings import sinusoidal_pe
+            pe = jnp.asarray(sinusoidal_pe(5000, D))
 
-            pe = jnp.asarray(sinusoidal_pe(5000, D))[: T + 1]
-            seq = seq + pe[None]
-            output = TorchTransformerEncoder(
-                num_layers=cfg.num_layers,
-                d_model=D,
-                nhead=cfg.num_heads,
-                dim_feedforward=cfg.ff_size,
-                dropout=cfg.dropout,
-                activation=cfg.activation,
-                remat=cfg.remat,
-                name="seqTransEncoder",
-            )(seq, deterministic=not train)[:, 1:]
+            if cfg.arch == "trans_enc":
+                seq = jnp.concatenate([token[:, None, :], h], axis=1)
+                seq = seq + pe[None, : T + 1]
+                output = TorchTransformerEncoder(
+                    num_layers=cfg.num_layers,
+                    d_model=D,
+                    nhead=cfg.num_heads,
+                    dim_feedforward=cfg.ff_size,
+                    dropout=cfg.dropout,
+                    activation=cfg.activation,
+                    remat=cfg.remat,
+                    name="seqTransEncoder",
+                )(seq, deterministic=not train)[:, 1:]
+            elif cfg.arch == "trans_dec":
+                # ref `:331-339`, emb_trans_dec=False: tgt = frames, memory =
+                # the 1-token conditioning embedding; all frames returned.
+                from .transformer import TorchTransformerDecoder
+
+                seq = h + pe[None, :T]
+                output = TorchTransformerDecoder(
+                    num_layers=cfg.num_layers,
+                    d_model=D,
+                    nhead=cfg.num_heads,
+                    dim_feedforward=cfg.ff_size,
+                    dropout=cfg.dropout,
+                    activation=cfg.activation,
+                    name="seqTransDecoder",
+                )(seq, token[:, None, :], deterministic=not train)
+            elif cfg.arch == "gru":
+                # ref `:341-345`: additive PE then a num_layers nn.GRU.
+                from .zeroeggs import TorchGRU
+
+                seq = h + pe[None, :T]
+                output, _ = TorchGRU(
+                    hidden_size=D, num_layers=cfg.num_layers, name="gru"
+                )(seq)
+            else:
+                raise ValueError(f"unknown arch {cfg.arch!r}")
 
         return OutputProcess(
             cfg.input_feats, njoints, nfeats, name="output_process"

@@ -29,16 +29,26 @@ class TorchMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True,
-                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+                 attn_mask: Optional[jax.Array] = None,
+                 kv: Optional[jax.Array] = None) -> jax.Array:
+        """Self-attention over `x`, or cross-attention to `kv` when given
+        (torch semantics: one packed (3D, D) in-proj whose q rows hit the
+        query input and k/v rows the key/value input)."""
         D, H = self.embed_dim, self.num_heads
         head_dim = D // H
-        in_proj = nn.Dense(3 * D, name="in_proj")(x)  # (B, T, 3D)
-        q, k, v = jnp.split(in_proj, 3, axis=-1)
+        in_proj = nn.Dense(3 * D, name="in_proj")
+        if kv is None:
+            q, k, v = jnp.split(in_proj(x), 3, axis=-1)
+        else:
+            # apply the packed projection to each input, keep the right thirds
+            q = jnp.split(in_proj(x), 3, axis=-1)[0]
+            _, k, v = jnp.split(in_proj(kv), 3, axis=-1)
 
-        B, T, _ = x.shape
+        B, T, _ = q.shape
+        S = k.shape[1]
         q = q.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, head_dim).transpose(0, 2, 1, 3)
 
         scale = head_dim**-0.5
         sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
@@ -80,6 +90,69 @@ class TorchEncoderLayer(nn.Module):
         h = nn.Dense(self.d_model, name="linear2")(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        return x
+
+
+class TorchDecoderLayer(nn.Module):
+    """torch-1.9 `nn.TransformerDecoderLayer` (post-norm) parity:
+    self-attn → cross-attn(memory) → FFN, each residual + LayerNorm."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, memory: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        act: Callable = {
+            "gelu": lambda x: nn.gelu(x, approximate=False),
+            "relu": nn.relu,
+        }[self.activation]
+        sa = TorchMultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn"
+        )(x, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+
+        ca = TorchMultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="multihead_attn"
+        )(x, deterministic=deterministic, kv=memory)
+        x = x + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = act(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        return x
+
+
+class TorchTransformerDecoder(nn.Module):
+    """Stack of `TorchDecoderLayer`s (no final norm, torch default)."""
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, memory: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        for i in range(self.num_layers):
+            x = TorchDecoderLayer(
+                self.d_model,
+                self.nhead,
+                self.dim_feedforward,
+                self.dropout,
+                self.activation,
+                name=f"layers_{i}",
+            )(x, memory, deterministic=deterministic)
         return x
 
 
