@@ -69,14 +69,10 @@ def main():
     import jax.numpy as jnp
 
     # persistent compilation cache: repeat bench invocations skip the
-    # multi-minute engine compile
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/dsg_tpu_jax_cache"),
-        )
-    except Exception:
-        pass
+    # multi-minute engine compile (verified effective under axon)
+    from diffusestylegesture_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from diffusestylegesture_tpu import diffusion as D
     from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig
@@ -111,12 +107,14 @@ def main():
         "audio": jnp.zeros((1, T, 1024)),
         "mask_local": jnp.ones((1, T), bool),
     }
-    params32 = MDM(mcfg32).init(
+    # jit the inits: one compiled (and persistently cached) program instead
+    # of thousands of eagerly dispatched ops through the remote tunnel
+    params32 = jax.jit(MDM(mcfg32).init)(
         jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32), cond0
     )
     wavlm = WavLM(wcfg)
     wav_window = jnp.zeros((1, ecfg.samples_per_seed + ecfg.samples_per_stride))
-    wparams32 = wavlm.init(jax.random.PRNGKey(1), wav_window)
+    wparams32 = jax.jit(wavlm.init)(jax.random.PRNGKey(1), wav_window)
 
     def bf16_cast(t):
         return jax.tree.map(

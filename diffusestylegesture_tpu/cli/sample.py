@@ -49,6 +49,10 @@ def main(argv=None):
     p.add_argument("--save_dir", default="./sample_dir")
     args = p.parse_args(argv)
 
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # warm restarts skip the engine compile
+
     cfg = load_yaml_config(args.config)
     os.makedirs(args.save_dir, exist_ok=True)
 

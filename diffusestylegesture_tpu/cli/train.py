@@ -91,6 +91,10 @@ def main(argv=None):
     p.add_argument("--use_mesh", action="store_true")
     args = p.parse_args(argv)
 
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # warm restarts skip the train-step compile
+
     cfg = load_yaml_config(
         args.config,
         {k: getattr(args, k) for k in ("dataset", "name", "num_steps", "batch_size")},

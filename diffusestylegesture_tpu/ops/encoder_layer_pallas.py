@@ -16,13 +16,21 @@ never contribute.
 
 Inference path only (no custom VJP — training uses the Flax layer).
 
-MEASURED (v5e, batch 1, T=88, D=256, 1000-step sampling scan): XLA path
-90 µs/step, this kernel 106 µs/step (bf16-MXU mode; 112 µs full-f32).
-XLA's fusion pipeline is already near-optimal at these shapes — the
-Mosaic per-kernel entry cost outweighs the dispatch savings — so the
-flax trunk remains the default and this kernel is an opt-in
-(`models/fused_mdm.py`). It becomes the better tool when layers grow
-past VMEM-resident shapes or when fusing custom epilogues XLA can't.
+MEASURED on real TPU v5e, compiled (not interpret), 200 chained
+iterations amortizing remote dispatch (`scripts/pallas_microbench.py`,
+results in `PALLAS_MICROBENCH.jsonl`):
+
+  batch 1,  T=89, D=256:  XLA 125 µs/layer, fused 128 µs (0.98×)
+  batch 16, T=89, D=256:  XLA 168 µs/layer, fused 161 µs (1.04×)
+  batch 16 vs the SERVING config (bf16 XLA layer): 165 µs vs 160 µs
+  (+3%); bf16 kernel I/O doesn't help (162 µs) — compute/softmax-bound.
+
+DECISION (round 2): XLA remains the default everywhere. At d=256/T≈89
+the layer is too small for Mosaic to beat XLA's fusion pipeline by the
+≥10% end-to-end bar; the ≤4% best case doesn't pay for a second code
+path in the hot loop. The kernel stays as a correctness-tested,
+on-chip-validated opt-in (`models/fused_mdm.py`); revisit if the trunk
+grows (d≥1024 or long-T variants) where VMEM-resident fusion wins.
 """
 from __future__ import annotations
 

@@ -11,6 +11,14 @@ VMEM; the (w × 2w) score tile, masking, f32 softmax and the value matmul
 all fuse in-register — no (BH, W, w, 2w) score tensor ever reaches HBM.
 The window loop is a static Python range (W = 8 or 10), so Mosaic can
 software-pipeline it.
+
+MEASURED on real TPU v5e, compiled (not interpret), exact match vs the
+XLA path (max_err 0.0), 200 chained iterations
+(`scripts/pallas_microbench.py` → `PALLAS_MICROBENCH.jsonl`): batch 1
+138 µs XLA / 139 µs Pallas; batch 16 220 µs XLA / 251 µs Pallas. The
+11-token windows are far below MXU tile size, so the gather-free XLA
+einsum wins at batch. DECISION (round 2): XLA default, kernel kept as a
+validated opt-in (`attn_impl='pallas'`).
 """
 from __future__ import annotations
 
