@@ -1,0 +1,79 @@
+"""BEAT/TWH sampling CLI integration: torch checkpoint → cli.sample_beat → motion npy.
+
+Covers the precomputed-features path of the reference CLI
+(`BEAT-TWH-main/mydiffusion_beat_twh/sample.py:239-244,271-344`) at the
+real BEAT v0 dimensions (njoints 2052, audio 1434, latent 384) with a
+random-weight converted checkpoint and a short diffusion schedule.
+"""
+import os
+
+import numpy as np
+import yaml
+
+from conftest import requires_reference
+
+MOTION_DIM = 684  # BEAT v0
+
+
+@requires_reference
+def test_sample_beat_cli_end_to_end(tmp_path):
+    import torch
+
+    from ref_compat import import_ref_beat_mdm
+
+    from diffusestylegesture_tpu.cli import sample_beat as cli
+
+    RefMDM = import_ref_beat_mdm()
+    torch.manual_seed(3)
+    ref = RefMDM(
+        modeltype="", njoints=MOTION_DIM * 3, nfeats=1,
+        cond_mode="cross_local_attention4_style1", audio_feat="wavlm",
+        arch="trans_enc", latent_dim=384, n_seed=30, cond_mask_prob=0.1,
+        style_dim=2, source_audio_dim=1434, audio_feat_dim_latent=64,
+    )
+    ref.eval()
+    mdm_pt = str(tmp_path / "model.pt")
+    torch.save(ref.state_dict(), mdm_pt)
+
+    rng = np.random.default_rng(9)
+    mean = rng.standard_normal(MOTION_DIM).astype(np.float32)
+    std = (0.5 + rng.random(MOTION_DIM)).astype(np.float32)
+    np.save(tmp_path / "mean.npy", mean)
+    np.save(tmp_path / "std.npy", std)
+    np.save(
+        tmp_path / "seed.npy",
+        rng.standard_normal((40, MOTION_DIM)).astype(np.float32),
+    )
+    real_n = 100  # < stride 120 → one window, crop exercised
+    np.save(
+        tmp_path / "textaudio.npy",
+        rng.standard_normal((real_n, 1434)).astype(np.float32),
+    )
+
+    cfg = dict(
+        dataset="BEAT", name="DiffuseStyleGesture+", version="v0",
+        n_poses=150, n_seed=30, latent_dim=384, cond_mask_prob=0.1,
+        audio_feat="wavlm", audio_feat_dim_latent=64,
+        noise_schedule="cosine", diffusion_steps=3,
+    )
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    save_dir = str(tmp_path / "out")
+    cli.main([
+        "--config", cfg_path,
+        "--model_path", mdm_pt,
+        "--textaudio_npy", str(tmp_path / "textaudio.npy"),
+        "--seed_gesture_npy", str(tmp_path / "seed.npy"),
+        "--mean_npy", str(tmp_path / "mean.npy"),
+        "--std_npy", str(tmp_path / "std.npy"),
+        "--speaker", "1",
+        "--save_dir", save_dir,
+    ])
+
+    files = [f for f in os.listdir(save_dir) if f.endswith("_motion.npy")]
+    assert len(files) == 1 and "spk1" in files[0]
+    motion = np.load(os.path.join(save_dir, files[0]))
+    assert motion.shape == (real_n, MOTION_DIM)
+    assert np.isfinite(motion).all()
