@@ -116,7 +116,9 @@ class ZeggsSampler:
         self.schedule = schedule
         self.cfg = cfg
         self.sampler_cfg = sampler_cfg
-        self._generate = jax.jit(self._generate_impl, static_argnames=("num_windows",))
+        self._generate = jax.jit(
+            self._generate_impl, static_argnames=("num_windows", "host_feats")
+        )
 
     def _window_sample(self, params, key, wavlm_feats, seed, style, noise=None):
         """One 88-frame window: DDPM chain with seed/style conditioning.
@@ -151,13 +153,20 @@ class ZeggsSampler:
         return loop(self.schedule, model_fn, shape, key, cfg=self.sampler_cfg, noise=noise)
 
     def _generate_impl(self, params, wavlm_params, audio_windows, style, key,
-                       noise_windows=None, *, num_windows):
+                       noise_windows=None, *, num_windows, host_feats=False):
         cfg = self.cfg
         B = style.shape[0]
         n_seed, n_poses = cfg.n_seed, cfg.n_poses
 
-        # One batched audio-encoder pass over all windows.
-        feats = self.wavlm_apply(wavlm_params, audio_windows)  # (W, n_poses, 1024)
+        if host_feats:
+            # features were computed host-side (e.g. the Sphinx-MFCC mode,
+            # reference `inference_mfcc` — offline DSP, not jittable);
+            # audio_windows already holds (W, n_poses, A)
+            feats = audio_windows
+        else:
+            # One batched audio-encoder pass over all windows, inside the
+            # compiled program.
+            feats = self.wavlm_apply(wavlm_params, audio_windows)  # (W, n_poses, 1024)
 
         # static crossfade weights over the n_seed overlap frames
         if cfg.crossfade_n is None:
@@ -222,10 +231,13 @@ class ZeggsSampler:
         style = jnp.atleast_2d(jnp.asarray(style, jnp.float32))
         if noise_windows is not None:
             noise_windows = jnp.asarray(noise_windows, jnp.float32)
+        host_feats = bool(getattr(self.wavlm_apply, "host_side", False))
+        if host_feats:
+            windows = np.asarray(self.wavlm_apply(wavlm_params, windows))
         out = self._generate(
             params, wavlm_params, jnp.asarray(windows), style, key,
             noise_windows,
-            num_windows=num_windows,
+            num_windows=num_windows, host_feats=host_feats,
         )
         seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
         if std is not None:
@@ -358,4 +370,5 @@ def make_mfcc_window_fn(n_poses: int = 88, fps: int = 20):
             feats.append(m[:n_poses])
         return jnp.asarray(np.stack(feats), jnp.float32)
 
+    fn.host_side = True  # ZeggsSampler runs this OUTSIDE the compiled program
     return fn

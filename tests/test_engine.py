@@ -146,6 +146,33 @@ class TestEditing:
         assert np.abs(out2[:, 3:] - refm[:, 3:]).max() > 1e-3
 
 
+class TestMfccMode:
+    def test_mfcc_window_fn_through_engine(self):
+        """MFCC conditioning path (reference `inference_mfcc`,
+        `main/mydiffusion_zeggs/sample.py:59-207`): per-window 13-d Sphinx
+        cepstra at the motion rate instead of WavLM features."""
+        from diffusestylegesture_tpu.sample import make_mfcc_window_fn
+
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        mfcc_fn = make_mfcc_window_fn(n_poses=cfg.n_poses, fps=cfg.fps)
+        rng = np.random.default_rng(4)
+        audio = rng.standard_normal(cfg.samples_per_stride * 2).astype(np.float32)
+
+        # the feature fn itself: (W, S) → (W, n_poses, 13)
+        windows = slice_audio_windows(audio, cfg)
+        feats = np.asarray(mfcc_fn(None, windows))
+        assert feats.shape == (2, cfg.n_poses, 13)
+        assert np.isfinite(feats).all()
+        assert np.abs(feats).max() > 0  # real cepstra, not zeros
+
+        eng = ZeggsSampler(toy_model_apply, mfcc_fn, SCHED, cfg)
+        out = eng.generate(
+            {}, {}, audio, np.eye(6, dtype=np.float32)[:1], jax.random.PRNGKey(0)
+        )
+        assert out.shape == (1, 2 * cfg.stride - cfg.n_seed, NJ)
+        assert np.isfinite(out).all()
+
+
 class TestMultiClip:
     def test_different_lengths(self):
         from diffusestylegesture_tpu.sample.engine import generate_multi_clip
