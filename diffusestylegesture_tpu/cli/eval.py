@@ -1,0 +1,99 @@
+"""Gesture evaluation CLI.
+
+The reference evaluated gesture quality externally (GENEA human eval;
+its in-repo FID suite targets text-to-motion only and is unwired,
+`main/eval/eval_humanml.py`). This CLI makes checkpoint comparison
+automatic with the framework-native metrics:
+
+  python -m diffusestylegesture_tpu.cli.eval \
+      --generated gen_dir/ --reference ref_dir/ [--wav audio_dir/] \
+      [--fps 20] [--window 40]
+
+`--generated` / `--reference` accept a directory of `.npy` pose-feature
+clips (T, D) or a single `.npy`. Reported:
+  * FGD between windowed feature distributions (Fréchet distance over
+    flattened `--window`-frame windows — the raw-feature FGD variant used
+    when no trained embedding network is available),
+  * diversity of both sets,
+  * beat-alignment vs audio onsets when `--wav` is given (matched by
+    filename stem).
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from ..eval.metrics import beat_alignment, diversity, frechet_distance
+
+
+def load_clips(path: str):
+    if os.path.isdir(path):
+        files = sorted(f for f in os.listdir(path) if f.endswith(".npy"))
+        return {f[:-4]: np.load(os.path.join(path, f)) for f in files}
+    return {os.path.basename(path)[:-4]: np.load(path)}
+
+
+def windowed_features(clips, window: int, stride: int):
+    """{name: (T, D)} → (N, window*D) stacked windows."""
+    rows = []
+    for arr in clips.values():
+        arr = np.asarray(arr, np.float32)
+        for s in range(0, max(1, len(arr) - window + 1), stride):
+            w = arr[s : s + window]
+            if len(w) == window:
+                rows.append(w.reshape(-1))
+    if not rows:
+        raise SystemExit(f"no complete {window}-frame windows found")
+    return np.stack(rows)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="gesture metrics (FGD etc.)")
+    p.add_argument("--generated", required=True)
+    p.add_argument("--reference", required=True)
+    p.add_argument("--wav", default=None, help="dir of wavs matched by stem")
+    p.add_argument("--fps", type=float, default=20.0)
+    p.add_argument("--window", type=int, default=40)
+    p.add_argument("--stride", type=int, default=20)
+    p.add_argument("--sigma", type=float, default=0.1)
+    args = p.parse_args(argv)
+
+    gen = load_clips(args.generated)
+    ref = load_clips(args.reference)
+
+    gf = windowed_features(gen, args.window, args.stride)
+    rf = windowed_features(ref, args.window, args.stride)
+    out = {
+        "fgd": frechet_distance(gf, rf),
+        "diversity_generated": diversity(gf, min(300, len(gf) * 2)),
+        "diversity_reference": diversity(rf, min(300, len(rf) * 2)),
+        "n_windows_generated": int(len(gf)),
+        "n_windows_reference": int(len(rf)),
+    }
+
+    if args.wav:
+        from ..audio.features import detect_onsets
+        from ..data.zeggs import load_wav_16k
+
+        scores = []
+        for name, motion in gen.items():
+            wav_path = os.path.join(args.wav, name + ".wav")
+            if not os.path.exists(wav_path):
+                continue
+            onsets = detect_onsets(load_wav_16k(wav_path))
+            score = beat_alignment(motion, onsets, args.fps, sigma=args.sigma)
+            if np.isfinite(score):
+                scores.append(score)
+        out["beat_alignment"] = float(np.mean(scores)) if scores else None
+        out["beat_alignment_clips"] = len(scores)
+
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

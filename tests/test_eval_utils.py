@@ -77,9 +77,59 @@ class TestMultiHost:
         np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
 
 
+class TestEvalCLI:
+    def test_metrics_over_npy_dirs(self, tmp_path, capsys):
+        import json
+
+        from diffusestylegesture_tpu.cli.eval import main
+
+        rng = np.random.default_rng(0)
+        gen_dir, ref_dir, wav_dir = (tmp_path / d for d in ("g", "r", "w"))
+        for d in (gen_dir, ref_dir, wav_dir):
+            d.mkdir()
+        for i in range(3):
+            # generated drawn from a shifted distribution → positive FGD
+            np.save(gen_dir / f"clip{i}.npy",
+                    rng.standard_normal((120, 9)).astype(np.float32) + 0.5)
+            np.save(ref_dir / f"clip{i}.npy",
+                    rng.standard_normal((120, 9)).astype(np.float32))
+            from scipy.io import wavfile
+
+            t = np.arange(16000 * 2) / 16000
+            sig = (np.sin(2 * np.pi * 440 * t) * ((t * 4) % 1 < 0.1) * 10000)
+            wavfile.write(str(wav_dir / f"clip{i}.wav"), 16000, sig.astype(np.int16))
+
+        out = main([
+            "--generated", str(gen_dir), "--reference", str(ref_dir),
+            "--wav", str(wav_dir), "--fps", "20",
+            "--window", "20", "--stride", "10",
+        ])
+        printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert printed == out
+        assert out["fgd"] > 0
+        assert out["n_windows_generated"] == out["n_windows_reference"] > 0
+        assert out["diversity_generated"] > 0
+        assert out["beat_alignment_clips"] == 3
+        assert 0 <= out["beat_alignment"] <= 1
+
+    def test_identical_sets_have_zero_fgd(self, tmp_path):
+        from diffusestylegesture_tpu.cli.eval import main
+
+        rng = np.random.default_rng(1)
+        d = tmp_path / "x"
+        d.mkdir()
+        np.save(d / "a.npy", rng.standard_normal((200, 6)).astype(np.float32))
+        out = main([
+            "--generated", str(d), "--reference", str(d),
+            "--window", "10", "--stride", "5",
+        ])
+        assert abs(out["fgd"]) < 1e-3
+
+
 class TestCLIImports:
     def test_all_cli_modules_import(self):
         import importlib
 
-        for m in ("train", "sample", "sample_beat", "prepare_data", "convert_ckpt"):
+        for m in ("train", "sample", "sample_beat", "prepare_data", "convert_ckpt",
+                  "zeroeggs", "eval"):
             importlib.import_module(f"diffusestylegesture_tpu.cli.{m}")
