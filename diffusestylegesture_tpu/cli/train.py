@@ -89,6 +89,8 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_mesh", action="store_true")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel degree over the 'model' mesh axis")
     args = p.parse_args(argv)
 
     from ..utils.compile_cache import enable_persistent_cache
@@ -139,7 +141,8 @@ def main(argv=None):
             log_interval=cfg.get("log_interval", 50),
             save_interval=cfg.get("save_interval", 50000),
             checkpoint_dir=cfg.get("save_dir"),
-            use_mesh=args.use_mesh,
+            use_mesh=args.use_mesh or args.tp > 1,
+            tensor_parallel=args.tp,
         ),
         cond_builder=builder,
         seed=args.seed,

@@ -33,6 +33,10 @@ class LoopConfig:
     save_interval: int = 50_000
     checkpoint_dir: Optional[str] = None
     use_mesh: bool = False
+    # tensor-parallel degree over the 'model' mesh axis (0/1 = pure DP).
+    # Requires use_mesh; the trunk's matmuls shard Megatron-style via
+    # `parallel.tp.mdm_param_specs` and GSPMD inserts the psums over ICI.
+    tensor_parallel: int = 0
 
 
 class TrainLoop:
@@ -51,7 +55,14 @@ class TrainLoop:
         self.schedule = schedule
         self.data = data
         self.logger = KVLogger()
-        self.mesh = make_mesh() if loop_cfg.use_mesh else None
+        tp = max(1, loop_cfg.tensor_parallel)
+        if loop_cfg.use_mesh and tp > 1:
+            n = len(jax.devices())
+            if n % tp:
+                raise ValueError(f"tensor_parallel={tp} does not divide {n} devices")
+            self.mesh = make_mesh(axes=("data", "model"), shape=(n // tp, tp))
+        else:
+            self.mesh = make_mesh() if loop_cfg.use_mesh else None
 
         step_fn = make_train_step(model_apply, schedule, train_cfg, cond_builder)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
@@ -59,6 +70,17 @@ class TrainLoop:
         self.state = create_train_state(params, train_cfg, schedule.num_timesteps)
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
+            if tp > 1:
+                from ..parallel import mdm_param_specs, shard_params
+
+                specs = mdm_param_specs(self.state.params["params"])
+                self.state = self.state.replace(
+                    params={
+                        "params": shard_params(
+                            self.mesh, self.state.params["params"], specs
+                        )
+                    }
+                )
 
         self.ckpt = (
             CheckpointManager(loop_cfg.checkpoint_dir)

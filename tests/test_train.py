@@ -281,6 +281,49 @@ class TestLossAwareSampler:
         )
 
 
+class TestLoopTensorParallel:
+    def test_loop_with_tp_matches_single_device(self):
+        """TrainLoop(use_mesh, tensor_parallel=2) reproduces the
+        single-device step numerics (DP×TP is a pure layout change)."""
+        _, params, apply = make_model_and_params()
+        cfg = TrainConfig(lr=1e-3)
+        # the loop's jitted step donates its state — give each loop its own
+        # copy of the initial params
+        copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+
+        loop = TrainLoop(
+            apply, SCHED, copy(params), data_iter(3),
+            train_cfg=cfg,
+            loop_cfg=LoopConfig(num_steps=3, log_interval=100, save_interval=0,
+                                use_mesh=True, tensor_parallel=2),
+            cond_builder=make_zeggs_cond_builder(4),
+            seed=5,
+        )
+        state_tp = loop.run()
+        assert int(np.asarray(state_tp.step)) == 3
+
+        loop1 = TrainLoop(
+            apply, SCHED, copy(params), data_iter(3),
+            train_cfg=cfg,
+            loop_cfg=LoopConfig(num_steps=3, log_interval=100, save_interval=0),
+            cond_builder=make_zeggs_cond_builder(4),
+            seed=5,
+        )
+        state_1 = loop1.run()
+        l_tp = jax.tree_util.tree_leaves(state_tp.params)[0]
+        l_1 = jax.tree_util.tree_leaves(state_1.params)[0]
+        np.testing.assert_allclose(np.asarray(l_tp), np.asarray(l_1), atol=2e-5)
+
+    def test_bad_tp_degree_raises(self):
+        _, params, apply = make_model_and_params()
+        with pytest.raises(ValueError):
+            TrainLoop(
+                apply, SCHED, params, data_iter(1),
+                loop_cfg=LoopConfig(use_mesh=True, tensor_parallel=3),
+                cond_builder=make_zeggs_cond_builder(4),
+            )
+
+
 class TestDeviceCache:
     def test_device_resident_training(self):
         from diffusestylegesture_tpu.data.device_cache import (
