@@ -56,13 +56,16 @@ class MDMConfig:
     cond_mask_prob: float = 0.1
     window_size: int = 11
     # Trunk architecture for the NON-cross_local_attention path
-    # (ref `main/model/mdm.py:77-100,297-345`): trans_enc | trans_dec | gru.
-    # NB the reference's trans_dec/gru forward branches reference an
-    # undefined `emb` (`mdm.py:325,331-345`) and raise NameError — verified
-    # unexecutable dead code. These ports use the evident intent,
-    # emb := style/seed embedding + timestep embedding (the same token the
-    # trans_enc branch prepends). cross_local_attention modes ignore arch,
-    # as in the reference.
+    # (ref `main/model/mdm.py:77-100,297-356`): trans_enc | trans_dec |
+    # gru | mytrans_enc. NB the reference's trans_dec/gru/mytrans_enc
+    # forward branches reference an undefined `emb` (`mdm.py:325,331-356`)
+    # and raise NameError (mytrans_enc additionally fails to import on any
+    # torch ≥1.10: `myactivation.py:7` uses the removed `_LinearWithBias`)
+    # — verified unexecutable dead code. These ports use the evident
+    # intent, emb := style/seed embedding + timestep embedding (the same
+    # token the trans_enc branch prepends); mytrans_enc = trans_enc with
+    # RoFormer rotary positions instead of additive sinusoidal PE.
+    # cross_local_attention modes ignore arch, as in the reference.
     arch: str = "trans_enc"
     attn_impl: str = "xla"
     remat: bool = False
@@ -224,9 +227,14 @@ class MDM(nn.Module):
             h = nn.Dense(D, name="input_process_plain")(seq_in)
             pe = jnp.asarray(sinusoidal_pe(5000, D))
 
-            if cfg.arch == "trans_enc":
+            if cfg.arch in ("trans_enc", "mytrans_enc"):
                 seq = jnp.concatenate([token[:, None, :], h], axis=1)
-                seq = seq + pe[None, : T + 1]
+                if cfg.arch == "mytrans_enc":
+                    # ref `:347-356`: RoFormer rotary over the full latent
+                    # instead of additive PE
+                    seq = self._rope(seq)
+                else:
+                    seq = seq + pe[None, : T + 1]
                 output = TorchTransformerEncoder(
                     num_layers=cfg.num_layers,
                     d_model=D,

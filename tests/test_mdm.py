@@ -245,7 +245,7 @@ class TestArchVariants:
         }
         return x, t, cond
 
-    @pytest.mark.parametrize("arch", ["trans_dec", "gru"])
+    @pytest.mark.parametrize("arch", ["trans_dec", "gru", "mytrans_enc"])
     def test_forward(self, arch):
         model = MDM(small_cfg(cond_mode="style1", audio_feat="mfcc", arch=arch))
         x, t, cond = self._inputs()
@@ -254,7 +254,7 @@ class TestArchVariants:
         assert out.shape == (B, NJ, 1, T)
         assert np.isfinite(np.asarray(out)).all()
 
-    @pytest.mark.parametrize("arch", ["trans_dec", "gru"])
+    @pytest.mark.parametrize("arch", ["trans_dec", "gru", "mytrans_enc"])
     def test_conditioning_token_used(self, arch):
         """Changing the style must change the output (the repaired `emb`
         is actually wired into the trunk)."""
