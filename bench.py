@@ -63,10 +63,86 @@ def _cost_flops(jitted, *args) -> float:
         return 0.0
 
 
+def bench_train():
+    """BENCH_MODE=train: flagship ZEGGS train step throughput at the
+    reference configuration (batch 300 × (88, 1141), full MDM, AdamW) —
+    the reference's released checkpoint took 450k of these steps."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusestylegesture_tpu import diffusion as D
+    from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig
+    from diffusestylegesture_tpu.train import TrainConfig, create_train_state, make_train_step
+    from diffusestylegesture_tpu.train.state import make_zeggs_cond_builder
+    from diffusestylegesture_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "300"))
+    T = 88
+    mcfg = MDMConfig()
+    model = MDM(mcfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "motion": rng.standard_normal((B, T, mcfg.njoints)).astype(np.float32),
+        "style": np.eye(6, dtype=np.float32)[rng.integers(0, 6, B)],
+        "wavlm": rng.standard_normal((B, T, 1024)).astype(np.float32),
+    }
+    x = jnp.zeros((B, mcfg.njoints, 1, T))
+    cond = {
+        "seed": x[..., : mcfg.n_seed],
+        "style": jnp.asarray(batch["style"]),
+        "audio": jnp.asarray(batch["wavlm"]),
+        "mask_local": jnp.ones((B, T), bool),
+    }
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond
+    )
+
+    def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
+        return model.apply(p, xx, tt, cc, train=train, rngs=rngs, uncond=uncond)
+
+    sched = D.Schedule.create(D.named_beta_schedule("cosine", 1000))
+    tcfg = TrainConfig(lr=3e-5)
+    step = jax.jit(
+        make_train_step(apply, sched, tcfg, make_zeggs_cond_builder(mcfg.n_seed)),
+        donate_argnums=(0,),
+    )
+    state = create_train_state(params, tcfg, 1000)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(state.params)
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / n
+    sps = 1.0 / dt
+    hours_450k = 450_000 * dt / 3600.0
+    dev = jax.devices()[0]
+    print(
+        json.dumps(
+            {
+                "metric": "zeggs_train_steps_per_sec_per_chip",
+                "value": round(sps, 3),
+                "unit": "steps/s (batch %d x (88,1141) full MDM+AdamW on %s; "
+                "%.0f ms/step, released 450k-step schedule = %.1f h)"
+                % (B, getattr(dev, "device_kind", dev.platform), dt * 1e3, hours_450k),
+                "vs_baseline": round(sps, 3),
+            }
+        )
+    )
+
+
 def main():
     # Real hardware path: do NOT force CPU. Allow override via env.
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("BENCH_MODE", "") == "train":
+        bench_train()
+        return
 
     # persistent compilation cache: repeat bench invocations skip the
     # multi-minute engine compile (verified effective under axon)
