@@ -15,7 +15,7 @@ Masks are built in the (B, C, 1, T) tensor layout of the gesture models:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

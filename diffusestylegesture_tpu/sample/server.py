@@ -31,7 +31,7 @@ from typing import List, Optional, Sequence
 import jax
 import numpy as np
 
-from .engine import ZeggsEngineConfig, ZeggsSampler, slice_audio_windows
+from .engine import ZeggsSampler, slice_audio_windows
 
 
 @dataclasses.dataclass(frozen=True)
