@@ -103,6 +103,13 @@ def bench_train():
     def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
         return model.apply(p, xx, tt, cc, train=train, rngs=rngs, uncond=uncond)
 
+    # device-resident batch: steady-state training streams windows from the
+    # on-device cache (`data/device_cache.py`), so the steady-state step must
+    # not re-upload ~230 MB of host arrays per step (which dominates through
+    # a remote-dispatch tunnel).
+    batch = jax.device_put(batch)
+    jax.block_until_ready(batch)
+
     sched = D.Schedule.create(D.named_beta_schedule("cosine", 1000))
     tcfg = TrainConfig(lr=3e-5)
     step = jax.jit(
