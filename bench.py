@@ -170,9 +170,21 @@ def main():
     steps = int(os.environ.get("BENCH_DIFFUSION_STEPS", "1000"))
     big_batch = int(os.environ.get("BENCH_BATCH", "16"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # BENCH_RESPACE=ddimN: serve with an N-step respaced DDIM chain instead
+    # of the full 1000-step ancestral chain (the reference supports ddimN
+    # respacing but never uses it; quality/speed tradeoff documented in
+    # ROADMAP.md).
+    respace = os.environ.get("BENCH_RESPACE", "")
 
-    ecfg = ZeggsEngineConfig()
-    sched = D.Schedule.create(D.named_beta_schedule("cosine", steps))
+    ecfg = ZeggsEngineConfig(sampler="ddim" if respace else "ddpm")
+    if respace:
+        sched = D.spaced_schedule(
+            D.named_beta_schedule("cosine", steps), D.space_timesteps(steps, respace)
+        )
+        steps_label = f"{steps}-respaced-{respace}"
+    else:
+        sched = D.Schedule.create(D.named_beta_schedule("cosine", steps))
+        steps_label = str(steps)
     wcfg = WavLMConfig()  # Large: 24 layers, d=1024
 
     rng = np.random.default_rng(0)
@@ -262,7 +274,7 @@ def main():
     )
     wl_params = bf16_cast(wparams32) if bf16_ok else wparams32
     wavlm_flops = _cost_flops(jax.jit(wavlm_fn), wl_params, wav_in)
-    total_flops = den_flops * steps * windows + wavlm_flops
+    total_flops = den_flops * sched.num_timesteps * windows + wavlm_flops
     frames_big = out_big.shape[0] * out_big.shape[1]
     mfu = (
         total_flops / dt_big / _chip_peak_flops(dev) if total_flops and dt_big else 0.0
@@ -273,11 +285,11 @@ def main():
         "metric": "zeggs_gen_frames_per_sec_per_chip",
         "value": round(headline_fps, 3),
         "unit": (
-            "frames/s (DDPM-%d+WavLM-Large, %s batch %d on %s; "
+            "frames/s (DDPM-%s+WavLM-Large, %s batch %d on %s; "
             "b1 f32 %.0f fps, b1 bf16 %.0f fps, bf16 rms/max-err %.3g/%.3g%s; "
             "%.1f GFLOP/frame, MFU %.1f%%, wall %.2fs)"
             % (
-                steps,
+                steps_label,
                 "bf16" if bf16_ok else "f32",
                 big_batch,
                 getattr(dev, "device_kind", dev.platform),

@@ -37,7 +37,15 @@ def main(argv=None):
     p.add_argument("--dataset", default=None)
     p.add_argument("--name", default=None)
     p.add_argument("--model_path", required=True)
-    p.add_argument("--textaudio_npy", required=True)
+    p.add_argument("--textaudio_npy", default=None,
+                   help="precomputed fused text+audio features (T, A)")
+    # live-feature path (ref `sample.py:248-266`): wav + aligned-word tsv
+    p.add_argument("--wav", default=None)
+    p.add_argument("--tsv", default=None)
+    p.add_argument("--word_vectors", default=None,
+                   help="fastText .vec file for the tsv words")
+    p.add_argument("--wavlm_path", default=None,
+                   help="WavLM .pt; zeros substituted when omitted")
     p.add_argument("--seed_gesture_npy", required=True,
                    help="(n_seed+2, motion_dim) raw reference clip")
     p.add_argument("--mean_npy", required=True)
@@ -69,7 +77,41 @@ def main(argv=None):
 
     mean = np.load(args.mean_npy)
     std = np.load(args.std_npy)
-    textaudio = np.load(args.textaudio_npy)
+    if args.textaudio_npy:
+        textaudio = np.load(args.textaudio_npy)
+    elif args.wav and args.tsv:
+        # live features (ref `sample.py:248-266`): 1133-d audio + 301/302-d
+        # aligned-text vectors, concatenated audio-first
+        from ..data.beat_twh import load_audio_features
+        from ..data.text import load_tsv, load_word_vectors
+        from ..data.zeggs import load_wav_16k
+
+        wav = load_wav_16k(args.wav)
+        wavlm_feats = None
+        if args.wavlm_path:
+            import jax.numpy as jnp
+
+            from ..models.wavlm import (
+                WavLM,
+                load_wavlm_checkpoint,
+                make_twh_wavlm_fn,
+            )
+
+            wcfg, wparams = load_wavlm_checkpoint(args.wavlm_path)
+            twh_fn = make_twh_wavlm_fn(WavLM(wcfg))
+            wavlm_feats = np.asarray(twh_fn(wparams, jnp.asarray(wav)))
+        audio_feats = load_audio_features(wav, 16000, wavlm_feats)
+        w2v = load_word_vectors(args.word_vectors) if args.word_vectors else {}
+        text = load_tsv(
+            args.tsv, w2v, len(audio_feats),
+            laughter_flag=(cfg.dataset == "TWH"),
+        )
+        textaudio = np.concatenate([audio_feats, text], axis=-1)
+        assert textaudio.shape[1] == cfg.audio_feature_dim, (
+            textaudio.shape, cfg.audio_feature_dim
+        )
+    else:
+        raise SystemExit("provide --textaudio_npy or (--wav and --tsv)")
     seed_raw = np.load(args.seed_gesture_npy)[: cfg.n_seed + 2]
     seed = prepare_seed_gesture(seed_raw, mean, std)
 

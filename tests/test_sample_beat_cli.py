@@ -77,3 +77,36 @@ def test_sample_beat_cli_end_to_end(tmp_path):
     motion = np.load(os.path.join(save_dir, files[0]))
     assert motion.shape == (real_n, MOTION_DIM)
     assert np.isfinite(motion).all()
+
+    # ---- live-feature path (ref `sample.py:248-266`): wav + tsv in ----
+    from scipy.io import wavfile
+
+    secs = 3.4  # ~102 frames at 30 fps
+    t = np.arange(int(16000 * secs)) / 16000
+    wav_path = str(tmp_path / "live.wav")
+    wavfile.write(
+        wav_path, 16000,
+        (np.sin(2 * np.pi * 220 * t) * 8000).astype(np.int16),
+    )
+    tsv_path = str(tmp_path / "live.tsv")
+    with open(tsv_path, "w") as f:
+        f.write("0.10\t0.55\thello\n0.60\t1.20\tworld\n")
+
+    save_dir2 = str(tmp_path / "out_live")
+    cli.main([
+        "--config", cfg_path,
+        "--model_path", mdm_pt,
+        "--wav", wav_path,
+        "--tsv", tsv_path,
+        "--seed_gesture_npy", str(tmp_path / "seed.npy"),
+        "--mean_npy", str(tmp_path / "mean.npy"),
+        "--std_npy", str(tmp_path / "std.npy"),
+        "--speaker", "0",
+        "--save_dir", save_dir2,
+    ])
+    files2 = [f for f in os.listdir(save_dir2) if f.endswith("_motion.npy")]
+    assert len(files2) == 1
+    motion2 = np.load(os.path.join(save_dir2, files2[0]))
+    assert motion2.shape[1] == MOTION_DIM
+    assert 95 <= motion2.shape[0] <= 105  # ~3.4 s at 30 fps (feature crop)
+    assert np.isfinite(motion2).all()
