@@ -60,6 +60,12 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=40)
     p.add_argument("--stride", type=int, default=20)
     p.add_argument("--sigma", type=float, default=0.1)
+    p.add_argument("--embedding", choices=["raw", "autoencoder"], default="raw",
+                   help="FGD feature space: raw windows, or the latent of an "
+                        "autoencoder trained on the reference set (Yoon et "
+                        "al. 2020 convention)")
+    p.add_argument("--ae_steps", type=int, default=500)
+    p.add_argument("--ae_latent", type=int, default=128)
     args = p.parse_args(argv)
 
     gen = load_clips(args.generated)
@@ -67,8 +73,21 @@ def main(argv=None):
 
     gf = windowed_features(gen, args.window, args.stride)
     rf = windowed_features(ref, args.window, args.stride)
+
+    if args.embedding == "autoencoder":
+        from ..eval.embedding import AEConfig, embed_windows, train_autoencoder
+
+        D = next(iter(ref.values())).shape[1]
+        cfg = AEConfig(window=args.window, feat_dim=D, latent=args.ae_latent)
+        rw = rf.reshape(-1, args.window, D)
+        gw = gf.reshape(-1, args.window, D)
+        params, ae_loss = train_autoencoder(rw, cfg, num_steps=args.ae_steps)
+        gf = embed_windows(params, cfg, gw)
+        rf = embed_windows(params, cfg, rw)
+
     out = {
         "fgd": frechet_distance(gf, rf),
+        "embedding": args.embedding,
         "diversity_generated": diversity(gf, min(300, len(gf) * 2)),
         "diversity_reference": diversity(rf, min(300, len(rf) * 2)),
         "n_windows_generated": int(len(gf)),

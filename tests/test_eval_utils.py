@@ -112,6 +112,30 @@ class TestEvalCLI:
         assert out["beat_alignment_clips"] == 3
         assert 0 <= out["beat_alignment"] <= 1
 
+    def test_autoencoder_embedding_fgd(self, tmp_path):
+        """AE-latent FGD: ~0 for identical sets, positive for a clearly
+        different motion distribution."""
+        from diffusestylegesture_tpu.cli.eval import main
+
+        rng = np.random.default_rng(7)
+        ref_dir, gen_dir = tmp_path / "r", tmp_path / "g"
+        ref_dir.mkdir(), gen_dir.mkdir()
+        t = np.linspace(0, 8 * np.pi, 160)[:, None]
+        for i in range(3):
+            # reference: smooth sinusoidal motion; generated: noise
+            np.save(ref_dir / f"c{i}.npy",
+                    (np.sin(t + i) * np.ones((1, 6))).astype(np.float32))
+            np.save(gen_dir / f"c{i}.npy",
+                    rng.standard_normal((160, 6)).astype(np.float32))
+        args = ["--window", "20", "--stride", "10",
+                "--embedding", "autoencoder", "--ae_steps", "120",
+                "--ae_latent", "8"]
+        out_diff = main(["--generated", str(gen_dir), "--reference", str(ref_dir)] + args)
+        out_same = main(["--generated", str(ref_dir), "--reference", str(ref_dir)] + args)
+        assert out_diff["embedding"] == "autoencoder"
+        assert out_same["fgd"] < 1e-3
+        assert out_diff["fgd"] > 10 * max(out_same["fgd"], 1e-6)
+
     def test_identical_sets_have_zero_fgd(self, tmp_path):
         from diffusestylegesture_tpu.cli.eval import main
 
