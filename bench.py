@@ -169,7 +169,7 @@ def main():
     seconds = float(os.environ.get("BENCH_SECONDS", "20"))
     steps = int(os.environ.get("BENCH_DIFFUSION_STEPS", "1000"))
     big_batch = int(os.environ.get("BENCH_BATCH", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     # BENCH_RESPACE=ddimN: serve with an N-step respaced DDIM chain instead
     # of the full 1000-step ancestral chain (the reference supports ddimN
     # respacing but never uses it; quality/speed tradeoff documented in
