@@ -220,11 +220,18 @@ class ZeggsSampler:
         mean: Optional[np.ndarray] = None,
         std: Optional[np.ndarray] = None,
         noise_windows: Optional[np.ndarray] = None,
+        mesh=None,
     ) -> np.ndarray:
         """Full pipeline: audio → (B, T_frames, njoints) un-normalized poses.
 
         `noise_windows` (num_windows, B, njoints, 1, n_poses) injects each
         window's initial x_T for deterministic cross-framework comparison.
+
+        `mesh`: a `jax.sharding.Mesh` with a 'data' axis → multi-chip
+        serving: the style batch (and injected noise) shard over the axis,
+        params/audio features replicate, and GSPMD partitions the whole
+        windowed scan — batch-16 throughput scales ~linearly with chips
+        since the chains are independent.
         """
         windows = slice_audio_windows(np.asarray(audio, np.float32), self.cfg)
         num_windows = windows.shape[0]
@@ -234,8 +241,22 @@ class ZeggsSampler:
         host_feats = bool(getattr(self.wavlm_apply, "host_side", False))
         if host_feats:
             windows = np.asarray(self.wavlm_apply(wavlm_params, windows))
+        windows = jnp.asarray(windows)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_shard = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            style = jax.device_put(style, batch_shard)
+            windows = jax.device_put(windows, repl)
+            params = jax.device_put(params, repl)
+            wavlm_params = jax.device_put(wavlm_params, repl)
+            if noise_windows is not None:
+                noise_windows = jax.device_put(
+                    noise_windows, NamedSharding(mesh, P(None, "data"))
+                )
         out = self._generate(
-            params, wavlm_params, jnp.asarray(windows), style, key,
+            params, wavlm_params, windows, style, key,
             noise_windows,
             num_windows=num_windows, host_feats=host_feats,
         )

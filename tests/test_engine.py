@@ -146,6 +146,27 @@ class TestEditing:
         assert np.abs(out2[:, 3:] - refm[:, 3:]).max() > 1e-3
 
 
+class TestMeshServing:
+    def test_sharded_generate_matches_single_device(self):
+        """generate(mesh=...) with the batch sharded over 8 virtual devices
+        reproduces the single-device output (pure layout change)."""
+        from diffusestylegesture_tpu.parallel import make_mesh
+
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        rng = np.random.default_rng(6)
+        audio = rng.standard_normal(cfg.samples_per_stride * 2).astype(np.float32)
+        styles = np.eye(6, dtype=np.float32)[np.arange(8) % 6]
+        noise = rng.standard_normal((2, 8, NJ, 1, cfg.n_poses)).astype(np.float32)
+
+        single = eng.generate({}, {}, audio, styles, jax.random.PRNGKey(3),
+                              noise_windows=noise)
+        mesh = make_mesh()
+        sharded = eng.generate({}, {}, audio, styles, jax.random.PRNGKey(3),
+                               noise_windows=noise, mesh=mesh)
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 class TestMfccMode:
     def test_mfcc_window_fn_through_engine(self):
         """MFCC conditioning path (reference `inference_mfcc`,
