@@ -131,7 +131,7 @@ def cmd_prepare(args) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _build_networks(cfg_dict, audio_dim):
+def _build_networks(cfg_dict):
     from ..models.zeroeggs import (
         SpeechEncoder,
         StyleEncoderVAE,
@@ -143,7 +143,6 @@ def _build_networks(cfg_dict, audio_dim):
     sp = SpeechEncoder(hidden_size=cfg.hidden_size, output_size=cfg.speech_encoding_size)
     st = StyleEncoderVAE(cfg.hidden_size, cfg.style_embedding_size)
     dec = ZeroEGGSDecoder(cfg)
-    del audio_dim
     return cfg, sp, st, dec
 
 
@@ -169,7 +168,7 @@ def cmd_train(args) -> None:
         style_embedding_size=args.style_embedding_size,
         num_rnn_layers=args.num_rnn_layers,
     )
-    cfg, sp, st, dec = _build_networks(cfg_dict, audio_dim)
+    cfg, sp, st, dec = _build_networks(cfg_dict)
 
     stats = {k: jnp.asarray(v) for k, v in stats_np.items()}
     key = jax.random.PRNGKey(args.seed)
