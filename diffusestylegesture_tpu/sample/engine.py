@@ -277,6 +277,7 @@ def generate_multi_clip(
     key,
     mean=None,
     std=None,
+    noise_windows=None,  # (w_max, n_clips, njoints, 1, n_poses) injected x_T
 ):
     """Batched MULTI-CLIP sampling (BASELINE config: saturate the chip).
 
@@ -304,8 +305,11 @@ def generate_multi_clip(
     feats = np.asarray(sampler.wavlm_apply(wavlm_params, jnp.asarray(flat)))
     feats = feats.reshape(B, w_max, cfg.n_poses, -1)
 
+    if noise_windows is not None:
+        noise_windows = jnp.asarray(noise_windows, jnp.float32)
     out = _generate_multi(sampler, params, jnp.asarray(feats),
-                          jnp.asarray(styles, jnp.float32), key, w_max)
+                          jnp.asarray(styles, jnp.float32), key, w_max,
+                          noise_windows)
     seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T_max, C)
     if std is not None:
         seq = seq * np.clip(np.asarray(std).squeeze(), 0.01, None)
@@ -317,7 +321,7 @@ def generate_multi_clip(
     return results
 
 
-def _generate_multi(sampler, params, feats, styles, key, w_max):
+def _generate_multi(sampler, params, feats, styles, key, w_max, noise_windows=None):
     cfg = sampler.cfg
     B = styles.shape[0]
     n_seed, n_poses = cfg.n_seed, cfg.n_poses
@@ -328,8 +332,8 @@ def _generate_multi(sampler, params, feats, styles, key, w_max):
     wb = jnp.asarray(np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32))
 
     @partial(jax.jit, static_argnames=("num_windows",))
-    def run(params, feats, styles, key, *, num_windows):
-        def window_sample(params, key, feats_i, seed, style):
+    def run(params, feats, styles, key, noise_windows, *, num_windows):
+        def window_sample(params, key, feats_i, seed, style, noise):
             cond = {
                 "style": style,
                 "seed": seed,
@@ -342,13 +346,14 @@ def _generate_multi(sampler, params, feats, styles, key, w_max):
 
             shape = (B, cfg.njoints, 1, cfg.n_poses)
             loop = SAMPLE_LOOPS[cfg.sampler]
-            return loop(sampler.schedule, model_fn, shape, key, cfg=sampler.sampler_cfg)
+            return loop(sampler.schedule, model_fn, shape, key,
+                        cfg=sampler.sampler_cfg, noise=noise)
 
         def body(carry, xs):
             seed, k = carry
-            feats_i, idx = xs
+            feats_i, idx, noise_i = xs
             k, sub = jax.random.split(k)
-            sample = window_sample(params, sub, feats_i, seed, styles)
+            sample = window_sample(params, sub, feats_i, seed, styles, noise_i)
             is_first = idx == 0
             if cfg.root_delta_correction:
                 delta = (sample[:, 0:3, :, 0] - seed[:, 0:3, :, 0])[..., None]
@@ -361,13 +366,15 @@ def _generate_multi(sampler, params, feats, styles, key, w_max):
 
         seed0 = jnp.zeros((B, cfg.njoints, 1, n_seed), jnp.float32)
         feats_t = jnp.swapaxes(feats, 0, 1)  # (W, B, n_poses, A)
-        (_, _), chunks = jax.lax.scan(body, (seed0, key), (feats_t, jnp.arange(num_windows)))
+        (_, _), chunks = jax.lax.scan(
+            body, (seed0, key), (feats_t, jnp.arange(num_windows), noise_windows)
+        )
         out = jnp.moveaxis(chunks, 0, -2).reshape(
             B, cfg.njoints, 1, num_windows * (n_poses - n_seed)
         )
         return out[..., n_seed:]
 
-    return run(params, feats, styles, key, num_windows=w_max)
+    return run(params, feats, styles, key, noise_windows, num_windows=w_max)
 
 
 def make_mfcc_window_fn(n_poses: int = 88, fps: int = 20):

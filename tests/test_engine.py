@@ -212,3 +212,37 @@ class TestMultiClip:
         assert outs[1].shape == (3 * cfg.stride - cfg.n_seed, NJ)
         for o in outs:
             assert np.isfinite(o).all()
+
+    def test_multi_clip_matches_per_clip_runs(self):
+        """With injected per-window noise and the deterministic DDIM chain
+        (eta=0 — ancestral DDPM draws fresh per-step noise from the key so
+        only DDIM is key-independent), each clip of the packed batch equals
+        its own single-clip ZeggsSampler.generate run — the padding and
+        batching must not change the math. crossfade_n is pinned because the
+        reference's crossfade quirk weights by BATCH size (`sample.py:284-288`)
+        which would differ between the packed (B=2) and single (B=1) runs."""
+        from diffusestylegesture_tpu.sample.engine import generate_multi_clip
+
+        cfg = ZeggsEngineConfig(njoints=NJ, sampler="ddim", crossfade_n=4)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        rng = np.random.default_rng(11)
+        counts = [1, 3]
+        audios = [
+            rng.standard_normal(cfg.samples_per_stride * c).astype(np.float32)
+            for c in counts
+        ]
+        styles = np.eye(6, dtype=np.float32)[:2]
+        w_max = max(counts)
+        noise = rng.standard_normal((w_max, 2, NJ, 1, cfg.n_poses)).astype(np.float32)
+
+        outs = generate_multi_clip(
+            eng, {}, {}, audios, styles, jax.random.PRNGKey(0),
+            noise_windows=noise,
+        )
+        for i, c in enumerate(counts):
+            single = eng.generate(
+                {}, {}, audios[i], styles[i : i + 1], jax.random.PRNGKey(9),
+                noise_windows=noise[:c, i : i + 1],
+            )[0]
+            np.testing.assert_allclose(outs[i], single, atol=1e-4,
+                                       err_msg=f"clip {i}")
