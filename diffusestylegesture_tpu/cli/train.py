@@ -56,7 +56,7 @@ def build_zeggs(cfg):
         fps=cfg.motion_resampling_framerate,
     )
     builder = make_zeggs_cond_builder(cfg.n_seed)
-    return model, mcfg, data.batches(cfg.batch_size), builder
+    return model, mcfg, data.batches(cfg.batch_size), builder, data
 
 
 def build_beat_twh(cfg):
@@ -77,7 +77,7 @@ def build_beat_twh(cfg):
     mean, std = gesture_statistics(cfg.h5file)
     data = SpeechGestureDataset(cfg.h5file, mean, std, n_poses=cfg.n_poses)
     builder = make_beat_cond_builder(cfg.cond_mode, cfg.n_seed)
-    return model, mcfg, data.batches(cfg.batch_size), builder
+    return model, mcfg, data.batches(cfg.batch_size), builder, None
 
 
 def main(argv=None):
@@ -91,6 +91,10 @@ def main(argv=None):
     p.add_argument("--use_mesh", action="store_true")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel degree over the 'model' mesh axis")
+    p.add_argument("--device_cache", action="store_true",
+                   help="ZEGGS: upload the whole window set to HBM once and "
+                        "gather batches on device inside the step (zero host "
+                        "traffic per iteration)")
     args = p.parse_args(argv)
 
     from ..utils.compile_cache import enable_persistent_cache
@@ -103,11 +107,19 @@ def main(argv=None):
     )
 
     if cfg.dataset == "ZEGGS":
-        model, mcfg, batches, builder = build_zeggs(cfg)
+        model, mcfg, batches, builder, dataset = build_zeggs(cfg)
         example_audio_dim = 1024
     else:
-        model, mcfg, batches, builder = build_beat_twh(cfg)
+        model, mcfg, batches, builder, dataset = build_beat_twh(cfg)
         example_audio_dim = cfg.audio_feature_dim
+
+    device_cache = None
+    if args.device_cache:
+        if dataset is None:
+            raise SystemExit("--device_cache currently supports the ZEGGS path")
+        from ..data.device_cache import DeviceWindowCache
+
+        device_cache = DeviceWindowCache.from_zeggs(dataset)
 
     sched = D.Schedule.create(
         D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
@@ -146,6 +158,8 @@ def main(argv=None):
         ),
         cond_builder=builder,
         seed=args.seed,
+        device_cache=device_cache,
+        batch_size=cfg.batch_size if device_cache is not None else 0,
     )
     loop.run()
     del example_audio_dim

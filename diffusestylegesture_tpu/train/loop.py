@@ -50,6 +50,8 @@ class TrainLoop:
         loop_cfg: LoopConfig = LoopConfig(),
         cond_builder: Optional[Callable] = None,
         seed: int = 0,
+        device_cache=None,  # data.device_cache.DeviceWindowCache
+        batch_size: int = 0,  # required with device_cache
     ):
         self.loop_cfg = loop_cfg
         self.schedule = schedule
@@ -64,8 +66,22 @@ class TrainLoop:
         else:
             self.mesh = make_mesh() if loop_cfg.use_mesh else None
 
-        step_fn = make_train_step(model_apply, schedule, train_cfg, cond_builder)
-        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        if device_cache is not None:
+            # zero host traffic per step: the batch gather happens on device
+            # inside the compiled step (`data/device_cache.py`)
+            from ..data.device_cache import make_device_data_train_step
+
+            assert batch_size > 0, "batch_size required with device_cache"
+            cached = make_device_data_train_step(
+                model_apply, schedule, train_cfg, device_cache,
+                cond_builder, batch_size,
+            )
+            self.cached_step = jax.jit(cached, donate_argnums=(0,))
+            self.train_step = None
+        else:
+            self.cached_step = None
+            step_fn = make_train_step(model_apply, schedule, train_cfg, cond_builder)
+            self.train_step = jax.jit(step_fn, donate_argnums=(0,))
 
         self.state = create_train_state(params, train_cfg, schedule.num_timesteps)
         if self.mesh is not None:
@@ -96,17 +112,27 @@ class TrainLoop:
                 self.resume_step = int(np.asarray(self.state.step))
                 self.logger.log(f"resumed from step {self.resume_step}")
 
+    def _batches(self):
+        if self.cached_step is not None:
+            while True:
+                yield None  # batch gathered on device inside the step
+        else:
+            yield from self.data
+
     def run(self) -> TrainState:
         cfg = self.loop_cfg
         step = self.resume_step
         t0 = time.time()
-        for batch in self.data:
+        for batch in self._batches():
             if step >= cfg.num_steps:
                 break
             self.rng, sub = jax.random.split(self.rng)
-            if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
-            self.state, metrics = self.train_step(self.state, batch, sub)
+            if self.cached_step is not None:
+                self.state, metrics = self.cached_step(self.state, sub)
+            else:
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch)
+                self.state, metrics = self.train_step(self.state, batch, sub)
 
             ts = np.asarray(metrics.pop("t"))
             host_metrics = {

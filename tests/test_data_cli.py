@@ -244,3 +244,9 @@ class TestTrainCLI:
 
         train_main(["--config", str(cfg_path)])
         assert os.path.isdir(tmp_path / "ckpt")
+
+        # device-cache mode: same CLI with on-device batch gathers (resumes
+        # from the checkpoint the first run saved)
+        cfg["num_steps"] = 4
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        train_main(["--config", str(cfg_path), "--device_cache"])

@@ -324,6 +324,42 @@ class TestLoopTensorParallel:
             )
 
 
+class TestLoopDeviceCache:
+    def test_loop_runs_with_device_cache_and_resumes(self, tmp_path):
+        from diffusestylegesture_tpu.data.device_cache import DeviceWindowCache
+
+        _, params, apply = make_model_and_params()
+        rng = np.random.default_rng(41)
+        cache = DeviceWindowCache({
+            "motion": rng.standard_normal((24, T, NJ)).astype(np.float32),
+            "style": rng.standard_normal((24, 6)).astype(np.float32),
+            "wavlm": rng.standard_normal((24, T, 1024)).astype(np.float32),
+        })
+        ckpt_dir = str(tmp_path / "c")
+        copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731 (donated step)
+        loop = TrainLoop(
+            apply, SCHED, copy(params), data=None,
+            train_cfg=TrainConfig(lr=1e-3),
+            loop_cfg=LoopConfig(num_steps=4, log_interval=100, save_interval=0,
+                                checkpoint_dir=ckpt_dir),
+            cond_builder=make_zeggs_cond_builder(4),
+            device_cache=cache, batch_size=B,
+        )
+        state = loop.run()
+        assert int(np.asarray(state.step)) == 4
+        # resume continues from the saved step
+        loop2 = TrainLoop(
+            apply, SCHED, copy(params), data=None,
+            train_cfg=TrainConfig(lr=1e-3),
+            loop_cfg=LoopConfig(num_steps=6, log_interval=100, save_interval=0,
+                                checkpoint_dir=ckpt_dir),
+            cond_builder=make_zeggs_cond_builder(4),
+            device_cache=cache, batch_size=B,
+        )
+        assert loop2.resume_step == 4
+        assert int(np.asarray(loop2.run().step)) == 6
+
+
 class TestDeviceCache:
     def test_device_resident_training(self):
         from diffusestylegesture_tpu.data.device_cache import (
