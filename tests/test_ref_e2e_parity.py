@@ -283,3 +283,103 @@ class TestZeggsEndToEndParity:
         ref_poses, _, _, _ = both
         # guard against a degenerate all-zeros comparison
         assert np.abs(ref_poses).max() > 0.1
+
+
+@requires_reference
+def test_zeggs_end_to_end_parity_plms(tmp_path):
+    """Same whole-pipeline harness with the PLMS sampler (deterministic
+    order-2 Adams-Bashforth, ref `plms_sample_loop:1089`)."""
+    import torch
+
+    sample_mod, ref_mdm, ref_wavlm, jcfg = _build_reference_models()
+
+    num_windows = 2
+    n_frames = num_windows * (N_POSES - N_SEED)
+    rng = np.random.default_rng(77)
+    audio = (rng.standard_normal(n_frames * 800) * 0.1).astype(np.float32)
+    style = [1, 0, 0, 0, 0, 0]
+    noise_np = rng.standard_normal((num_windows, 1, NJOINTS, 1, N_POSES)).astype(np.float32)
+
+    import argparse
+
+    from ref_compat import import_ref_diffusion
+
+    gd, respace = import_ref_diffusion()
+    spaced = respace.SpacedDiffusion(
+        use_timesteps=respace.space_timesteps(BASE_STEPS, DDIM_SECTIONS),
+        betas=gd.get_named_beta_schedule("cosine", BASE_STEPS),
+        model_mean_type=gd.ModelMeanType.START_X,
+        model_var_type=gd.ModelVarType.FIXED_SMALL,
+        loss_type=gd.LossType.MSE,
+        rescale_timesteps=False,
+        lambda_vel=0.0, lambda_rcxyz=0.0, lambda_fc=0.0,
+    )
+    calls = []
+
+    def sample_fn(model, shape, **kw):
+        i = len(calls)
+        calls.append(i)
+        return spaced.plms_sample_loop(
+            model, shape, noise=torch.as_tensor(noise_np[i]),
+            clip_denoised=kw["clip_denoised"], model_kwargs=kw["model_kwargs"],
+            progress=False, order=2,
+        )
+
+    # minimal reference-side driving (no BVH this time; un-normalization
+    # identity so the captured pose tensor is the raw model output)
+    mean = np.zeros(NJOINTS, np.float32)
+    std = np.ones(NJOINTS, np.float32)
+    fake_root = tmp_path / "fake"
+    cwd_dir = fake_root / "main" / "mydiffusion_zeggs"
+    stats_dir = fake_root / "ubisoft-laforge-ZeroEGGS-main" / "data" / "processed_v1" / "processed"
+    cwd_dir.mkdir(parents=True)
+    stats_dir.mkdir(parents=True)
+    np.savez(stats_dir / "mean.npz", mean=mean)
+    np.savez(stats_dir / "std.npz", std=std)
+    save_dir = tmp_path / "ref_out"
+    save_dir.mkdir()
+    sample_mod.mydevice = torch.device("cpu")
+    sample_mod.batch_size = 1
+    sample_mod.save_dir = str(save_dir)
+    captured = {}
+    real = sample_mod.pose2bvh
+    sample_mod.pose2bvh = lambda poses, outpath, length, smoothing=False, smooth_foot=False: captured.update(poses=np.array(poses))
+    cwd = os.getcwd()
+    os.chdir(cwd_dir)
+    try:
+        with torch.no_grad():
+            sample_mod.inference(
+                argparse.Namespace(n_poses=N_POSES), ref_wavlm, audio.copy(),
+                sample_fn, ref_mdm, n_frames=0, smoothing=True, SG_filter=True,
+                minibatch=True, skip_timesteps=0, n_seed=N_SEED, style=style,
+                seed=123456,
+            )
+    finally:
+        os.chdir(cwd)
+        sample_mod.pose2bvh = real
+    ref_poses = captured["poses"]
+
+    params = {"params": convert.convert_mdm_zeggs(ref_mdm.state_dict(), num_layers=MDM_KW["num_layers"])}
+    wavlm_sd = {k: v.detach().numpy() for k, v in ref_wavlm.state_dict().items()}
+    wavlm_params = {"params": convert_wavlm(wavlm_sd, jcfg)}
+    model = MDM(MDMConfig(njoints=NJOINTS, window_size=11, **MDM_KW))
+
+    def model_apply(p, xx, tt, cc, uncond=None):
+        return model.apply(p, xx, tt, cc, uncond=uncond)
+
+    sched = D.spaced_schedule(
+        D.named_beta_schedule("cosine", BASE_STEPS),
+        D.space_timesteps(BASE_STEPS, DDIM_SECTIONS),
+    )
+    sampler = ZeggsSampler(
+        model_apply, make_zeggs_wavlm_fn(WavLM(jcfg), N_POSES), sched,
+        ZeggsEngineConfig(njoints=NJOINTS, sampler="plms"),
+    )
+    ours = sampler.generate(
+        params, wavlm_params, audio, np.asarray([style], np.float32),
+        jax.random.PRNGKey(0), mean=mean, std=std, noise_windows=noise_np,
+    )[0]
+    assert ref_poses.shape == ours.shape
+    scale = np.abs(ref_poses).mean()
+    err = np.abs(ref_poses - ours).max()
+    assert err < 2e-3 * max(scale, 1.0), f"plms max abs err {err} (scale {scale})"
