@@ -47,6 +47,9 @@ def main(argv=None):
     p.add_argument("--guidance_scale", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=123456)
     p.add_argument("--save_dir", default="./sample_dir")
+    p.add_argument("--aot_dir", default=None,
+                   help="directory for AOT engine snapshots (warm restarts "
+                        "skip tracing+lowering+compiling)")
     args = p.parse_args(argv)
 
     from ..utils.compile_cache import enable_persistent_cache
@@ -98,6 +101,7 @@ def main(argv=None):
             fps=cfg.motion_resampling_framerate,
             guidance_scale=args.guidance_scale,
         ),
+        aot_dir=args.aot_dir,
     )
     out = sampler.generate(
         params, wparams, audio, style[None], jax.random.PRNGKey(args.seed),

@@ -25,6 +25,7 @@ TPU-first restructuring (same outputs, different schedule):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -110,15 +111,51 @@ class ZeggsSampler:
         schedule: Schedule,
         cfg: ZeggsEngineConfig = ZeggsEngineConfig(),
         sampler_cfg: SamplerConfig = SamplerConfig(),
+        aot_dir: Optional[str] = None,
     ):
+        """`aot_dir`: directory for ahead-of-time executable snapshots
+        (`utils/aot.py`) keyed by (sampler, steps, window-count, batch) —
+        warm process starts skip tracing/lowering/compiling entirely
+        (measured 2.4 s to a ready 1000-step engine vs 34.5 s with only
+        the persistent compile cache, `scripts/aot_coldstart.py`)."""
         self.model_apply = model_apply
         self.wavlm_apply = wavlm_apply
         self.schedule = schedule
         self.cfg = cfg
         self.sampler_cfg = sampler_cfg
+        self.aot_dir = aot_dir
+        self._aot_runners: dict = {}
         self._generate = jax.jit(
             self._generate_impl, static_argnames=("num_windows", "host_feats")
         )
+
+    def _aot_generate(self, params, wavlm_params, windows, style, key,
+                      num_windows: int, host_feats: bool):
+        """AOT-snapshot path for the no-injected-noise engine call."""
+        from ..utils.aot import aot_compile
+
+        B = style.shape[0]
+        cache_key = (num_windows, B, host_feats)
+        runner = self._aot_runners.get(cache_key)
+        if runner is None:
+            name = (
+                f"zeggs_{self.cfg.sampler}{self.schedule.num_timesteps}"
+                f"_nj{self.cfg.njoints}_W{num_windows}_B{B}"
+                f"{'_hostfeats' if host_feats else ''}.aotx"
+            )
+            path = os.path.join(self.aot_dir, name)
+
+            def engine_fn(p, wp, w, s, k):
+                return self._generate_impl(
+                    p, wp, w, s, k, None,
+                    num_windows=num_windows, host_feats=host_feats,
+                )
+
+            runner = aot_compile(
+                engine_fn, (params, wavlm_params, windows, style, key), path
+            )
+            self._aot_runners[cache_key] = runner
+        return runner(params, wavlm_params, windows, style, key)
 
     def _window_sample(self, params, key, wavlm_feats, seed, style, noise=None):
         """One 88-frame window: DDPM chain with seed/style conditioning.
@@ -255,11 +292,17 @@ class ZeggsSampler:
                 noise_windows = jax.device_put(
                     noise_windows, NamedSharding(mesh, P(None, "data"))
                 )
-        out = self._generate(
-            params, wavlm_params, windows, style, key,
-            noise_windows,
-            num_windows=num_windows, host_feats=host_feats,
-        )
+        if self.aot_dir is not None and noise_windows is None and mesh is None:
+            out = self._aot_generate(
+                params, wavlm_params, windows, style, key,
+                num_windows=num_windows, host_feats=host_feats,
+            )
+        else:
+            out = self._generate(
+                params, wavlm_params, windows, style, key,
+                noise_windows,
+                num_windows=num_windows, host_feats=host_feats,
+            )
         seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
         if std is not None:
             seq = seq * np.clip(np.asarray(std).squeeze(), 0.01, None)

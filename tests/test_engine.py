@@ -146,6 +146,32 @@ class TestEditing:
         assert np.abs(out2[:, 3:] - refm[:, 3:]).max() > 1e-3
 
 
+class TestAotServing:
+    def test_aot_dir_roundtrip_matches_jit(self, tmp_path):
+        """With aot_dir set, generate() routes through the snapshot path
+        and a second sampler instance reloads it; outputs match the plain
+        jit path (deterministic toy chain: DDIM)."""
+        import os as _os
+
+        cfg = ZeggsEngineConfig(njoints=NJ, sampler="ddim")
+        aot_dir = str(tmp_path / "aot")
+        rng = np.random.default_rng(13)
+        audio = rng.standard_normal(cfg.samples_per_stride).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        key = jax.random.PRNGKey(2)
+
+        plain = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        want = plain.generate({}, {}, audio, style, key)
+
+        s1 = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg, aot_dir=aot_dir)
+        out1 = s1.generate({}, {}, audio, style, key)
+        assert any(f.endswith(".aotx") for f in _os.listdir(aot_dir))
+        s2 = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg, aot_dir=aot_dir)
+        out2 = s2.generate({}, {}, audio, style, key)
+        np.testing.assert_allclose(out1, want, atol=1e-5)
+        np.testing.assert_allclose(out2, want, atol=1e-5)
+
+
 class TestMeshServing:
     def test_sharded_generate_matches_single_device(self):
         """generate(mesh=...) with the batch sharded over 8 virtual devices
