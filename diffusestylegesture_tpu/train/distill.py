@@ -90,25 +90,31 @@ def two_step_target(sched_t: Schedule, teacher_fn: Callable, x, t):
 
 
 def make_distill_step(
-    teacher_fn: Callable,  # (x, t) → x0 prediction (teacher, frozen)
-    student_apply: Callable,  # (params, x, t) → x0 prediction
+    teacher_fn: Callable,  # (x, t[, cond]) → x0 prediction (teacher, frozen)
+    student_apply: Callable,  # (params, x, t[, cond]) → x0 prediction
     sched_teacher: Schedule,
     lr: float = 1e-4,
+    conditioned: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Returns (init_fn(params) → opt_state, step_fn).
 
-    step_fn(params, opt_state, x0_batch, key) draws t over EVEN teacher
-    indices (the student's grid), forms x_t by q_sample, computes the
-    closed-form two-step target, and regresses the student's x0
-    prediction onto it (SNR-truncated weighting per the paper: max(1,
-    ab/(1-ab)) in x0-space).
+    step_fn(params, opt_state, x0_batch, key[, cond]) draws t over the
+    teacher's odd indices (the student's grid), forms x_t by q_sample,
+    computes the closed-form two-step target, and regresses the student's
+    x0 prediction onto it (SNR-truncated weighting per the paper:
+    max(1, ab/(1-ab)) in x0-space).
+
+    With `conditioned=True` both networks take a conditioning pytree
+    (the gesture denoisers' `cond` dict) as a third argument and
+    step_fn grows a trailing `cond` parameter — the teacher and student
+    see the SAME conditioning, as in conditional distillation.
     """
     import optax
 
     tx = optax.adam(lr)
     nt = sched_teacher.num_timesteps
 
-    def loss_fn(params, x0, key):
+    def loss_fn(params, x0, key, cond):
         B = x0.shape[0]
         k_t, k_n = jax.random.split(key)
         # student timesteps ↔ teacher odd indices t (two teacher steps
@@ -117,9 +123,14 @@ def make_distill_step(
         t = 2 * i + 1
         noise = jax.random.normal(k_n, x0.shape, x0.dtype)
         x_t = G.q_sample(sched_teacher, x0, t, noise)
-        target, _ = two_step_target(sched_teacher, teacher_fn, x_t, t)
+        if conditioned:
+            t_fn = lambda x, tt: teacher_fn(x, tt, cond)  # noqa: E731
+            pred = student_apply(params, x_t, t, cond)
+        else:
+            t_fn = teacher_fn
+            pred = student_apply(params, x_t, t)
+        target, _ = two_step_target(sched_teacher, t_fn, x_t, t)
         target = jax.lax.stop_gradient(target)
-        pred = student_apply(params, x_t, t)
         ab = G._bcast(sched_teacher.alphas_cumprod, t, x0.ndim)
         w = jnp.maximum(1.0, ab / (1.0 - ab))  # truncated-SNR weight
         return jnp.mean(w * (pred - target) ** 2)
@@ -127,10 +138,10 @@ def make_distill_step(
     def init_fn(params):
         return tx.init(params)
 
-    def step_fn(params, opt_state, x0_batch, key):
+    def step_fn(params, opt_state, x0_batch, key, cond=None):
         import optax as _optax
 
-        loss, grads = jax.value_and_grad(loss_fn)(params, x0_batch, key)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x0_batch, key, cond)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = _optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss}
