@@ -1,0 +1,141 @@
+"""Progressive-distillation CLI: halve the sampling chain, stage by stage.
+
+  python -m diffusestylegesture_tpu.cli.distill --config configs/zeggs.yml \
+      --teacher ckpts/zeggs_450k --stages 3 --steps_per_stage 10000 \
+      --save_dir ckpts/distilled
+
+Stage k trains a student whose DDIM grid has half the teacher's steps
+(1000 → 500 → 250 → 125 …) on the prepared ZEGGS window data; each
+stage's student becomes the next teacher. Outputs per-stage orbax
+checkpoints plus a `schedule.json` recording the surviving timestep grid
+(feed it to the sampler via `spaced_schedule`).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="progressive distillation (ZEGGS)")
+    p.add_argument("--config", required=True)
+    p.add_argument("--teacher", required=True, help=".pt or orbax params")
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--stages", type=int, default=1)
+    p.add_argument("--steps_per_stage", type=int, default=10000)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import diffusion as D
+    from ..config import load_yaml_config
+    from ..data import ZeggsWindowDataset
+    from ..models.mdm import MDM, MDMConfig
+    from ..train.distill import make_distill_step, student_schedule
+    from ..train.state import make_zeggs_cond_builder
+    from ..utils.compile_cache import enable_persistent_cache
+    from .sample import load_denoiser_params
+
+    enable_persistent_cache()
+    cfg = load_yaml_config(args.config)
+    os.makedirs(args.save_dir, exist_ok=True)
+    batch_size = args.batch_size or cfg.batch_size
+
+    mcfg = MDMConfig(
+        njoints=cfg.njoints, latent_dim=cfg.latent_dim,
+        ff_size=cfg.get("ff_size", 1024), num_layers=cfg.get("num_layers", 8),
+        n_seed=cfg.n_seed, cond_mode=cfg.cond_mode,
+        cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
+    )
+    model = MDM(mcfg)
+    teacher_params = load_denoiser_params(args.teacher, mcfg.num_layers)
+
+    data = ZeggsWindowDataset(
+        f"{cfg.data_dir}/train", None,
+        n_poses=cfg.n_poses, stride=cfg.subdivision_stride,
+        fps=cfg.motion_resampling_framerate,
+    )
+    if data.wavlm is None:
+        raise SystemExit(
+            "distillation needs cached WavLM features in the window cache "
+            "(run training once with a wavlm checkpoint, or prepare-data)"
+        )
+    builder = make_zeggs_cond_builder(cfg.n_seed)
+
+    base_betas = D.named_beta_schedule(
+        cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps
+    )
+    sched_teacher = D.Schedule.create(base_betas)
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    def sample_batch():
+        idx = rng.integers(0, len(data.poses), batch_size)
+        batch = {
+            "motion": jnp.asarray(data.poses[idx]),
+            "style": jnp.asarray(data.styles[idx]),
+            "wavlm": jnp.asarray(data.wavlm[idx]),
+        }
+        return builder(batch)
+
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    student_params = teacher_params  # warm start from the teacher
+
+    for stage in range(args.stages):
+        nt = sched_teacher.num_timesteps
+        print(f"stage {stage}: {nt} → {nt // 2} steps")
+
+        def teacher_fn(x, t, cond, _tp=teacher_params):
+            return model.apply(_tp, x, t, cond)
+
+        def student_apply(pp, x, t, cond):
+            return model.apply(pp, x, t, cond)
+
+        init_fn, step_fn = make_distill_step(
+            teacher_fn, student_apply, sched_teacher, lr=args.lr,
+            conditioned=True,
+        )
+        step_fn = jax.jit(step_fn)
+        opt = init_fn(student_params)
+        params = student_params
+        for i in range(args.steps_per_stage):
+            x0, cond, _mask = sample_batch()
+            key, sub = jax.random.split(key)
+            params, opt, m = step_fn(params, opt, x0, sub, cond)
+            if i % max(1, args.steps_per_stage // 10) == 0:
+                print(f"  step {i}: loss {float(m['loss']):.5f}")
+
+        sched_student = student_schedule(sched_teacher, base_betas=base_betas)
+        stage_dir = os.path.abspath(
+            os.path.join(args.save_dir, f"stage{stage}_steps{nt // 2}")
+        )
+        ckpt.save(os.path.join(stage_dir, "params"), params)
+        ckpt.wait_until_finished()
+        with open(os.path.join(stage_dir, "schedule.json"), "w") as f:
+            json.dump(
+                {
+                    "base_steps": int(cfg.diffusion_steps),
+                    "noise_schedule": cfg.get("noise_schedule", "cosine"),
+                    "use_timesteps": np.asarray(sched_student.timestep_map).tolist(),
+                },
+                f,
+            )
+        print("  wrote", stage_dir)
+
+        teacher_params = params
+        student_params = params
+        sched_teacher = sched_student
+
+
+if __name__ == "__main__":
+    main()

@@ -72,12 +72,17 @@ def ddim_step(sched: Schedule, x, t, x0_pred):
 
 def two_step_target(sched_t: Schedule, teacher_fn: Callable, x, t):
     """Teacher runs x_t → x_{t-1} → x_{t-2}; returns the x0* the student
-    must predict at (x_t, t) so one student step lands on x_{t-2}."""
+    must predict at (x_t, t) so one student step lands on x_{t-2}.
+
+    `t` indexes the (possibly respaced) schedule; the network sees the
+    ORIGINAL timesteps via `timestep_map` (same convention as the
+    samplers' `_model_and_stats`), so staged distillation keeps one
+    consistent timestep vocabulary across stages."""
     nd = x.ndim
-    x0_a = teacher_fn(x, t)
+    x0_a = teacher_fn(x, sched_t.timestep_map[t])
     x_mid = ddim_step(sched_t, x, t, x0_a)
     t_mid = jnp.maximum(t - 1, 0)
-    x0_b = teacher_fn(x_mid, t_mid)
+    x0_b = teacher_fn(x_mid, sched_t.timestep_map[t_mid])
     x_tgt = ddim_step(sched_t, x_mid, t_mid, x0_b)
 
     ab_t = G._bcast(sched_t.alphas_cumprod, t, nd)
@@ -123,12 +128,13 @@ def make_distill_step(
         t = 2 * i + 1
         noise = jax.random.normal(k_n, x0.shape, x0.dtype)
         x_t = G.q_sample(sched_teacher, x0, t, noise)
+        t_model = sched_teacher.timestep_map[t]  # original-timestep vocab
         if conditioned:
             t_fn = lambda x, tt: teacher_fn(x, tt, cond)  # noqa: E731
-            pred = student_apply(params, x_t, t, cond)
+            pred = student_apply(params, x_t, t_model, cond)
         else:
             t_fn = teacher_fn
-            pred = student_apply(params, x_t, t)
+            pred = student_apply(params, x_t, t_model)
         target, _ = two_step_target(sched_teacher, t_fn, x_t, t)
         target = jax.lax.stop_gradient(target)
         ab = G._bcast(sched_teacher.alphas_cumprod, t, x0.ndim)

@@ -145,10 +145,13 @@ class TestDistillationLearns:
         x0_data = jnp.asarray(rng.standard_normal((64, DIM)).astype(np.float32) * 0.5)
 
         def chain(sched, fn, xT, n):
+            # networks take ORIGINAL timesteps (sched.timestep_map), the
+            # posterior math takes schedule indices — same convention as
+            # the samplers
             x = xT
             for i in range(n - 1, -1, -1):
                 t = jnp.full((xT.shape[0],), i, jnp.int32)
-                x = ddim_step(sched, x, t, fn(x, t))
+                x = ddim_step(sched, x, t, fn(x, sched.timestep_map[t]))
             return x
 
         stud_sched = student_schedule(TEACHER_SCHED)
