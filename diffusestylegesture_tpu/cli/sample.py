@@ -27,14 +27,33 @@ from ..motion import zeggs_features as zf
 from ..sample import ZeggsEngineConfig, ZeggsSampler
 
 
-def load_denoiser_params(model_path: str, num_layers: int = 8):
+def load_denoiser_params(model_path: str, num_layers: int = 8, use_ema: bool = False):
+    """Load denoiser params from any of the framework's formats:
+
+      * reference ``.pt`` torch checkpoint (converted on the fly),
+      * a bare orbax params directory (``cli.convert_ckpt`` output),
+      * a ``TrainLoop`` checkpoint directory (orbax CheckpointManager with
+        numbered steps holding the full TrainState) — the latest step's
+        params (or EMA params with ``use_ema``) are extracted.
+    """
     if model_path.endswith(".pt"):
         sd = convert.load_torch_checkpoint(model_path)
         return {"params": convert.convert_mdm_zeggs(sd, num_layers)}
     import orbax.checkpoint as ocp
 
-    ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(os.path.abspath(model_path))
+    path = os.path.abspath(model_path)
+    steps = [int(d) for d in os.listdir(path) if d.isdigit()]
+    if steps:
+        mgr = ocp.CheckpointManager(path)
+        tree = mgr.restore(max(steps))
+        mgr.close()
+    else:
+        tree = ocp.StandardCheckpointer().restore(path)
+    if isinstance(tree, dict) and "opt_state" in tree:  # full TrainState
+        if use_ema and tree.get("ema_params") is not None:
+            return tree["ema_params"]
+        return tree["params"]
+    return tree
 
 
 def main(argv=None):
@@ -50,6 +69,8 @@ def main(argv=None):
     p.add_argument("--aot_dir", default=None,
                    help="directory for AOT engine snapshots (warm restarts "
                         "skip tracing+lowering+compiling)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="sample from the EMA params of a TrainLoop checkpoint")
     args = p.parse_args(argv)
 
     from ..utils.compile_cache import enable_persistent_cache
@@ -66,7 +87,7 @@ def main(argv=None):
         cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
     )
     model = MDM(mcfg)
-    params = load_denoiser_params(args.model_path, mcfg.num_layers)
+    params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
 
     from ..models.wavlm import WavLM, load_wavlm_checkpoint, make_zeggs_wavlm_fn
 
