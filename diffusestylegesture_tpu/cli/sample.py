@@ -27,18 +27,11 @@ from ..motion import zeggs_features as zf
 from ..sample import ZeggsEngineConfig, ZeggsSampler
 
 
-def load_denoiser_params(model_path: str, num_layers: int = 8, use_ema: bool = False):
-    """Load denoiser params from any of the framework's formats:
-
-      * reference ``.pt`` torch checkpoint (converted on the fly),
-      * a bare orbax params directory (``cli.convert_ckpt`` output),
-      * a ``TrainLoop`` checkpoint directory (orbax CheckpointManager with
-        numbered steps holding the full TrainState) — the latest step's
-        params (or EMA params with ``use_ema``) are extracted.
-    """
-    if model_path.endswith(".pt"):
-        sd = convert.load_torch_checkpoint(model_path)
-        return {"params": convert.convert_mdm_zeggs(sd, num_layers)}
+def load_orbax_params(model_path: str, use_ema: bool = False):
+    """Load params from a bare orbax params dir (``cli.convert_ckpt``
+    output) or a ``TrainLoop`` checkpoint directory (orbax
+    CheckpointManager with numbered steps holding the full TrainState) —
+    the latest step's params (or EMA params with ``use_ema``)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(model_path)
@@ -54,6 +47,14 @@ def load_denoiser_params(model_path: str, num_layers: int = 8, use_ema: bool = F
             return tree["ema_params"]
         return tree["params"]
     return tree
+
+
+def load_denoiser_params(model_path: str, num_layers: int = 8, use_ema: bool = False):
+    """Reference ``.pt`` (converted on the fly) or any orbax layout."""
+    if model_path.endswith(".pt"):
+        sd = convert.load_torch_checkpoint(model_path)
+        return {"params": convert.convert_mdm_zeggs(sd, num_layers)}
+    return load_orbax_params(model_path, use_ema=use_ema)
 
 
 def main(argv=None):

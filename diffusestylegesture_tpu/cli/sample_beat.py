@@ -71,9 +71,9 @@ def main(argv=None):
         sd = convert.load_torch_checkpoint(args.model_path)
         params = {"params": convert.convert_mdm_beat_twh(sd)}
     else:
-        import orbax.checkpoint as ocp
+        from .sample import load_orbax_params
 
-        params = ocp.StandardCheckpointer().restore(os.path.abspath(args.model_path))
+        params = load_orbax_params(args.model_path)
 
     mean = np.load(args.mean_npy)
     std = np.load(args.std_npy)
