@@ -8,3 +8,4 @@ from .styles import blend_styles, style_grid, style_vector  # noqa: F401
 from .engine import generate_multi_clip, make_mfcc_window_fn  # noqa: F401
 from .edit import edit_motion, feature_mask, in_between_mask  # noqa: F401
 from .server import GestureServer, ServerConfig  # noqa: F401
+from .restyle import restyle_window  # noqa: F401

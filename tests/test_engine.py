@@ -146,6 +146,71 @@ class TestEditing:
         assert np.abs(out2[:, 3:] - refm[:, 3:]).max() > 1e-3
 
 
+class TestRestyle:
+    """DDIM-inversion re-styling. The roundtrip identity only holds for a
+    CONSISTENT denoiser (the ODE flows of encode/decode must be the same
+    vector field), so the tests use the analytically optimal denoiser for
+    Gaussian data: data ~ N(mu(style), s²I) ⇒
+    x0*(x,t) = (s²·√ab·x + (1−ab)·mu) / (ab·s² + (1−ab))."""
+
+    S2 = 0.16
+
+    def _model(self, sched):
+        from diffusestylegesture_tpu.diffusion import gaussian as G
+
+        def model_apply(x, t, cond):
+            ab = G._bcast(sched.alphas_cumprod, t, x.ndim)
+            mu = jnp.sum(cond["style"], axis=-1)[:, None, None, None] * 0.2
+            return (self.S2 * jnp.sqrt(ab) * x + (1 - ab) * mu) / (
+                ab * self.S2 + (1 - ab)
+            )
+
+        return model_apply
+
+    def test_roundtrip_converges_first_order(self):
+        from diffusestylegesture_tpu import diffusion as D
+        from diffusestylegesture_tpu.sample import restyle_window
+
+        rng = np.random.default_rng(21)
+        B, C, T = 2, NJ, 16
+        motion = jnp.asarray(
+            rng.standard_normal((B, C, 1, T)).astype(np.float32) * np.sqrt(self.S2)
+        )
+        cond = {"style": jnp.zeros((B, 6))}
+        errs = {}
+        for n in (32, 128):
+            sched = D.Schedule.create(D.named_beta_schedule("cosine", n))
+            out = restyle_window(sched, self._model(sched), motion, cond, cond)
+            errs[n] = float(
+                jnp.abs(out - motion).mean() / jnp.abs(motion).mean()
+            )
+        assert errs[32] < 0.15
+        assert errs[128] < 0.35 * errs[32]  # ~first-order convergence
+
+    def test_style_transfer_moves_the_mean(self):
+        from diffusestylegesture_tpu import diffusion as D
+        from diffusestylegesture_tpu.sample import restyle_window
+
+        rng = np.random.default_rng(22)
+        B, C, T = 2, NJ, 16
+        sched = D.Schedule.create(D.named_beta_schedule("cosine", 64))
+        model = self._model(sched)
+        cond_a = {"style": jnp.zeros((B, 6))}  # mu = 0
+        cond_b = {"style": jnp.ones((B, 6))}  # mu = 1.2
+        motion = jnp.asarray(
+            rng.standard_normal((B, C, 1, T)).astype(np.float32) * np.sqrt(self.S2)
+        )
+        out = restyle_window(sched, model, motion, cond_a, cond_b)
+        assert np.isfinite(np.asarray(out)).all()
+        # target distribution's mean pulls the output up from ~0
+        assert float(jnp.mean(out)) > 0.3
+        # partial strength re-styles less than full strength
+        partial = restyle_window(
+            sched, model, motion, cond_a, cond_b, strength=0.25
+        )
+        assert float(jnp.mean(partial)) < float(jnp.mean(out))
+
+
 class TestAotServing:
     def test_aot_dir_roundtrip_matches_jit(self, tmp_path):
         """With aot_dir set, generate() routes through the snapshot path
