@@ -189,6 +189,10 @@ class GestureServer:
         styles = np.stack([req.style.reshape(-1) for req in batch])
         from .engine import _generate_multi
 
+        # RNG: the batch runs under the FIRST request's key; each clip still
+        # draws independent noise through the batch axis. A solo request is
+        # therefore bit-reproducible from its own key (pinned by tests);
+        # co-batched requests are stochastic in their companions.
         out = _generate_multi(
             self.sampler, self.params, jnp.asarray(feats),
             jnp.asarray(styles), batch[0].key, bucket,
