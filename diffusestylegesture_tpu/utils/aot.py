@@ -50,6 +50,9 @@ def aot_compile(fn: Callable, example_args: tuple, path: str, verbose: bool = Fa
             loaded = se.deserialize_and_load(
                 payload, in_tree, out_tree, execution_devices=[dev]
             )
+            # validate with one real execution (also the warm-up): stale or
+            # incompletely-serialized snapshots can fail only at run time
+            jax.block_until_ready(loaded(*commit(example_args)))
             if verbose:
                 print(f"aot: loaded {path}")
 
@@ -61,8 +64,19 @@ def aot_compile(fn: Callable, example_args: tuple, path: str, verbose: bool = Fa
             if verbose:
                 print(f"aot: reload failed ({type(e).__name__}: {e}); recompiling")
 
-    compiled = jax.jit(fn).lower(*commit(example_args)).compile()
-    payload, in_tree, out_tree = se.serialize(compiled)
+    # compile with the persistent compilation cache bypassed: a cache HIT
+    # returns an executable deserialized from disk whose RE-serialization
+    # is incomplete (missing buffer-definition events → NOT_FOUND at run
+    # time when the snapshot is loaded later)
+    prev_cache = getattr(jax.config, "jax_compilation_cache_dir", None)
+    try:
+        if prev_cache is not None:
+            jax.config.update("jax_compilation_cache_dir", None)
+        compiled = jax.jit(fn).lower(*commit(example_args)).compile()
+        payload, in_tree, out_tree = se.serialize(compiled)
+    finally:
+        if prev_cache is not None:
+            jax.config.update("jax_compilation_cache_dir", prev_cache)
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(tmp, "wb") as f:
