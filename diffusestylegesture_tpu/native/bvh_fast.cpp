@@ -145,8 +145,13 @@ ParseResult* parse_file(const char* path) {
   static const double kPow10[] = {1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7,
                                   1e8, 1e9, 1e10, 1e11, 1e12, 1e13, 1e14,
                                   1e15, 1e16, 1e17, 1e18};
-  auto parse_fast = [&](char* s, char** next_out) -> double {
-    while (*s == ' ' || *s == '\t' || *s == '\r') ++s;
+  auto parse_fast = [&](char* s, const char* bound, char** next_out) -> double {
+    char* start = s;
+    while (s < bound && (*s == ' ' || *s == '\t' || *s == '\r')) ++s;
+    if (s >= bound) {  // only whitespace left on this line: no token
+      *next_out = start;  // no progress → caller stops this line
+      return 0.0;
+    }
     char* q0 = s;
     bool neg = false;
     if (*s == '-') { neg = true; ++s; }
@@ -196,8 +201,8 @@ ParseResult* parse_file(const char* path) {
     long cnt = 0;
     while (q < line_end) {
       char* next = q;
-      double v = parse_fast(q, &next);
-      if (next == q) break;
+      double v = parse_fast(q, line_end, &next);
+      if (next == q) break;  // no token (end of line / unparsable)
       res->frames.push_back(v);
       ++cnt;
       q = next;

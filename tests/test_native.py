@@ -39,6 +39,23 @@ class TestNativeParser:
         t_cc = time.perf_counter() - t0
         assert t_cc < t_py  # typically 10-50x
 
+    def test_crlf_and_blank_lines(self, tmp_path):
+        """Windows line endings and trailing blank lines parse identically
+        in both parsers (mocap exports from Windows tools use CRLF)."""
+        path = str(tmp_path / "unix.bvh")
+        synth_beat_bvh(path, T=30, seed=10)
+        crlf_path = str(tmp_path / "crlf.bvh")
+        with open(path, "rb") as f:
+            content = f.read()
+        with open(crlf_path, "wb") as f:
+            f.write(content.replace(b"\n", b"\r\n") + b"\r\n\r\n")
+        a = P.parse_bvh_python(crlf_path)
+        b = native.parse_bvh_fast(crlf_path)
+        ref = P.parse_bvh_python(path)
+        np.testing.assert_array_equal(a.values, ref.values)
+        np.testing.assert_array_equal(b.values, ref.values)
+        assert a.columns == b.columns == ref.columns
+
     def test_dispatch_uses_native(self, tmp_path, monkeypatch):
         """`pipeline.parse_bvh` (the featurizers' entry) routes to the C++
         parser when available and falls back under DSG_TPU_NO_NATIVE."""

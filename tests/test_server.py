@@ -110,6 +110,34 @@ class TestGestureServer:
         with pytest.raises(ValueError):
             server.submit(audio, np.eye(6, dtype=np.float32)[0])
 
+    def test_batch_failure_propagates_and_server_survives(self):
+        """A failing batch delivers its exception to every waiting future
+        and the dispatcher keeps serving subsequent requests."""
+        server, ecfg = make_server(max_batch=2, max_delay_ms=100.0)
+
+        real_wavlm = server.sampler.wavlm_apply
+        calls = {"n": 0}
+
+        def flaky_wavlm(p, w):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected featurizer failure")
+            return real_wavlm(p, w)
+
+        server.sampler.wavlm_apply = flaky_wavlm
+        server.start()
+        try:
+            audio = np.zeros(ecfg.samples_per_stride, np.float32)
+            bad = server.submit(audio, np.eye(6, dtype=np.float32)[0])
+            with pytest.raises(RuntimeError, match="injected"):
+                bad.result(timeout=120)
+            good = server.submit(audio, np.eye(6, dtype=np.float32)[1])
+            out = good.result(timeout=120)
+            assert out.shape == (ecfg.stride - ecfg.n_seed, NJ)
+        finally:
+            server.stop()
+            server.sampler.wavlm_apply = real_wavlm
+
     def test_matches_direct_sampler_output_shape_and_stats(self):
         """Server output equals a direct ZeggsSampler.generate call with the
         same key (the batching layer must not change the math)."""
