@@ -56,6 +56,69 @@ class TestNativeParser:
         np.testing.assert_array_equal(b.values, ref.values)
         assert a.columns == b.columns == ref.columns
 
+    def test_fuzzed_files_match_python(self, tmp_path):
+        """Generative fuzz: random skeleton shapes, channel layouts, float
+        formats (fixed/scientific/longs), whitespace runs and line endings
+        — native must equal the Python parser on all of them."""
+        rng = np.random.default_rng(123)
+        for trial in range(12):
+            n_joints = int(rng.integers(1, 6))
+            lines = ["HIERARCHY"]
+            names = [f"J{k}" for k in range(n_joints)]
+            chan_counts = []
+            for k, name in enumerate(names):
+                tag = "ROOT" if k == 0 else "JOINT"
+                indent = "\t" * k
+                lines.append(f"{indent}{tag} {name}")
+                lines.append(indent + "{")
+                off = rng.uniform(-5, 5, 3)
+                lines.append(
+                    f"{indent}\tOFFSET {off[0]:.6f} {off[1]:.6f} {off[2]:.6f}"
+                )
+                nch = 6 if k == 0 else 3
+                chans = ("Xposition Yposition Zposition " if nch == 6 else "") + \
+                    "Zrotation Yrotation Xrotation"
+                lines.append(f"{indent}\tCHANNELS {nch} {chans.strip()}")
+                chan_counts.append(nch)
+            last = "\t" * n_joints
+            lines += [f"{last}End Site", last + "{",
+                      f"{last}\tOFFSET 0.0 1.0 0.0", last + "}"]
+            for k in range(n_joints - 1, -1, -1):
+                lines.append("\t" * k + "}")
+
+            T = int(rng.integers(1, 6))
+            C = sum(chan_counts)
+            lines += ["MOTION", f"Frames: {T}", "Frame Time: 0.033333"]
+            vals = rng.standard_normal((T, C)) * np.power(
+                10.0, rng.integers(-4, 5, (T, C)).astype(np.float64)
+            )
+            for row in vals:
+                cells = []
+                for v in row:
+                    fmt = rng.integers(0, 4)
+                    if fmt == 0:
+                        cells.append(f"{v:.6f}")
+                    elif fmt == 1:
+                        cells.append(f"{v:e}")
+                    elif fmt == 2:
+                        cells.append(f"{v:.15g}")
+                    else:
+                        cells.append(repr(float(v)))
+                sep = " " if rng.random() < 0.7 else "  \t"
+                lines.append(sep.join(cells) + (" " if rng.random() < 0.3 else ""))
+
+            text = ("\r\n" if trial % 3 == 0 else "\n").join(lines) + "\n"
+            path = str(tmp_path / f"fuzz{trial}.bvh")
+            with open(path, "w", newline="") as f:
+                f.write(text)
+
+            py = P.parse_bvh_python(path)
+            cc = native.parse_bvh_fast(path)
+            assert cc.columns == py.columns, f"trial {trial}"
+            assert cc.values.shape == py.values.shape == (T, C), f"trial {trial}"
+            np.testing.assert_array_equal(cc.values, py.values,
+                                          err_msg=f"trial {trial}")
+
     def test_dispatch_uses_native(self, tmp_path, monkeypatch):
         """`pipeline.parse_bvh` (the featurizers' entry) routes to the C++
         parser when available and falls back under DSG_TPU_NO_NATIVE."""
