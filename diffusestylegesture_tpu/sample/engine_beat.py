@@ -63,12 +63,44 @@ class BeatTwhSampler:
         schedule: Schedule,
         cfg: BeatEngineConfig = BeatEngineConfig(),
         sampler_cfg: SamplerConfig = SamplerConfig(),
+        aot_dir: Optional[str] = None,
     ):
+        """`aot_dir` as in `ZeggsSampler`: executable snapshots keyed by
+        (variant, steps, window-count, batch) for tracing-free warm starts."""
         self.model_apply = model_apply
         self.schedule = schedule
         self.cfg = cfg
         self.sampler_cfg = sampler_cfg
+        self.aot_dir = aot_dir
+        self._aot_runners: dict = {}
         self._generate = jax.jit(self._generate_impl, static_argnames=("num_windows",))
+
+    def _aot_generate(self, params, windows, seed0, style, key, sl, num_windows: int):
+        import os
+
+        from ..utils.aot import aot_compile
+
+        B = style.shape[0]
+        cache_key = (num_windows, B, sl is not None)
+        runner = self._aot_runners.get(cache_key)
+        if runner is None:
+            name = (
+                f"beat_{self.cfg.variant}_{self.cfg.sampler}"
+                f"{self.schedule.num_timesteps}_nj{self.cfg.njoints}"
+                f"_W{num_windows}_B{B}.aotx"
+            )
+            path = os.path.join(self.aot_dir, name)
+
+            def engine_fn(p, w, s0, st, k, s_last):
+                return self._generate_impl(
+                    p, w, s0, st, k, s_last, None, num_windows=num_windows
+                )
+
+            runner = aot_compile(
+                engine_fn, (params, windows, seed0, style, key, sl), path
+            )
+            self._aot_runners[cache_key] = runner
+        return runner(params, windows, seed0, style, key, sl)
 
     def slice_windows(self, textaudio: np.ndarray):
         """(T, A) fused features → per-window model audio inputs."""
@@ -163,11 +195,14 @@ class BeatTwhSampler:
         seed_last: Optional[np.ndarray] = None,
         max_len: int = 0,
         noise_windows: Optional[np.ndarray] = None,
+        mesh=None,
     ) -> np.ndarray:
         """→ (B, real_n_frames, motion_dim) un-normalized position block.
 
         `noise_windows` (num_windows, B, njoints, 1, n_poses) injects each
         window's initial x_T (deterministic cross-framework comparison).
+        `mesh`: shard the style batch over the mesh's 'data' axis
+        (multi-chip serving, as in `ZeggsSampler.generate`).
         """
         cfg = self.cfg
         if max_len:
@@ -185,10 +220,29 @@ class BeatTwhSampler:
                 jnp.asarray(seed_last.T[None, :, None, :], jnp.float32),
                 (B, cfg.njoints, 1, cfg.n_seed),
             )
-        samples = self._generate(
-            params, jnp.asarray(windows), seed0, style, key, sl, noise_windows,
-            num_windows=num,
-        )
+        windows = jnp.asarray(windows)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_shard = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            style = jax.device_put(style, batch_shard)
+            seed0 = jax.device_put(seed0, batch_shard)
+            windows = jax.device_put(windows, repl)
+            params = jax.device_put(params, repl)
+            if sl is not None:
+                sl = jax.device_put(sl, batch_shard)
+            if noise_windows is not None:
+                noise_windows = jax.device_put(
+                    noise_windows, NamedSharding(mesh, P(None, "data"))
+                )
+        if self.aot_dir is not None and noise_windows is None and mesh is None:
+            samples = self._aot_generate(params, windows, seed0, style, key, sl, num)
+        else:
+            samples = self._generate(
+                params, windows, seed0, style, key, sl, noise_windows,
+                num_windows=num,
+            )
         samples = np.asarray(samples)  # (W, B, C, 1, n_poses)
         keep = cfg.njoints // cfg.motion_feature_division
         samples = samples[:, :, :keep, 0]  # (W, B, keep, n_poses)

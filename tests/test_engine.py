@@ -146,6 +146,45 @@ class TestEditing:
         assert np.abs(out2[:, 3:] - refm[:, 3:]).max() > 1e-3
 
 
+class TestBeatServingFeatures:
+    def _setup(self, **cfg_kw):
+        cfg = BeatEngineConfig(n_poses=22, n_seed=4, njoints=NJ, audio_dim=9,
+                               variant="attention4", sampler="ddim", **cfg_kw)
+        eng = BeatTwhSampler(toy_model_apply, SCHED, cfg)
+        rng = np.random.default_rng(31)
+        textaudio = rng.standard_normal((30, 9)).astype(np.float32)
+        seed = rng.standard_normal((cfg.n_seed, NJ)).astype(np.float32)
+        mean = np.zeros(NJ // 3, np.float32)
+        std = np.ones(NJ // 3, np.float32)
+        style = np.eye(6, dtype=np.float32)
+        return eng, textaudio, seed, mean, std, style
+
+    def test_aot_dir_matches_jit(self, tmp_path):
+        import os as _os
+
+        eng, ta, seed, mean, std, style = self._setup()
+        want = eng.generate({}, ta, seed, style[:1], jax.random.PRNGKey(4), mean, std)
+
+        eng2 = BeatTwhSampler(toy_model_apply, SCHED, eng.cfg,
+                              aot_dir=str(tmp_path / "aot"))
+        got = eng2.generate({}, ta, seed, style[:1], jax.random.PRNGKey(4), mean, std)
+        assert any(f.endswith(".aotx") for f in _os.listdir(tmp_path / "aot"))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_mesh_matches_single_device(self):
+        from diffusestylegesture_tpu.parallel import make_mesh
+
+        eng, ta, seed, mean, std, style = self._setup()
+        rng = np.random.default_rng(32)
+        noise = rng.standard_normal((2, 8, NJ, 1, 22)).astype(np.float32)
+        styles = style[np.arange(8) % 6]
+        single = eng.generate({}, ta, seed, styles, jax.random.PRNGKey(5),
+                              mean, std, noise_windows=noise)
+        sharded = eng.generate({}, ta, seed, styles, jax.random.PRNGKey(5),
+                               mean, std, noise_windows=noise, mesh=make_mesh())
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 class TestRestyle:
     """DDIM-inversion re-styling. The roundtrip identity only holds for a
     CONSISTENT denoiser (the ODE flows of encode/decode must be the same
