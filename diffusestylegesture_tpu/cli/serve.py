@@ -1,0 +1,126 @@
+"""Batch-serving CLI: JSONL requests in → stylized BVH files out.
+
+  python -m diffusestylegesture_tpu.cli.serve --config configs/zeggs.yml \
+      --model_path model000450000.pt [--requests reqs.jsonl] [--aot_dir /x]
+
+Each input line is a request:
+  {"wav": "clip.wav", "style": "Happy", "out": "clip_happy.bvh"}
+(`style` is a ZEGGS style token or a 6-float list; `out` defaults next to
+the wav.) Requests are read from `--requests` or stdin and fed through the
+micro-batching `GestureServer` — concurrent lines ride one batched engine
+call. One JSON result line is printed per request.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DiffuseStyleGesture-TPU serving")
+    p.add_argument("--config", required=True)
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--requests", default=None, help="JSONL file (default stdin)")
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--max_delay_ms", type=float, default=50.0)
+    p.add_argument("--aot_dir", default=None)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from .. import diffusion as D
+    from ..config import load_yaml_config
+    from ..data import load_wav_16k
+    from ..models.mdm import MDM, MDMConfig
+    from ..models.wavlm import WavLM, load_wavlm_checkpoint, make_zeggs_wavlm_fn
+    from ..motion import zeggs_features as zf
+    from ..sample import GestureServer, ServerConfig, ZeggsEngineConfig, ZeggsSampler
+    from ..utils.compile_cache import enable_persistent_cache
+    from .sample import load_denoiser_params
+
+    enable_persistent_cache()
+    cfg = load_yaml_config(args.config)
+
+    mcfg = MDMConfig(
+        njoints=cfg.njoints, latent_dim=cfg.latent_dim,
+        ff_size=cfg.get("ff_size", 1024), num_layers=cfg.get("num_layers", 8),
+        n_seed=cfg.n_seed, cond_mode=cfg.cond_mode,
+        cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
+    )
+    model = MDM(mcfg)
+    params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
+    wcfg, wparams = load_wavlm_checkpoint(cfg.wavlm_path)
+    wavlm_fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
+    sched = D.Schedule.create(
+        D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
+    )
+
+    def model_apply(params, x, t, cond, uncond=None):
+        return model.apply(params, x, t, cond, uncond=uncond)
+
+    sampler = ZeggsSampler(
+        model_apply, wavlm_fn, sched,
+        ZeggsEngineConfig(
+            n_poses=cfg.n_poses, n_seed=cfg.n_seed, njoints=cfg.njoints,
+            fps=cfg.motion_resampling_framerate,
+        ),
+        aot_dir=args.aot_dir,
+    )
+    mean = np.load(os.path.join(cfg.data_dir, "mean.npz"))["mean"]
+    std = np.load(os.path.join(cfg.data_dir, "std.npz"))["std"]
+    server = GestureServer(
+        sampler, params, wparams, mean=mean, std=std,
+        cfg=ServerConfig(max_batch=args.max_batch, max_delay_ms=args.max_delay_ms),
+        seed=args.seed,
+    ).start()
+
+    def parse_style(spec, wav_path):
+        if isinstance(spec, (list, tuple)):
+            return np.asarray(spec, np.float32)
+        token = spec or os.path.basename(wav_path).split("_")[1]
+        onehot = zf.style_onehot(token)
+        if onehot is None:
+            raise ValueError(f"unknown style token {token!r}")
+        return onehot
+
+    src = open(args.requests) if args.requests else sys.stdin
+    pending = []
+    try:
+        for line in src:
+            line = line.strip()
+            if not line:
+                continue
+            req = json.loads(line)
+            wav_path = req["wav"]
+            out_path = req.get("out") or (os.path.splitext(wav_path)[0] + "_gen.bvh")
+            try:
+                style = parse_style(req.get("style"), wav_path)
+                fut = server.submit(load_wav_16k(wav_path), style)
+                pending.append((req, out_path, fut))
+            except Exception as e:
+                print(json.dumps({"wav": wav_path, "error": str(e)}), flush=True)
+
+        for req, out_path, fut in pending:
+            try:
+                poses = fut.result()
+                zf.pose_features_to_bvh(poses, out_path, smoothing=True)
+                print(json.dumps({"wav": req["wav"], "out": out_path,
+                                  "frames": int(poses.shape[0])}), flush=True)
+            except Exception as e:
+                print(json.dumps({"wav": req["wav"], "error": str(e)}), flush=True)
+    finally:
+        if args.requests:
+            src.close()
+        server.stop()
+    print(json.dumps({"served": server.requests_served,
+                      "batches": server.batches_served}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

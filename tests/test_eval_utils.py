@@ -155,5 +155,5 @@ class TestCLIImports:
         import importlib
 
         for m in ("train", "sample", "sample_beat", "prepare_data", "convert_ckpt",
-                  "zeroeggs", "eval"):
+                  "zeroeggs", "eval", "serve", "distill"):
             importlib.import_module(f"diffusestylegesture_tpu.cli.{m}")
