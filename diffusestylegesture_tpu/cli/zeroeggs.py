@@ -141,7 +141,8 @@ def _build_networks(cfg_dict):
 
     cfg = ZeroEGGSConfig(**cfg_dict)
     sp = SpeechEncoder(hidden_size=cfg.hidden_size, output_size=cfg.speech_encoding_size)
-    st = StyleEncoderVAE(cfg.hidden_size, cfg.style_embedding_size)
+    st = StyleEncoderVAE(cfg.hidden_size, cfg.style_embedding_size,
+                         encoder_type=cfg.style_encoder_type)
     dec = ZeroEGGSDecoder(cfg)
     return cfg, sp, st, dec
 
@@ -167,6 +168,7 @@ def cmd_train(args) -> None:
         speech_encoding_size=args.speech_encoding_size,
         style_embedding_size=args.style_embedding_size,
         num_rnn_layers=args.num_rnn_layers,
+        style_encoder_type=args.style_encoder,
     )
     cfg, sp, st, dec = _build_networks(cfg_dict)
 
@@ -326,6 +328,7 @@ def main(argv=None):
     pt.add_argument("--speech_encoding_size", type=int, default=128)
     pt.add_argument("--style_embedding_size", type=int, default=64)
     pt.add_argument("--num_rnn_layers", type=int, default=2)
+    pt.add_argument("--style_encoder", choices=["gru", "attn"], default="gru")
     pt.add_argument("--seed", type=int, default=1234)
 
     pg = sub.add_parser("generate")

@@ -128,14 +128,23 @@ class StyleEncoderGRU(nn.Module):
 
 
 class StyleEncoderVAE(nn.Module):
-    """StyleEncoder(type='gru', use_vae=True) (`modules.py:266-292`)."""
+    """StyleEncoder(use_vae=True) (`modules.py:266-292`); the inner
+    encoder is the reference's `type` option: 'gru' (`modules.py:295-331`)
+    or 'attn' (`modules.py:334-408`, FFT-block attention)."""
 
     hidden_size: int
     style_embedding_size: int
+    encoder_type: str = "gru"
 
     @nn.compact
     def __call__(self, x: jax.Array, key=None, temperature: float = 1.0):
-        enc = StyleEncoderGRU(
+        if self.encoder_type == "gru":
+            enc_cls = StyleEncoderGRU
+        elif self.encoder_type == "attn":
+            enc_cls = StyleEncoderAttn
+        else:
+            raise ValueError(f"unknown style encoder type {self.encoder_type!r}")
+        enc = enc_cls(
             self.hidden_size, 2 * self.style_embedding_size, name="encoder"
         )(x)
         mu = enc[:, : self.style_embedding_size]
@@ -231,6 +240,7 @@ class ZeroEGGSConfig:
     hidden_size: int = 512
     num_rnn_layers: int = 2
     dt: float = 1.0 / 60.0
+    style_encoder_type: str = "gru"  # 'gru' | 'attn' (ref StyleEncoder type)
 
 
 class ZeroEGGSDecoder(nn.Module):

@@ -101,7 +101,8 @@ class ZeroEggsGenerator:
             hidden_size=self.cfg.hidden_size, output_size=self.cfg.speech_encoding_size
         )
         self.style_encoder = StyleEncoderVAE(
-            self.cfg.hidden_size, self.cfg.style_embedding_size
+            self.cfg.hidden_size, self.cfg.style_embedding_size,
+            encoder_type=getattr(self.cfg, "style_encoder_type", "gru"),
         )
         self.decoder = ZeroEGGSDecoder(self.cfg)
 

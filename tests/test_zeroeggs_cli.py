@@ -12,7 +12,11 @@ from test_data_cli import write_synth_pair
 from diffusestylegesture_tpu.motion import bvh
 
 
-def test_zeroeggs_prepare_train_generate(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("style_encoder", ["gru", "attn"])
+def test_zeroeggs_prepare_train_generate(tmp_path, style_encoder):
     from diffusestylegesture_tpu.cli import zeroeggs as cli
 
     src = tmp_path / "raw"
@@ -33,6 +37,7 @@ def test_zeroeggs_prepare_train_generate(tmp_path):
         "--num_steps", "3", "--batch_size", "2", "--window", "8",
         "--hidden_size", "32", "--speech_encoding_size", "8",
         "--style_embedding_size", "4", "--num_rnn_layers", "1",
+        "--style_encoder", style_encoder,
     ])
     assert os.path.exists(os.path.join(net, "config.json"))
 
