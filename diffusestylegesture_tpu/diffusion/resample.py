@@ -73,6 +73,15 @@ def update_with_losses(
     if axis_name is not None:
         ts = jax.lax.all_gather(ts, axis_name).reshape(-1)
         losses = jax.lax.all_gather(losses, axis_name).reshape(-1)
+        # under shard_map's varying-axes typing the gathered operands are
+        # marked varying; cast the carried state to match (the gathered
+        # values are identical on every shard, so the result is too)
+        try:
+            state = jax.tree.map(
+                lambda a: jax.lax.pcast(a, axis_name, to="varying"), state
+            )
+        except (AttributeError, TypeError, ValueError):
+            pass  # pmap / older jax: no varying-type system
 
     def body(st, tl):
         t, loss = tl

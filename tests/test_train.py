@@ -262,6 +262,40 @@ class TestLossAwareSampler:
         wmap = {int(tt): float(ww) for tt, ww in zip(np.asarray(t), np.asarray(weights))}
         assert wmap[int(hi)] < wmap[int(lo)]
 
+    def test_update_with_losses_axis_name_collective(self):
+        """The distributed update path (ref `update_with_local_losses`
+        all_gather, `resample.py:83-104`): each device sees its local
+        (t, loss) pairs, gathers across the axis, and every device's
+        resulting history equals the global single-device update."""
+        from diffusestylegesture_tpu.diffusion import resample
+
+        nd = jax.device_count()
+        nt = 12
+        rng = np.random.default_rng(44)
+        ts = rng.integers(0, nt, 16).astype(np.int32)
+        losses = rng.random(16).astype(np.float32)
+
+        state0 = resample.LossAwareState.create(nt, history_per_term=4)
+
+        def per_device(state, ts, losses):
+            return resample.update_with_losses(state, ts, losses, axis_name="data")
+
+        out = jax.pmap(per_device, axis_name="data", in_axes=(None, 0, 0))(
+            state0, jnp.asarray(ts.reshape(nd, -1)), jnp.asarray(losses.reshape(nd, -1))
+        )
+        ref = resample.update_with_losses(state0, jnp.asarray(ts), jnp.asarray(losses))
+        for d in range(nd):
+            np.testing.assert_array_equal(
+                np.asarray(out.counts[d]), np.asarray(ref.counts)
+            )
+            # same multiset of losses per timestep row (insertion order may
+            # differ across gather layouts)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(out.history[d]), axis=1),
+                np.sort(np.asarray(ref.history), axis=1),
+                atol=1e-6,
+            )
+
     def test_loss_aware_on_mesh(self):
         _, params, apply = make_model_and_params()
         cfg = TrainConfig(lr=1e-3, schedule_sampler="loss-second-moment")
