@@ -19,6 +19,27 @@ import os
 import numpy as np
 
 
+def load_distilled(stage_dir: str):
+    """Load a distillation stage → (params, spaced Schedule).
+
+    Feed the schedule to any sampler with cfg.sampler='ddim': the engine's
+    `timestep_map` remaps the shrunken grid onto the original timestep
+    vocabulary the distilled network was trained with.
+    """
+    import orbax.checkpoint as ocp
+
+    from .. import diffusion as D
+
+    with open(os.path.join(stage_dir, "schedule.json")) as f:
+        meta = json.load(f)
+    params = ocp.StandardCheckpointer().restore(
+        os.path.abspath(os.path.join(stage_dir, "params"))
+    )
+    betas = D.named_beta_schedule(meta["noise_schedule"], meta["base_steps"])
+    sched = D.spaced_schedule(betas, set(meta["use_timesteps"]))
+    return params, sched
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="progressive distillation (ZEGGS)")
     p.add_argument("--config", required=True)

@@ -72,3 +72,25 @@ def test_distill_cli_two_stages(tmp_path):
     g1 = json.load(open(os.path.join(s1, "schedule.json")))["use_timesteps"]
     assert set(g1) <= set(g0)
     assert g1 == sorted(g0)[1::2]
+
+    # the stage loader feeds a working few-step sampler
+    from diffusestylegesture_tpu.cli.distill import load_distilled
+    from diffusestylegesture_tpu.sample import ZeggsEngineConfig, ZeggsSampler
+
+    params_d, sched_d = load_distilled(s1)
+    assert sched_d.num_timesteps == 2
+    np.testing.assert_array_equal(np.asarray(sched_d.timestep_map), g1)
+
+    def model_apply(p, xx, tt, cc, uncond=None):
+        return model.apply(p, xx, tt, cc, uncond=uncond)
+
+    def wavlm_stub(_p, w):
+        return jnp.zeros((w.shape[0], 88, 1024))
+
+    eng = ZeggsSampler(model_apply, wavlm_stub, sched_d,
+                       ZeggsEngineConfig(njoints=1141, sampler="ddim"))
+    audio = np.zeros(eng.cfg.samples_per_stride, np.float32)
+    out = eng.generate(params_d, {}, audio, np.eye(6, dtype=np.float32)[:1],
+                       jax.random.PRNGKey(0))
+    assert out.shape == (1, eng.cfg.stride - eng.cfg.n_seed, 1141)
+    assert np.isfinite(out).all()
