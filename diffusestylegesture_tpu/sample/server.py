@@ -41,6 +41,14 @@ class ServerConfig:
     # window-count buckets (ascending); requests pad up to the nearest.
     # 5 windows = 20 s of audio under the ZEGGS geometry.
     window_buckets: Sequence[int] = (1, 2, 5, 10, 20)
+    # Pad every batch to max_batch with dummy requests so the engine
+    # compiles ONE batch shape per bucket. Without this each distinct
+    # batch size is a new XLA program — measured 60s+ recompiles per
+    # ragged batch on v5e vs ~2s steady-state execution. NB with the
+    # reference crossfade quirk (engine crossfade_n=None, weights use the
+    # batch size) padding fixes the quirk's n at max_batch; set an explicit
+    # crossfade_n for batch-size-independent blending in serving.
+    pad_to_max_batch: bool = True
 
 
 @dataclasses.dataclass
@@ -173,9 +181,10 @@ class GestureServer:
         ecfg = self.sampler.cfg
         bucket = self._bucket_for(batch[0].num_windows)
         S = ecfg.samples_per_seed + ecfg.samples_per_stride
-        B = len(batch)
+        B = self.cfg.max_batch if self.cfg.pad_to_max_batch else len(batch)
 
-        # slice each clip, zero-pad to the bucket's window count
+        # slice each clip, zero-pad to the bucket's window count (dummy
+        # rows beyond len(batch) stay zero and their outputs are dropped)
         feats_in = np.zeros((B, bucket, S), np.float32)
         for i, req in enumerate(batch):
             win = slice_audio_windows(req.audio, ecfg)[:bucket]
@@ -186,7 +195,10 @@ class GestureServer:
         feats = self.sampler.wavlm_apply(self.wavlm_params, jnp.asarray(flat))
         feats = np.asarray(feats).reshape(B, bucket, ecfg.n_poses, -1)
 
-        styles = np.stack([req.style.reshape(-1) for req in batch])
+        style_dim = batch[0].style.reshape(-1).shape[0]
+        styles = np.zeros((B, style_dim), np.float32)
+        for i, req in enumerate(batch):
+            styles[i] = req.style.reshape(-1)
         from .engine import _generate_multi
 
         # RNG: the batch runs under the FIRST request's key; each clip still
