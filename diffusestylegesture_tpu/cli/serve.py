@@ -32,8 +32,6 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    import jax
-
     from .. import diffusion as D
     from ..config import load_yaml_config
     from ..data import load_wav_16k

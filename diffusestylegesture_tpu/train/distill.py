@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..diffusion import Schedule
 from ..diffusion import gaussian as G
-from ..diffusion.schedule import spaced_schedule, space_timesteps
+from ..diffusion.schedule import spaced_schedule
 
 
 def student_schedule(teacher: Schedule, base_betas=None) -> Schedule:
