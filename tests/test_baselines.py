@@ -94,6 +94,38 @@ class TestBaselineParity:
         )
         np.testing.assert_allclose(ours, theirs, atol=3e-4)
 
+    def test_tisa_parity(self):
+        import importlib.util as ilu
+
+        import torch
+
+        spec = ilu.spec_from_file_location(
+            "ref_tisa", "/root/reference/main/model/tisa.py"
+        )
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        torch.manual_seed(3)
+        ref = mod.Tisa(num_attention_heads=6, num_kernels=4)
+        with torch.no_grad():
+            theirs = ref(13).numpy()
+
+        from diffusestylegesture_tpu.models.tisa import Tisa
+
+        model = Tisa(num_attention_heads=6, num_kernels=4)
+        params = {"params": {
+            "kernel_offsets": ref.kernel_offsets.detach().numpy(),
+            "kernel_amplitudes": ref.kernel_amplitudes.detach().numpy(),
+            "kernel_sharpness": ref.kernel_sharpness.detach().numpy(),
+        }}
+        ours = np.asarray(model.apply(params, 13))
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+        # scores are translation-invariant: constant along diagonals
+        for k in (-3, 0, 4):
+            diag = np.diagonal(ours, offset=k, axis1=1, axis2=2)
+            np.testing.assert_allclose(
+                diag, np.broadcast_to(diag[:, :1], diag.shape), atol=1e-6
+            )
+
     def test_dead_baselines_are_unconstructable(self):
         """Pin the skip rationale: Generator_diff needs modules whose import
         the reference comments out, diffwav needs an external package."""
