@@ -65,6 +65,8 @@ def main(argv=None):
     p.add_argument("--max_len", type=int, default=0)
     p.add_argument("--style", default=None, help="override style token (e.g. Happy)")
     p.add_argument("--guidance_scale", type=float, default=0.0)
+    p.add_argument("--skip_timesteps", type=int, default=0,
+                   help="skip the first N reverse steps (warm start)")
     p.add_argument("--seed", type=int, default=123456)
     p.add_argument("--save_dir", default="./sample_dir")
     p.add_argument("--aot_dir", default=None,
@@ -122,6 +124,7 @@ def main(argv=None):
             n_poses=cfg.n_poses, n_seed=cfg.n_seed, njoints=cfg.njoints,
             fps=cfg.motion_resampling_framerate,
             guidance_scale=args.guidance_scale,
+            skip_timesteps=args.skip_timesteps,
         ),
         aot_dir=args.aot_dir,
     )

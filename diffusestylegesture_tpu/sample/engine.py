@@ -65,6 +65,10 @@ class ZeggsEngineConfig:
     crossfade_n: Optional[int] = None
     root_delta_correction: bool = True  # ref `:269-282` (ZEGGS on, BEAT off)
     sampler: str = "ddpm"  # ddpm | ddim | plms (use a respaced Schedule for ddimN)
+    # Warm-start: skip the first N reverse steps, q_sampling the init
+    # image (zeros when none) to t0 (ref `sample_fn(skip_timesteps=...)`,
+    # `gaussian_diffusion.py:700-713`; the reference CLI threads it as 0).
+    skip_timesteps: int = 0
 
     @property
     def stride(self) -> int:
@@ -187,7 +191,8 @@ class ZeggsSampler:
 
         shape = (B, cfg.njoints, 1, cfg.n_poses)
         loop = SAMPLE_LOOPS[self.cfg.sampler]
-        return loop(self.schedule, model_fn, shape, key, cfg=self.sampler_cfg, noise=noise)
+        return loop(self.schedule, model_fn, shape, key, cfg=self.sampler_cfg,
+                    noise=noise, skip_timesteps=cfg.skip_timesteps)
 
     def _generate_impl(self, params, wavlm_params, audio_windows, style, key,
                        noise_windows=None, *, num_windows, host_feats=False):

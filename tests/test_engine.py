@@ -146,6 +146,28 @@ class TestEditing:
         assert np.abs(out2[:, 3:] - refm[:, 3:]).max() > 1e-3
 
 
+class TestSkipTimesteps:
+    def test_warm_start_differs_and_runs(self):
+        """skip_timesteps warm-starts the chain from q_sample(0) at t0
+        (ref `gaussian_diffusion.py:700-713`): fewer denoise steps, output
+        differs from the full chain but stays finite."""
+        cfg_full = ZeggsEngineConfig(njoints=NJ, sampler="ddim")
+        cfg_skip = ZeggsEngineConfig(njoints=NJ, sampler="ddim", skip_timesteps=5)
+        rng = np.random.default_rng(17)
+        audio = rng.standard_normal(cfg_full.samples_per_stride).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        noise = rng.standard_normal((1, 1, NJ, 1, cfg_full.n_poses)).astype(np.float32)
+
+        full = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg_full)
+        skip = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg_skip)
+        a = full.generate({}, {}, audio, style, jax.random.PRNGKey(0),
+                          noise_windows=noise)
+        b = skip.generate({}, {}, audio, style, jax.random.PRNGKey(0),
+                          noise_windows=noise)
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() > 1e-4  # genuinely different chain length
+
+
 class TestBeatServingFeatures:
     def _setup(self, **cfg_kw):
         cfg = BeatEngineConfig(n_poses=22, n_seed=4, njoints=NJ, audio_dim=9,
