@@ -65,3 +65,19 @@ def test_trainloop_checkpoint_loads_into_sampler(tmp_path):
     le = jax.tree_util.tree_leaves(ema)[0]
     lp = jax.tree_util.tree_leaves(loaded)[0]
     assert np.abs(np.asarray(le) - np.asarray(lp)).max() > 0
+
+
+def test_npz_interchange_export(tmp_path):
+    """save_params_npz flattens params to a portable npz (the analog of
+    the reference's bare .pt weight dumps)."""
+    from diffusestylegesture_tpu.train.checkpoint import save_params_npz
+
+    params = {"params": {"layer": {"kernel": np.arange(6.0).reshape(2, 3),
+                                   "bias": np.zeros(3)}}}
+    path = str(tmp_path / "weights.npz")
+    save_params_npz(path, params)
+    blob = np.load(path)
+    keys = set(blob.files)
+    assert any("kernel" in k for k in keys)
+    kernel_key = next(k for k in keys if k.endswith("kernel"))
+    np.testing.assert_array_equal(blob[kernel_key], np.arange(6.0).reshape(2, 3))
