@@ -142,10 +142,18 @@ class ZeggsSampler:
         cache_key = (num_windows, B, host_feats)
         runner = self._aot_runners.get(cache_key)
         if runner is None:
+            # the full engine config participates in the snapshot identity —
+            # guidance/skip/crossfade change the program but not the shapes,
+            # so a shared aot_dir must not mix them up
+            import hashlib
+
+            cfg_tag = hashlib.sha1(
+                repr((self.cfg, self.sampler_cfg)).encode()
+            ).hexdigest()[:8]
             name = (
                 f"zeggs_{self.cfg.sampler}{self.schedule.num_timesteps}"
                 f"_nj{self.cfg.njoints}_W{num_windows}_B{B}"
-                f"{'_hostfeats' if host_feats else ''}.aotx"
+                f"{'_hostfeats' if host_feats else ''}_{cfg_tag}.aotx"
             )
             path = os.path.join(self.aot_dir, name)
 

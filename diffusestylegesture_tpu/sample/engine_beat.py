@@ -84,10 +84,15 @@ class BeatTwhSampler:
         cache_key = (num_windows, B, sl is not None)
         runner = self._aot_runners.get(cache_key)
         if runner is None:
+            import hashlib
+
+            cfg_tag = hashlib.sha1(
+                repr((self.cfg, self.sampler_cfg)).encode()
+            ).hexdigest()[:8]
             name = (
                 f"beat_{self.cfg.variant}_{self.cfg.sampler}"
                 f"{self.schedule.num_timesteps}_nj{self.cfg.njoints}"
-                f"_W{num_windows}_B{B}.aotx"
+                f"_W{num_windows}_B{B}_{cfg_tag}.aotx"
             )
             path = os.path.join(self.aot_dir, name)
 
