@@ -4,3 +4,5 @@ from .metrics import (  # noqa: F401
     frechet_distance,
     multimodality,
 )
+from . import t2m  # noqa: F401
+from . import unconstrained  # noqa: F401
