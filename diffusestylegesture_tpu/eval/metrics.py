@@ -22,6 +22,15 @@ import numpy as np
 from scipy import linalg
 
 
+def sqrtm(a: np.ndarray) -> np.ndarray:
+    """Matrix square root without scipy's deprecated `disp` plumbing."""
+    try:
+        out = linalg.sqrtm(a)
+    except TypeError:  # pragma: no cover - older scipy returns tuples only
+        out = linalg.sqrtm(a, disp=False)[0]
+    return out[0] if isinstance(out, tuple) else out
+
+
 def activation_statistics(feats: np.ndarray):
     mu = np.mean(feats, axis=0)
     sigma = np.cov(feats, rowvar=False)
@@ -33,10 +42,10 @@ def frechet_distance(feats1: np.ndarray, feats2: np.ndarray, eps: float = 1e-6) 
     mu1, sigma1 = activation_statistics(feats1)
     mu2, sigma2 = activation_statistics(feats2)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    covmean = sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+        covmean = sqrtm((sigma1 + offset).dot(sigma2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .metrics import activation_statistics, frechet_distance
+from .metrics import activation_statistics, frechet_distance, sqrtm
 from .t2m import euclidean_distance_matrix, top_k_hits
 
 # dim_pos_ohot in the reference = len(POS_enumerator)
@@ -349,9 +349,7 @@ def evaluate_fid(eval_wrapper: T2MEvaluator, gt_loader: Iterable, activations: D
     for name, emb in activations.items():
         mu, cov = activation_statistics(emb)
         diff = gt_mu - mu
-        from scipy import linalg
-
-        covmean, _ = linalg.sqrtm(gt_cov.dot(cov), disp=False)
+        covmean = sqrtm(gt_cov.dot(cov))
         if np.iscomplexobj(covmean):
             covmean = covmean.real
         out[name] = float(
