@@ -76,6 +76,15 @@ class Graph:
                         (10, 9), (9, 8), (11, 5), (8, 2), (5, 1), (2, 1),
                         (0, 1), (15, 0), (14, 0), (17, 15), (16, 14)]
             self.center = 1
+        elif layout == "openpose15":
+            # the unconstrained-eval graph redefines 'openpose' as this
+            # 15-joint MoDi skeleton (eval/unconstrained/models/
+            # stgcnutils/graph.py:47-60)
+            self.num_node = 15
+            neighbor = [(4, 3), (3, 2), (2, 1), (7, 6), (6, 5), (5, 1),
+                        (1, 0), (14, 13), (13, 12), (12, 8), (11, 10),
+                        (10, 9), (9, 8), (8, 1)]
+            self.center = 1
         elif layout in ("smpl", "smpl_noglobal"):
             par = list(parents) if parents is not None else SMPL_PARENTS
             neighbor = [(par[j], j) for j in range(1, len(par))]
@@ -187,9 +196,14 @@ class _STGCNBlock(nn.Module):
         return nn.relu(x + res)
 
 
-_CHANNELS = [(64, 1, False), (64, 1, True), (64, 1, True), (64, 1, True),
+_CHANNELS = ((64, 1, False), (64, 1, True), (64, 1, True), (64, 1, True),
              (128, 2, True), (128, 1, True), (128, 1, True),
-             (256, 2, True), (256, 1, True), (256, 1, True)]
+             (256, 2, True), (256, 1, True), (256, 1, True))
+
+# the unconstrained-eval variant drops 3 blocks
+# (main/eval/unconstrained/models/stgcn.py:52-63)
+UNCONSTRAINED_CHANNELS = ((64, 1, False), (64, 1, True), (64, 1, True),
+                          (128, 2, True), (128, 1, True), (256, 2, True))
 
 
 class STGCN(nn.Module):
@@ -200,6 +214,7 @@ class STGCN(nn.Module):
     num_class: int
     graph: Graph
     edge_importance_weighting: bool = True
+    channels: tuple = _CHANNELS
 
     @nn.compact
     def __call__(self, motion: jax.Array):
@@ -215,7 +230,7 @@ class STGCN(nn.Module):
         x = x.reshape(n, t, v, c)
 
         prev = self.in_channels
-        for i, (out, stride, residual) in enumerate(_CHANNELS):
+        for i, (out, stride, residual) in enumerate(self.channels):
             if self.edge_importance_weighting:
                 imp = self.param(f"edge_importance_{i}",
                                  nn.initializers.ones, (k, v, v))
@@ -249,14 +264,14 @@ def _bn(sd: Mapping, prefix: str):
     return params, stats
 
 
-def convert_stgcn_ckpt(sd: Mapping) -> dict:
+def convert_stgcn_ckpt(sd: Mapping, channels: tuple = _CHANNELS) -> dict:
     """torch `STGCN.state_dict()` -> {'params': ..., 'batch_stats': ...}."""
     params: dict = {}
     stats: dict = {}
     p, s = _bn(sd, "data_bn")
     params["data_bn"] = p
     stats["data_bn"] = s
-    for i in range(len(_CHANNELS)):
+    for i in range(len(channels)):
         bp: dict = {}
         bs: dict = {}
         bp["gcn"] = {"conv": _conv(sd, f"st_gcn_networks.{i}.gcn.conv")}
