@@ -799,21 +799,87 @@ def twh_features_expmap(bvh_path: str):
     return out.astype(np.float32), pipe
 
 
+def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamilton product, w-first (pymo Quaternions.__mul__)."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def _quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    v = np.broadcast_to(v, q.shape[:-1] + (3,))
+    qvec = q[..., 1:]
+    uv = np.cross(qvec, v)
+    uuv = np.cross(qvec, uv)
+    return v + 2.0 * (q[..., :1] * uv + uuv)
+
+
+def _quat_between(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Quaternion rotating u onto v (pymo Quaternions.between)."""
+    w = np.sqrt((u ** 2).sum(-1) * (v ** 2).sum(-1)) + (u * v).sum(-1)
+    q = np.concatenate([w[..., None], np.cross(u, v)], axis=-1)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+_AXIS = {"X": np.array([1.0, 0, 0]), "Y": np.array([0, 1.0, 0]),
+         "Z": np.array([0, 0, 1.0])}
+
+
+def _quat_from_euler_intrinsic(es: np.ndarray, order: str) -> np.ndarray:
+    """pymo Quaternions.from_euler(world=False): q0 ⊗ q1 ⊗ q2 with
+    es[..., i] the angle about axis order[i]."""
+    out = None
+    for i, axis_name in enumerate(order.upper()):
+        axis = _AXIS[axis_name]
+        half = es[..., i] / 2.0
+        q = np.concatenate(
+            [np.cos(half)[..., None], np.sin(half)[..., None] * axis], axis=-1)
+        out = q if out is None else _quat_mul(out, q)
+    return out
+
+
+def _quat_to_euler_intrinsic(q: np.ndarray, order: str) -> np.ndarray:
+    """Intrinsic euler angles in `order` — equals the reference's
+    `t3d.euler.quat2euler(q, 's' + order[::-1].lower())[::-1]`."""
+    from scipy.spatial.transform import Rotation
+
+    xyzw = np.concatenate([q[..., 1:], q[..., :1]], axis=-1)
+    return Rotation.from_quat(xyzw.reshape(-1, 4)).as_euler(
+        order.upper()).reshape(q.shape[:-1] + (3,))
+
+
 class RootTransformer:
-    """pymo `RootTransformer` parity (`pymo/preprocessing.py:480-…`).
+    """pymo `RootTransformer` parity (`pymo/preprocessing.py:481-718`).
 
     Methods:
       * 'hip_centric': zero the root's position and rotation channels;
       * 'abdolute_translation_deltas' (pymo's spelling): replace root X/Z
         positions with frame deltas `_dXposition`/`_dZposition`
-        (d[0] = d[1]), dropping the absolute columns (no-smoothing path).
+        (d[0] = d[1]).  With `position_smoothing` > 0 the deltas come
+        from the gaussian-smoothed trajectory and the absolute columns
+        keep the residual x − x_smoothed (pymo:512-530);
+      * 'pos_rot_deltas': remove the smoothed ground trajectory and the
+        heading (y) rotation from the root, appending `_dXposition`/
+        `_dZposition` ground velocity and `_dYrotation` angular pivot
+        velocity columns (pymo:535-636).
     Inverse restores absolute positions by cumulative summation from a
-    configurable start position (pymo's inverse with start_pos=0).
+    configurable start position (pymo's inverse with start_pos=0; like
+    pymo, only the abdolute_translation_deltas and hip_centric methods
+    invert — pos_rot_deltas passes through).
     """
 
-    def __init__(self, method: str):
-        assert method in ("hip_centric", "abdolute_translation_deltas")
+    def __init__(self, method: str, position_smoothing: float = 0,
+                 rotation_smoothing: float = 0):
+        assert method in ("hip_centric", "abdolute_translation_deltas",
+                          "pos_rot_deltas")
         self.method = method
+        self.position_smoothing = position_smoothing
+        self.rotation_smoothing = rotation_smoothing
 
     def fit(self, data: ChannelData) -> "RootTransformer":
         if self.method == "hip_centric":
@@ -837,16 +903,91 @@ class RootTransformer:
                     if c in idx:
                         out.values[:, idx[c]] = 0.0
             return out
+        if self.method == "pos_rot_deltas":
+            return self._pos_rot_deltas(data, out, idx)
         # abdolute_translation_deltas
         xp, zp = f"{root}_Xposition", f"{root}_Zposition"
-        dx = np.diff(data.values[:, idx[xp]], prepend=np.nan)
-        dz = np.diff(data.values[:, idx[zp]], prepend=np.nan)
+        x = data.values[:, idx[xp]]
+        z = data.values[:, idx[zp]]
+        if self.position_smoothing > 0:
+            from scipy.ndimage import gaussian_filter1d
+
+            x_sm = gaussian_filter1d(x, self.position_smoothing, axis=0, mode="nearest")
+            z_sm = gaussian_filter1d(z, self.position_smoothing, axis=0, mode="nearest")
+            dx = np.diff(x_sm, prepend=np.nan)
+            dz = np.diff(z_sm, prepend=np.nan)
+            dx[0] = dx[1]
+            dz[0] = dz[1]
+            out.values[:, idx[xp]] = x - x_sm
+            out.values[:, idx[zp]] = z - z_sm
+            out.columns = list(data.columns) + [f"{root}_dXposition", f"{root}_dZposition"]
+            out.values = np.concatenate([out.values, dx[:, None], dz[:, None]], axis=1)
+            return out
+        dx = np.diff(x, prepend=np.nan)
+        dz = np.diff(z, prepend=np.nan)
         dx[0] = dx[1]
         dz[0] = dz[1]
         keep = [c for c in data.columns if c not in (xp, zp)]
         vals = data.values[:, [idx[c] for c in keep]]
         out.columns = keep + [f"{root}_dXposition", f"{root}_dZposition"]
         out.values = np.concatenate([vals, dx[:, None], dz[:, None]], axis=1)
+        return out
+
+    def _pos_rot_deltas(self, data: ChannelData, out: ChannelData, idx) -> ChannelData:
+        """pymo:535-636. Quaternion math follows pymo's Quaternions lib
+        (standard hamilton products, w-first)."""
+        root = data.root_name
+        rot_order = joint_rot_order(data, root)
+        pos_cols = [f"{root}_{a}position" for a in "XYZ"]
+        rot_cols = [f"{root}_{a}rotation" for a in rot_order]
+        positions = np.stack([data.values[:, idx[c]] for c in pos_cols], axis=1)
+        rotations = np.deg2rad(
+            np.stack([data.values[:, idx[c]] for c in rot_cols], axis=1))
+
+        reference = positions * np.array([1.0, 0.0, 1.0])
+        if self.position_smoothing > 0:
+            from scipy.ndimage import gaussian_filter1d
+
+            reference = gaussian_filter1d(
+                reference, self.position_smoothing, axis=0, mode="nearest")
+        velocity = np.diff(reference, axis=0)
+        velocity = np.vstack([velocity[:1], velocity])
+        positions = positions - reference
+
+        quats = _quat_from_euler_intrinsic(rotations, rot_order)
+        forward = _quat_rotate(quats, np.array([0.0, 0.0, 1.0]))
+        forward[:, 1] = 0.0
+        if self.rotation_smoothing > 0:
+            from scipy.ndimage import gaussian_filter1d
+
+            forward = gaussian_filter1d(
+                forward, self.rotation_smoothing, axis=0, mode="nearest")
+        forward = forward / np.linalg.norm(forward, axis=-1, keepdims=True)
+
+        target = np.tile(np.array([0.0, 0.0, 1.0]), (len(forward), 1))
+        heading = _quat_between(target, forward)
+        inv = heading * np.array([1.0, -1.0, -1.0, -1.0])
+        positions = _quat_rotate(inv, positions)
+        new_rotations = _quat_mul(inv, quats)
+        velocity = _quat_rotate(inv, velocity)
+        # pivot angular velocity (pymo Pivots.from_quaternions: heading
+        # delta rotating z-forward, arctan2 on the xz plane)
+        delta = _quat_mul(heading[1:], inv[:-1])
+        dirs = _quat_rotate(delta, np.array([0.0, 0.0, 1.0]))
+        rvelocity = np.arctan2(dirs[:, 0], dirs[:, 2])
+        rvelocity = np.concatenate([rvelocity[:1], rvelocity])
+
+        eulers = np.rad2deg(_quat_to_euler_intrinsic(new_rotations, rot_order))
+
+        for a, col in enumerate(pos_cols):
+            out.values[:, idx[col]] = positions[:, a]
+        for a, col in enumerate(rot_cols):
+            out.values[:, idx[col]] = eulers[:, a]
+        out.columns = list(data.columns) + [
+            f"{root}_dXposition", f"{root}_dZposition", f"{root}_dYrotation"]
+        out.values = np.concatenate(
+            [out.values, velocity[:, :1], velocity[:, 2:3],
+             rvelocity[:, None]], axis=1)
         return out
 
     def inverse_transform(self, data: ChannelData, start_pos=(0.0, 0.0)) -> ChannelData:
@@ -859,6 +1000,10 @@ class RootTransformer:
                     T = min(len(v), len(out.values))
                     out.values[:T, idx[c]] = v[:T]
             return out
+        if self.method == "pos_rot_deltas":
+            # pymo's inverse only handles abdolute_translation_deltas
+            # (preprocessing.py:666-716); other methods pass through
+            return out
         dxc, dzc = f"{root}_dXposition", f"{root}_dZposition"
         dx = data.values[:, idx[dxc]]
         dz = data.values[:, idx[dzc]]
@@ -866,6 +1011,16 @@ class RootTransformer:
         z = start_pos[1] + np.concatenate([[0.0], np.cumsum(dz[1:])])
         keep = [c for c in data.columns if c not in (dxc, dzc)]
         vals = data.values[:, [idx[c] for c in keep]]
-        out.columns = keep + [f"{root}_Xposition", f"{root}_Zposition"]
+        xpc, zpc = f"{root}_Xposition", f"{root}_Zposition"
+        if self.position_smoothing > 0:
+            # smoothed path kept the residual absolute columns: add the
+            # reconstructed trajectory back onto them (pymo:693-695)
+            out.columns = keep
+            out.values = vals
+            kidx = out.column_index()
+            out.values[:, kidx[xpc]] += x
+            out.values[:, kidx[zpc]] += z
+            return out
+        out.columns = keep + [xpc, zpc]
         out.values = np.concatenate([vals, x[:, None], z[:, None]], axis=1)
         return out
