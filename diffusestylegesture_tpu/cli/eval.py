@@ -66,6 +66,10 @@ def main(argv=None):
                         "al. 2020 convention)")
     p.add_argument("--ae_steps", type=int, default=500)
     p.add_argument("--ae_latent", type=int, default=128)
+    p.add_argument("--kid", action="store_true",
+                   help="also report KID (polynomial-MMD) and improved "
+                        "precision/recall over the same feature space "
+                        "(the reference's unconstrained-eval metrics)")
     args = p.parse_args(argv)
 
     gen = load_clips(args.generated)
@@ -93,6 +97,16 @@ def main(argv=None):
         "n_windows_generated": int(len(gf)),
         "n_windows_reference": int(len(rf)),
     }
+
+    if args.kid:
+        from ..eval.unconstrained import kid, precision_and_recall
+
+        n = min(len(gf), len(rf))
+        kid_mean, kid_std = kid(rf, gf, n_subsets=100,
+                                subset_size=min(1000, n))
+        precision, recall = precision_and_recall(gf, rf)
+        out.update(kid_mean=kid_mean, kid_std=kid_std,
+                   precision=precision, recall=recall)
 
     if args.wav:
         from ..audio.features import detect_onsets

@@ -112,6 +112,24 @@ class TestEvalCLI:
         assert out["beat_alignment_clips"] == 3
         assert 0 <= out["beat_alignment"] <= 1
 
+    def test_kid_precision_recall_flag(self, tmp_path):
+        from diffusestylegesture_tpu.cli.eval import main
+
+        rng = np.random.default_rng(3)
+        gen_dir, ref_dir = tmp_path / "g2", tmp_path / "r2"
+        gen_dir.mkdir(), ref_dir.mkdir()
+        for i in range(2):
+            np.save(gen_dir / f"c{i}.npy",
+                    rng.standard_normal((80, 6)).astype(np.float32) + 1.0)
+            np.save(ref_dir / f"c{i}.npy",
+                    rng.standard_normal((80, 6)).astype(np.float32))
+        out = main([
+            "--generated", str(gen_dir), "--reference", str(ref_dir),
+            "--window", "10", "--stride", "5", "--kid",
+        ])
+        assert out["kid_mean"] > 0
+        assert 0 <= out["precision"] <= 1 and 0 <= out["recall"] <= 1
+
     def test_autoencoder_embedding_fgd(self, tmp_path):
         """AE-latent FGD: ~0 for identical sets, positive for a clearly
         different motion distribution."""
