@@ -50,6 +50,49 @@ kit_kinematic_chain = [
     [3, 5, 6, 7], [3, 8, 9, 10],
 ]
 
+# --- RIC channel masks for inpainting-style editing ---------------------------
+# (`main/data_loaders/humanml_utils.py`: which of the 263 HumanML channels
+# belong to the root trajectory / lower body — the `in_between` and
+# `upper_body` edit modes of the MDM-legacy `sample/edit.py` mask these)
+
+HML_JOINT_NAMES = [
+    "pelvis", "left_hip", "right_hip", "spine1", "left_knee", "right_knee",
+    "spine2", "left_ankle", "right_ankle", "spine3", "left_foot",
+    "right_foot", "neck", "left_collar", "right_collar", "head",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist",
+]
+NUM_HML_JOINTS = len(HML_JOINT_NAMES)
+HML_LOWER_BODY_JOINTS = [
+    HML_JOINT_NAMES.index(n)
+    for n in ("pelvis", "left_hip", "right_hip", "left_knee", "right_knee",
+              "left_ankle", "right_ankle", "left_foot", "right_foot")
+]
+SMPL_UPPER_BODY_JOINTS = [
+    i for i in range(NUM_HML_JOINTS) if i not in HML_LOWER_BODY_JOINTS
+]
+
+
+def _hml_channel_mask(joint_binary: np.ndarray, foot_contact: bool) -> np.ndarray:
+    """Expand a per-joint flag into the 263-channel RIC layout:
+    root(1+2+1) + ric (J-1)*3 + rot (J-1)*6 + vel J*3 + contacts 4."""
+    return np.concatenate([
+        [True] * (1 + 2 + 1),
+        np.repeat(joint_binary[1:], 3),
+        np.repeat(joint_binary[1:], 6),
+        np.repeat(joint_binary, 3),
+        [foot_contact] * 4,
+    ])
+
+
+HML_ROOT_BINARY = np.array([True] + [False] * (NUM_HML_JOINTS - 1))
+HML_ROOT_MASK = _hml_channel_mask(HML_ROOT_BINARY, foot_contact=False)
+HML_LOWER_BODY_JOINTS_BINARY = np.array(
+    [i in HML_LOWER_BODY_JOINTS for i in range(NUM_HML_JOINTS)])
+HML_LOWER_BODY_MASK = _hml_channel_mask(
+    HML_LOWER_BODY_JOINTS_BINARY, foot_contact=True)
+HML_UPPER_BODY_MASK = ~HML_LOWER_BODY_MASK
+
 # --- w-first quaternion helpers ----------------------------------------------
 
 

@@ -200,3 +200,21 @@ class TestSkeleton:
         sk = hml.Skeleton(hml.t2m_raw_offsets, hml.t2m_kinematic_chain)
         q_ours = np.asarray(sk.inverse_kinematics(jnp.asarray(joints), face))
         np.testing.assert_allclose(q_ours, q_ref, atol=1e-6)
+
+
+class TestEditingMasks:
+    def test_parity_vs_reference(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_hml_utils", f"{REF}/data_loaders/humanml_utils.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert hml.HML_JOINT_NAMES == mod.HML_JOINT_NAMES
+        np.testing.assert_array_equal(hml.HML_ROOT_MASK, mod.HML_ROOT_MASK)
+        np.testing.assert_array_equal(
+            hml.HML_LOWER_BODY_MASK, mod.HML_LOWER_BODY_MASK)
+        np.testing.assert_array_equal(
+            hml.HML_UPPER_BODY_MASK, mod.HML_UPPER_BODY_MASK)
+        assert hml.SMPL_UPPER_BODY_JOINTS == mod.SMPL_UPPER_BODY_JOINTS
+        assert hml.HML_ROOT_MASK.shape == (263,)
