@@ -9,6 +9,17 @@ import os
 import sys
 import types
 
+
+def stub_module(name: str) -> types.ModuleType:
+    """An importable stub with a real ModuleSpec — `__spec__ = None`
+    breaks `importlib.util.find_spec` probes (e.g. transformers'
+    `_is_package_available('librosa')` raises ValueError)."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
 REFERENCE_MAIN = "/root/reference/main"
 REFERENCE_BEAT = "/root/reference/BEAT-TWH-main"
 
@@ -26,8 +37,8 @@ def import_ref_diffusion():
         ]
         for p in pkgs:
             if p not in sys.modules:
-                sys.modules[p] = types.ModuleType(p)
-        mod = types.ModuleType(name)
+                sys.modules[p] = stub_module(p)
+        mod = stub_module(name)
         mod.recover_from_ric = lambda *a, **k: None
         sys.modules[name] = mod
     import diffusion.gaussian_diffusion as gd  # type: ignore
@@ -43,12 +54,12 @@ def _stub_missing_modules():
         try:
             import librosa  # noqa: F401
         except ImportError:
-            sys.modules["librosa"] = types.ModuleType("librosa")
+            sys.modules["librosa"] = stub_module("librosa")
     if "easydict" not in sys.modules:
         try:
             import easydict  # noqa: F401
         except ImportError:
-            mod = types.ModuleType("easydict")
+            mod = stub_module("easydict")
 
             class EasyDict(dict):
                 def __getattr__(self, k):
@@ -66,7 +77,7 @@ def _stub_missing_modules():
         try:
             import omegaconf  # noqa: F401
         except ImportError:
-            mod = types.ModuleType("omegaconf")
+            mod = stub_module("omegaconf")
             mod.DictConfig = dict
             sys.modules["omegaconf"] = mod
 

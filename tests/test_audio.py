@@ -1,6 +1,7 @@
 """Audio feature tests: Sphinx MFCC parity + librosa-compatible features."""
 import sys
 import types
+import ref_compat
 
 import numpy as np
 import pytest
@@ -28,7 +29,7 @@ def synth_wav(seconds=2.0, sr=16000, seed=0):
 class TestSphinxParity:
     def test_sig2s2mfc_energy(self):
         if "librosa" not in sys.modules:
-            sys.modules["librosa"] = types.ModuleType("librosa")  # import-only stub
+            sys.modules["librosa"] = ref_compat.stub_module("librosa")  # import-only stub
         sys.path.insert(0, f"{REFERENCE_ROOT}/main/mydiffusion_zeggs")
         import mfcc as ref_mfcc  # type: ignore
 
@@ -41,7 +42,7 @@ class TestSphinxParity:
 
     def test_tail_resize_quirk(self):
         if "librosa" not in sys.modules:
-            sys.modules["librosa"] = types.ModuleType("librosa")
+            sys.modules["librosa"] = ref_compat.stub_module("librosa")
         sys.path.insert(0, f"{REFERENCE_ROOT}/main/mydiffusion_zeggs")
         import mfcc as ref_mfcc  # type: ignore
 

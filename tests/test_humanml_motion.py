@@ -4,6 +4,7 @@ scripts/motion_process.py}`), imported from the read-only tree with the
 numpy-1.20/scipy-1.12 removals patched around."""
 import sys
 import types
+import ref_compat
 
 import numpy as np
 import jax.numpy as jnp
@@ -26,7 +27,7 @@ def ref():
     except ImportError:
         import scipy.ndimage as ndi
 
-        mod = types.ModuleType("scipy.ndimage.filters")
+        mod = ref_compat.stub_module("scipy.ndimage.filters")
         mod.gaussian_filter1d = ndi.gaussian_filter1d
         sys.modules["scipy.ndimage.filters"] = mod
     # Other tests may have stubbed this import chain; clear the stubs so

@@ -1,6 +1,7 @@
 """pymo-equivalent motion pipeline: parity vs reference pymo on synthetic BVH."""
 import os
 import sys
+import ref_compat
 
 import numpy as np
 import pytest
@@ -71,7 +72,10 @@ class TestBeatParity:
 
         for _m in ("transforms3d", "transforms3d.euler", "transforms3d.quaternions"):
             if _m not in sys.modules:
-                sys.modules[_m] = types.ModuleType(_m)
+                sys.modules[_m] = ref_compat.stub_module(_m)
+            if "." in _m:
+                _parent, _child = _m.rsplit(".", 1)
+                setattr(sys.modules[_parent], _child, sys.modules[_m])
         sys.path.insert(0, f"{REFERENCE_ROOT}/BEAT-TWH-main/process")
         from sklearn.pipeline import Pipeline
         from scipy.spatial.transform import Rotation as Rot
@@ -162,7 +166,10 @@ class TestTWH:
 
         for _m in ("transforms3d", "transforms3d.euler", "transforms3d.quaternions"):
             if _m not in sys.modules:
-                sys.modules[_m] = types.ModuleType(_m)
+                sys.modules[_m] = ref_compat.stub_module(_m)
+            if "." in _m:
+                _parent, _child = _m.rsplit(".", 1)
+                setattr(sys.modules[_parent], _child, sys.modules[_m])
         sys.path.insert(0, f"{REFERENCE_ROOT}/BEAT-TWH-main/process")
         from sklearn.pipeline import Pipeline
         from pymo_TWH.parsers import BVHParser  # type: ignore

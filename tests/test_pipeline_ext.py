@@ -1,6 +1,7 @@
 """Extended pymo transforms: expmap, Mirror, RootNormalizer, ConstantsRemover_withroot."""
 import sys
 import types
+import ref_compat
 
 import numpy as np
 import pytest
@@ -14,7 +15,10 @@ from test_pipeline import synth_beat_bvh
 def _stub_pymo_deps():
     for m in ("transforms3d", "transforms3d.euler", "transforms3d.quaternions"):
         if m not in sys.modules:
-            sys.modules[m] = types.ModuleType(m)
+            sys.modules[m] = ref_compat.stub_module(m)
+        if "." in m:
+            _parent, _child = m.rsplit(".", 1)
+            setattr(sys.modules[_parent], _child, sys.modules[m])
     sys.path.insert(0, f"{REFERENCE_ROOT}/BEAT-TWH-main/process")
 
 

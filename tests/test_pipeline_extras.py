@@ -39,10 +39,18 @@ def ref():
     except ImportError:
         import scipy.ndimage as ndi
 
-        mod = types.ModuleType("scipy.ndimage.filters")
+        mod = ref_compat.stub_module("scipy.ndimage.filters")
         mod.gaussian_filter1d = ndi.gaussian_filter1d
         sys.modules["scipy.ndimage.filters"] = mod
-    sys.modules["transforms3d.euler"].quat2euler = _faithful_quat2euler
+    # other tests may have registered flat stubs without gluing children
+    # onto the parent module; make `t3d.euler.quat2euler` resolvable
+    t3d = sys.modules["transforms3d"]
+    euler = sys.modules.get("transforms3d.euler")
+    if euler is None:
+        euler = ref_compat.stub_module("transforms3d.euler")
+        sys.modules["transforms3d.euler"] = euler
+    t3d.euler = euler
+    euler.quat2euler = _faithful_quat2euler
     import pymo_TWH.preprocessing as pp
     import pymo_TWH.data as pymo_data
 

@@ -1,5 +1,6 @@
 """Text featurizer parity tests vs the reference load_tsv."""
 import sys
+import ref_compat
 
 import numpy as np
 import pytest
@@ -53,7 +54,7 @@ class TestParity:
         for m in ("librosa", "librosa.display", "pydub", "parselmouth", "essentia",
                   "essentia.standard", "textgrid", "joblib", "transforms3d"):
             if m not in sys.modules:
-                mod = types.ModuleType(m)
+                mod = ref_compat.stub_module(m)
                 if m == "essentia.standard":
                     mod.__all__ = []
                 sys.modules[m] = mod

@@ -2,6 +2,7 @@
 import os
 import sys
 import types
+import ref_compat
 
 import numpy as np
 import pytest
@@ -92,7 +93,7 @@ class TestFeaturizer:
     def test_parity_with_reference(self, tmp_path):
         # stub omegaconf (only DictConfig is imported by the module)
         if "omegaconf" not in sys.modules:
-            m = types.ModuleType("omegaconf")
+            m = ref_compat.stub_module("omegaconf")
             m.DictConfig = dict
             sys.modules["omegaconf"] = m
         sys.path.insert(0, f"{REFERENCE_ROOT}/ubisoft-laforge-ZeroEGGS-main/ZEGGS")
@@ -111,7 +112,7 @@ class TestFeaturizer:
     @requires_reference
     def test_pose2bvh_parity(self, tmp_path):
         if "omegaconf" not in sys.modules:
-            m = types.ModuleType("omegaconf")
+            m = ref_compat.stub_module("omegaconf")
             m.DictConfig = dict
             sys.modules["omegaconf"] = m
         sys.path.insert(0, f"{REFERENCE_ROOT}/ubisoft-laforge-ZeroEGGS-main/ZEGGS")
