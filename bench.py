@@ -218,9 +218,9 @@ def main():
 
     wavlm_fn = make_zeggs_wavlm_fn(wavlm, ecfg.n_poses)
 
-    def run_config(dtype, batch, key_base):
+    def run_config(dtype, batch, key_base, activation="gelu"):
         cdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
-        model = MDM(MDMConfig(dtype=cdt))
+        model = MDM(MDMConfig(dtype=cdt, activation=activation))
         params = bf16_cast(params32) if dtype == "bf16" else params32
         wparams = bf16_cast(wparams32) if dtype == "bf16" else wparams32
 
@@ -250,8 +250,17 @@ def main():
     err_max = float(np.abs(out32 - out16).max() / scale)
     bf16_ok = np.isfinite(err_rms) and err_rms < BF16_TOL
 
+    # tanh-approx GELU serving path: the erf polynomial alone is ~30% of
+    # the trunk time at these shapes (scripts/trunk_microprobe.py); gate
+    # it with the same on-device output tolerance before using it
+    fps_ft, _, out_ft, _, _ = run_config("bf16", 1, 0, activation="gelu_tanh")
+    ft_rms = float(np.sqrt(np.mean((out32 - out_ft) ** 2)) / scale)
+    ft_max = float(np.abs(out32 - out_ft).max() / scale)
+    ft_ok = bf16_ok and np.isfinite(ft_rms) and ft_rms < BF16_TOL
+
+    big_act = "gelu_tanh" if ft_ok else "gelu"
     fps_big, dt_big, out_big, apply_big, p_big = run_config(
-        "bf16" if bf16_ok else "f32", big_batch, 100
+        "bf16" if bf16_ok else "f32", big_batch, 100, activation=big_act
     )
 
     headline_fps = max(fps_big, fps16 if bf16_ok else fps32)
@@ -287,10 +296,11 @@ def main():
         "unit": (
             "frames/s (DDPM-%s+WavLM-Large, %s batch %d on %s; "
             "b1 f32 %.0f fps, b1 bf16 %.0f fps, bf16 rms/max-err %.3g/%.3g%s; "
+            "gelu_tanh rms/max-err %.3g/%.3g%s; "
             "%.1f GFLOP/frame, MFU %.1f%%, wall %.2fs)"
             % (
                 steps_label,
-                "bf16" if bf16_ok else "f32",
+                ("bf16+" + big_act) if bf16_ok else "f32",
                 big_batch,
                 getattr(dev, "device_kind", dev.platform),
                 fps32,
@@ -298,6 +308,9 @@ def main():
                 err_rms,
                 err_max,
                 " OK" if bf16_ok else " REJECTED",
+                ft_rms,
+                ft_max,
+                " OK" if ft_ok else " REJECTED",
                 gflops_per_frame,
                 mfu * 100.0,
                 dt_big,

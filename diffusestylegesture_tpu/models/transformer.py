@@ -61,6 +61,20 @@ class TorchMultiheadAttention(nn.Module):
         return nn.Dense(D, name="out_proj")(out)
 
 
+def _activation(name: str) -> Callable:
+    """torch F.gelu is the exact (erf) form; flax's default is tanh-approx.
+    'gelu_tanh' is a serving-speed option: on v5e the erf polynomial is
+    ~30% of the whole trunk time at d=256 shapes (scripts/
+    trunk_microprobe.py); the tanh form differs by <2e-3 on unit-scale
+    activations and is gated by an on-device output-tolerance check in
+    bench.py before it is ever reported."""
+    return {
+        "gelu": lambda x: nn.gelu(x, approximate=False),
+        "gelu_tanh": lambda x: nn.gelu(x, approximate=True),
+        "relu": nn.relu,
+    }[name]
+
+
 class TorchEncoderLayer(nn.Module):
     """torch-1.9 `nn.TransformerEncoderLayer` (post-norm) parity."""
 
@@ -73,11 +87,7 @@ class TorchEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True,
                  attn_mask: Optional[jax.Array] = None) -> jax.Array:
-        # torch F.gelu is the exact (erf) form; flax's default is tanh-approx
-        act: Callable = {
-            "gelu": lambda x: nn.gelu(x, approximate=False),
-            "relu": nn.relu,
-        }[self.activation]
+        act = _activation(self.activation)
         attn_out = TorchMultiheadAttention(
             self.d_model, self.nhead, self.dropout, name="self_attn"
         )(x, deterministic=deterministic, attn_mask=attn_mask)
@@ -106,10 +116,7 @@ class TorchDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, memory: jax.Array, *,
                  deterministic: bool = True) -> jax.Array:
-        act: Callable = {
-            "gelu": lambda x: nn.gelu(x, approximate=False),
-            "relu": nn.relu,
-        }[self.activation]
+        act = _activation(self.activation)
         sa = TorchMultiheadAttention(
             self.d_model, self.nhead, self.dropout, name="self_attn"
         )(x, deterministic=deterministic)

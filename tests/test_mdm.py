@@ -323,3 +323,22 @@ class TestPlainBranch:
         out = model.apply(params, x, t, cond)
         assert out.shape == (B, NJ, 1, T)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestGeluTanhServing:
+    def test_close_to_erf_but_distinct(self):
+        """'gelu_tanh' is the fast serving activation: same params, output
+        within ~1e-3 of the exact-erf form (bench.py gates it on-device
+        before it is ever the headline path)."""
+        rng = np.random.default_rng(0)
+        cfg = small_cfg()
+        cfg_fast = small_cfg(activation="gelu_tanh")
+        model, fast = MDM(cfg), MDM(cfg_fast)
+        x = jnp.asarray(rng.standard_normal((B, NJ, 1, T)).astype(np.float32))
+        t = jnp.asarray([3, 7])
+        cond = make_cond(rng)
+        params = model.init(jax.random.PRNGKey(0), x, t, cond)
+        out = model.apply(params, x, t, cond)
+        out_fast = fast.apply(params, x, t, cond)  # same params, new program
+        err = float(jnp.abs(out - out_fast).max())
+        assert 0 < err < 2e-3
