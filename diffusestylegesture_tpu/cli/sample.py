@@ -16,6 +16,7 @@ import os
 from datetime import datetime
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import diffusion as D
@@ -74,6 +75,11 @@ def main(argv=None):
                         "skip tracing+lowering+compiling)")
     p.add_argument("--use_ema", action="store_true",
                    help="sample from the EMA params of a TrainLoop checkpoint")
+    p.add_argument("--serve_fast", action="store_true",
+                   help="bf16 trunk + tanh-approx GELU serving mode "
+                        "(~4x benched throughput at batch; output deviation "
+                        "vs f32 is within the bf16 noise floor - see bench.py "
+                        "gates)")
     args = p.parse_args(argv)
 
     from ..utils.compile_cache import enable_persistent_cache
@@ -89,12 +95,24 @@ def main(argv=None):
         n_seed=cfg.n_seed, cond_mode=cfg.cond_mode,
         cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
     )
+    if args.serve_fast:
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(mcfg, dtype=jnp.bfloat16, activation="gelu_tanh")
     model = MDM(mcfg)
     params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
+    if args.serve_fast:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == jnp.float32 else a, params)
 
     from ..models.wavlm import WavLM, load_wavlm_checkpoint, make_zeggs_wavlm_fn
 
     wcfg, wparams = load_wavlm_checkpoint(cfg.wavlm_path)
+    if args.serve_fast:
+        wparams = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == jnp.float32 else a, wparams)
     wavlm_fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
 
     sched = D.Schedule.create(
@@ -127,6 +145,7 @@ def main(argv=None):
             skip_timesteps=args.skip_timesteps,
         ),
         aot_dir=args.aot_dir,
+        program_tag="bf16-gelutanh" if args.serve_fast else "",
     )
     out = sampler.generate(
         params, wparams, audio, style[None], jax.random.PRNGKey(args.seed),

@@ -116,12 +116,17 @@ class ZeggsSampler:
         cfg: ZeggsEngineConfig = ZeggsEngineConfig(),
         sampler_cfg: SamplerConfig = SamplerConfig(),
         aot_dir: Optional[str] = None,
+        program_tag: str = "",
     ):
         """`aot_dir`: directory for ahead-of-time executable snapshots
         (`utils/aot.py`) keyed by (sampler, steps, window-count, batch) —
         warm process starts skip tracing/lowering/compiling entirely
         (measured 2.4 s to a ready 1000-step engine vs 34.5 s with only
-        the persistent compile cache, `scripts/aot_coldstart.py`)."""
+        the persistent compile cache, `scripts/aot_coldstart.py`).
+        `program_tag`: set when the MODEL program differs for identical
+        engine config + shapes (e.g. bf16/gelu_tanh serving) — the
+        model_apply closure is outside the snapshot identity otherwise."""
+        self.program_tag = program_tag
         self.model_apply = model_apply
         self.wavlm_apply = wavlm_apply
         self.schedule = schedule
@@ -148,7 +153,7 @@ class ZeggsSampler:
             import hashlib
 
             cfg_tag = hashlib.sha1(
-                repr((self.cfg, self.sampler_cfg)).encode()
+                repr((self.cfg, self.sampler_cfg, self.program_tag)).encode()
             ).hexdigest()[:8]
             name = (
                 f"zeggs_{self.cfg.sampler}{self.schedule.num_timesteps}"

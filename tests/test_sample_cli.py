@@ -16,7 +16,8 @@ from test_ref_e2e_parity import MDM_KW, NJOINTS, WAVLM_KW, _build_reference_mode
 
 
 @requires_reference
-def test_sample_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("serve_fast", [False, True], ids=["f32", "fast"])
+def test_sample_cli_end_to_end(tmp_path, serve_fast):
     import torch
 
     from diffusestylegesture_tpu.cli import sample as sample_cli
@@ -80,7 +81,7 @@ def test_sample_cli_end_to_end(tmp_path):
         "--audiowavlm_path", wav_path,
         "--save_dir", save_dir,
         "--seed", "7",
-    ])
+    ] + (["--serve_fast"] if serve_fast else []))
 
     files = [f for f in os.listdir(save_dir) if f.endswith(".bvh")]
     assert len(files) == 1 and "Happy" in files[0]
