@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--max_delay_ms", type=float, default=50.0)
     p.add_argument("--aot_dir", default=None)
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--serve_fast", action="store_true",
+                   help="bf16 trunk + tanh-approx GELU serving mode")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -51,9 +53,21 @@ def main(argv=None):
         n_seed=cfg.n_seed, cond_mode=cfg.cond_mode,
         cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
     )
+    if args.serve_fast:
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+
+        mcfg = _dc.replace(mcfg, dtype=jnp.bfloat16, activation="gelu_tanh")
     model = MDM(mcfg)
     params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
     wcfg, wparams = load_wavlm_checkpoint(cfg.wavlm_path)
+    if args.serve_fast:
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == jnp.float32 else a, t)
+        params, wparams = cast(params), cast(wparams)
     wavlm_fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
     sched = D.Schedule.create(
         D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
@@ -69,6 +83,7 @@ def main(argv=None):
             fps=cfg.motion_resampling_framerate,
         ),
         aot_dir=args.aot_dir,
+        program_tag="bf16-gelutanh" if args.serve_fast else "",
     )
     mean = np.load(os.path.join(cfg.data_dir, "mean.npz"))["mean"]
     std = np.load(os.path.join(cfg.data_dir, "std.npz"))["std"]

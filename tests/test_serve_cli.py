@@ -1,5 +1,7 @@
 """Serving CLI integration: JSONL requests → batched generation → BVH files."""
 import json
+
+import pytest
 import os
 
 import numpy as np
@@ -11,7 +13,8 @@ from test_ref_e2e_parity import MDM_KW, NJOINTS, _build_reference_models
 
 
 @requires_reference
-def test_serve_cli_batches_requests(tmp_path, capsys):
+@pytest.mark.parametrize("serve_fast", [False, True], ids=["f32", "fast"])
+def test_serve_cli_batches_requests(tmp_path, capsys, serve_fast):
     import torch
 
     from diffusestylegesture_tpu.cli import serve as serve_cli
@@ -76,7 +79,7 @@ def test_serve_cli_batches_requests(tmp_path, capsys):
     serve_cli.main([
         "--config", cfg_path, "--model_path", mdm_pt,
         "--requests", reqs, "--max_delay_ms", "500",
-    ])
+    ] + (["--serve_fast"] if serve_fast else []))
 
     lines = []
     for l in capsys.readouterr().out.strip().splitlines():
