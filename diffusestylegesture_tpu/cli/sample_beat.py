@@ -53,6 +53,8 @@ def main(argv=None):
     p.add_argument("--speaker", type=int, default=0)
     p.add_argument("--max_len", type=int, default=0)
     p.add_argument("--seed", type=int, default=123456)
+    p.add_argument("--serve_fast", action="store_true",
+                   help="bf16 trunk + tanh-approx GELU serving mode")
     p.add_argument("--save_dir", default="./sample_dir")
     args = p.parse_args(argv)
 
@@ -66,6 +68,12 @@ def main(argv=None):
         source_audio_dim=cfg.audio_feature_dim,
         audio_feat_dim=cfg.audio_feat_dim_latent, style_dim_in=cfg.style_dim,
     )
+    if args.serve_fast:
+        import dataclasses as _dc
+
+        import jax.numpy as _jnp
+
+        mcfg = _dc.replace(mcfg, dtype=_jnp.bfloat16, activation="gelu_tanh")
     model = MDMPlus(mcfg)
     if args.model_path.endswith(".pt"):
         sd = convert.load_torch_checkpoint(args.model_path)
@@ -75,6 +83,12 @@ def main(argv=None):
 
         params = load_orbax_params(args.model_path)
 
+    if args.serve_fast:
+        import jax.numpy as _jnp
+
+        params = jax.tree.map(
+            lambda a: a.astype(_jnp.bfloat16)
+            if getattr(a, "dtype", None) == _jnp.float32 else a, params)
     mean = np.load(args.mean_npy)
     std = np.load(args.std_npy)
     if args.textaudio_npy:

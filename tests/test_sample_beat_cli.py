@@ -8,6 +8,7 @@ random-weight converted checkpoint and a short diffusion schedule.
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 from conftest import requires_reference
@@ -16,7 +17,8 @@ MOTION_DIM = 684  # BEAT v0
 
 
 @requires_reference
-def test_sample_beat_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("serve_fast", [False, True], ids=["f32", "fast"])
+def test_sample_beat_cli_end_to_end(tmp_path, serve_fast):
     import torch
 
     from ref_compat import import_ref_beat_mdm
@@ -70,7 +72,7 @@ def test_sample_beat_cli_end_to_end(tmp_path):
         "--std_npy", str(tmp_path / "std.npy"),
         "--speaker", "1",
         "--save_dir", save_dir,
-    ])
+    ] + (["--serve_fast"] if serve_fast else []))
 
     files = [f for f in os.listdir(save_dir) if f.endswith("_motion.npy")]
     assert len(files) == 1 and "spk1" in files[0]
