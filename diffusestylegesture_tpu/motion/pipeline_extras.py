@@ -13,7 +13,10 @@ Ports, on `ChannelData` (arrays, no pandas):
     normalization fit over a list of arrays (`:1018-1117`);
   * `ReverseTime` — append (or replace with) time-reversed tracks
     (`:1157-1176`);
-  * `TemplateTransform` — identity placeholder (`:1187-1196`).
+  * `TemplateTransform` — identity placeholder (`:1187-1196`);
+  * `ConstantsRemoverAllPosRot` (pymo's `ConstantsRemover_`) — drop every
+    position/rotation channel outright, remembering first-frame values
+    (`:904-957`; dead in the reference, kept for surface completeness).
 
 Transforms that take/return single tracks elsewhere in this package keep
 that convention; list-valued ones (Slicer, scalers, Flattener,
@@ -105,6 +108,50 @@ class RootCentricPositionNormalizer:
             for a, ax in enumerate("XYZ"):
                 c = idx[f"{joint}_{ax}position"]
                 out.values[:, c] = data.values[:, c] + proj[:, a]
+        return out
+
+
+class ConstantsRemoverAllPosRot:
+    """pymo `ConstantsRemover_` (`pymo_TWH/preprocessing.py:904-957`):
+    unconditionally drops every column containing "position" or "rotation"
+    (fit looks only at the first track), remembering each dropped column's
+    first-frame value; inverse re-appends them as constants. The `eps`
+    argument is accepted and ignored exactly like the reference (its
+    std-threshold logic is commented out there)."""
+
+    def __init__(self, eps: float = 1e-6):
+        self.eps = eps
+
+    def fit(self, tracks: Sequence[ChannelData]) -> "ConstantsRemoverAllPosRot":
+        first = tracks[0]
+        idx = first.column_index()
+        self.const_dims_ = [c for c in first.columns
+                            if "position" in c or "rotation" in c]
+        self.const_values_ = {c: float(first.values[0, idx[c]])
+                              for c in self.const_dims_}
+        return self
+
+    def transform(self, tracks: Sequence[ChannelData]) -> List[ChannelData]:
+        out = []
+        for track in tracks:
+            t2 = track.clone()
+            idx = track.column_index()
+            keep = [c for c in track.columns if c not in self.const_dims_]
+            t2.columns = keep
+            t2.values = track.values[:, [idx[c] for c in keep]]
+            out.append(t2)
+        return out
+
+    def inverse_transform(self, tracks: Sequence[ChannelData]) -> List[ChannelData]:
+        out = []
+        for track in tracks:
+            t2 = track.clone()
+            t2.columns = list(track.columns) + list(self.const_dims_)
+            const = np.tile(
+                np.array([self.const_values_[c] for c in self.const_dims_]),
+                (len(track.values), 1))
+            t2.values = np.concatenate([track.values, const], axis=1)
+            out.append(t2)
         return out
 
 
