@@ -196,3 +196,30 @@ def convert_zeroeggs_style_encoder_attn(sd: Mapping[str, Any]) -> Dict[str, Any]
             },
         },
     }
+
+
+def convert_local_transformer(sd: Mapping[str, Any], depth: int) -> Dict[str, Any]:
+    """lucidrains `LocalTransformer` (`main/model/local_attention/transformer.py:98-131`)
+    → `models/local_transformer.LocalTransformer` params.
+
+    Layer i is `layers.{i}.0` (LocalMHA: norm, to_qkv, to_out — all biasless
+    except the LayerNorm) and `layers.{i}.1` (Sequential LayerNorm/Dense/
+    GEGLU/Dropout/Dense); head is `to_logits.{0,1}` (LayerNorm + Dense)."""
+    params: Dict[str, Any] = {
+        "token_emb": {"embedding": _np(sd["token_emb.weight"])},
+        "pos_emb": {"embedding": _np(sd["pos_emb.weight"])},
+        "to_logits_norm": _layernorm(sd, "to_logits.0"),
+        "to_logits": {"kernel": _np(sd["to_logits.1.weight"]).T},
+    }
+    for i in range(depth):
+        params[f"attn_{i}"] = {
+            "norm": _layernorm(sd, f"layers.{i}.0.norm"),
+            "to_qkv": {"kernel": _np(sd[f"layers.{i}.0.to_qkv.weight"]).T},
+            "to_out": {"kernel": _np(sd[f"layers.{i}.0.to_out.weight"]).T},
+        }
+        params[f"ff_{i}"] = {
+            "norm": _layernorm(sd, f"layers.{i}.1.0"),
+            "linear1": {"kernel": _np(sd[f"layers.{i}.1.1.weight"]).T},
+            "linear2": {"kernel": _np(sd[f"layers.{i}.1.4.weight"]).T},
+        }
+    return {"params": params}

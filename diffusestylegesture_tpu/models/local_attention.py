@@ -52,6 +52,7 @@ def local_attention(
     *,
     heads: int = 1,
     impl: str = "xla",
+    exact_windowsize: bool = False,
 ) -> jax.Array:
     """Windowed causal attention.
 
@@ -62,8 +63,12 @@ def local_attention(
       mask: optional (B, N) boolean key-validity mask (True = attend).
       heads: H, needed to expand `mask` over the packed head axis.
       impl: "xla" | "pallas".
+      exact_windowsize: additionally mask keys further back than
+        window_size·look_backward from the query (ref `:154-157`;
+        used by the LocalTransformer wrapper, not the denoisers).
     """
     if impl == "pallas":
+        assert not exact_windowsize, "pallas path implements the denoiser config"
         from ..ops.local_attention_pallas import local_attention_pallas
 
         return local_attention_pallas(q, k, v, window_size, mask, heads=heads)
@@ -87,6 +92,8 @@ def local_attention(
     sim = jnp.einsum("bwie,bwje->bwij", bq, bk, preferred_element_type=jnp.float32) * scale
 
     causal_mask = bq_t < bq_k
+    if exact_windowsize:
+        causal_mask = causal_mask | (bq_t > (bq_k + window_size))
     sim = jnp.where(causal_mask, NEG_INF, sim)
 
     if mask is not None:
