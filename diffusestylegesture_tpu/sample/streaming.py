@@ -1,0 +1,130 @@
+"""Streaming long-form generation: push audio as it arrives, pull motion
+window by window.
+
+Beyond-parity serving surface (the reference generates only whole clips,
+`main/mydiffusion_zeggs/sample.py:210-338`): a live client feeds 16 kHz
+audio incrementally; as soon as one window's worth of new samples
+(`stride·sr/fps`, 4 s at the reference config) is buffered, one compiled
+window step runs — DDPM chain + seed-continuation + root-delta correction
++ crossfade, identical math to `ZeggsSampler._generate_impl`'s scan body —
+and the new motion frames stream back ~0.15 s later (batch-1 v5e).
+
+The per-window step is a single jitted program reused for every window
+(first/subsequent behavior selected by a traced flag, exactly like the
+batch engine's scan), so the output equals `ZeggsSampler.generate` on the
+same audio, key and params (tested in `tests/test_streaming.py`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import ZeggsSampler
+
+
+def _stream_step(sampler, params, wavlm_params, window_audio, seed, style,
+                 key, is_first):
+    """One window: mirrors `ZeggsSampler._generate_impl`'s scan body
+    (`engine.py:236-260`) so streamed output equals the batch engine."""
+    cfg = sampler.cfg
+    feats = sampler.wavlm_apply(wavlm_params, window_audio[None])[0]
+    key, sub = jax.random.split(key)
+    sample = sampler._window_sample(params, sub, feats, seed, style)
+
+    if cfg.root_delta_correction:
+        delta = (sample[:, 0:3, :, 0] - seed[:, 0:3, :, 0])[..., None]
+        corrected = sample.at[:, 0:3].add(-delta)
+        sample = jnp.where(is_first, sample, corrected)
+
+    n = style.shape[0] if cfg.crossfade_n is None else int(cfg.crossfade_n)
+    j = np.arange(cfg.n_seed, dtype=np.float32)
+    wa = jnp.asarray(np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32))
+    wb = jnp.asarray(np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32))
+    blended_head = seed * wa + sample[..., : cfg.n_seed] * wb
+    head = jnp.where(is_first, sample[..., : cfg.n_seed], blended_head)
+    sample = jnp.concatenate([head, sample[..., cfg.n_seed:]], axis=-1)
+    new_seed = sample[..., -cfg.n_seed:]
+    return sample[..., : cfg.stride], new_seed, key
+
+
+class ZeggsStreamSampler:
+    """Stateful incremental wrapper around a :class:`ZeggsSampler`.
+
+    Usage::
+
+        stream = ZeggsStreamSampler(sampler, params, wavlm_params,
+                                    style, key, mean=mean, std=std)
+        for audio_chunk in microphone():       # any chunk sizes
+            for motion in stream.push(audio_chunk):
+                play(motion)                   # (B, stride, njoints) frames
+
+    The first emitted window is `stride - n_seed` frames (the engine drops
+    the warm-up seed frames globally, ref `sample.py:296`); every
+    subsequent one is `stride` frames. Audio shorter than a full window
+    stays buffered — like the batch engine, an incomplete tail window is
+    never generated.
+    """
+
+    def __init__(self, sampler: ZeggsSampler, params, wavlm_params,
+                 style: np.ndarray, key: jax.Array,
+                 mean: Optional[np.ndarray] = None,
+                 std: Optional[np.ndarray] = None):
+        self.sampler = sampler
+        cfg = sampler.cfg
+        self.cfg = cfg
+        self.params = params
+        self.wavlm_params = wavlm_params
+        self.style = jnp.atleast_2d(jnp.asarray(style, jnp.float32))
+        self.mean = None if mean is None else np.asarray(mean).squeeze()
+        self.std = None if std is None else np.asarray(std).squeeze()
+
+        B = self.style.shape[0]
+        self._seed = jnp.zeros((B, cfg.njoints, 1, cfg.n_seed), jnp.float32)
+        self._key = key
+        self._window_index = 0
+        self._buffer = np.zeros(0, np.float32)
+        self._prev_tail = np.zeros(cfg.samples_per_seed, np.float32)
+        # one compiled step per underlying sampler, shared by every stream
+        # session over it (a new session per request must not re-jit)
+        step = getattr(sampler, "_stream_step", None)
+        if step is None:
+            step = jax.jit(partial(_stream_step, sampler))
+            sampler._stream_step = step
+        self._step = step
+
+    def push(self, audio_chunk: np.ndarray) -> List[np.ndarray]:
+        """Feed new audio samples; returns 0+ ready motion chunks, each
+        (B, frames, njoints) un-normalized like `ZeggsSampler.generate`."""
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(audio_chunk, np.float32)])
+        out = []
+        sps = self.cfg.samples_per_stride
+        while len(self._buffer) >= sps:
+            main, self._buffer = self._buffer[:sps], self._buffer[sps:]
+            window_audio = np.concatenate([self._prev_tail, main])
+            self._prev_tail = main[-self.cfg.samples_per_seed:]
+            chunk, self._seed, self._key = self._step(
+                self.params, self.wavlm_params, jnp.asarray(window_audio),
+                self._seed, self.style, self._key,
+                jnp.asarray(self._window_index == 0),
+            )
+            seq = np.asarray(chunk)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
+            if self._window_index == 0:
+                seq = seq[:, self.cfg.n_seed:]  # ref `sample.py:296`
+            if self.std is not None:
+                seq = seq * np.clip(self.std, 0.01, None)
+            if self.mean is not None:
+                seq = seq + self.mean
+            self._window_index += 1
+            out.append(seq)
+        return out
+
+    @property
+    def frames_emitted(self) -> int:
+        if self._window_index == 0:
+            return 0
+        return self._window_index * self.cfg.stride - self.cfg.n_seed

@@ -1,0 +1,73 @@
+"""Streaming sampler: incremental push/pull equals the batch engine."""
+import numpy as np
+
+import jax
+
+from diffusestylegesture_tpu import diffusion as D
+from diffusestylegesture_tpu.sample import ZeggsEngineConfig, ZeggsSampler
+from diffusestylegesture_tpu.sample.streaming import ZeggsStreamSampler
+from test_engine import NJ, SCHED, toy_model_apply, toy_wavlm_apply
+
+
+def _setup(cfg=None):
+    cfg = cfg or ZeggsEngineConfig(njoints=NJ)
+    eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+    style = np.eye(6, dtype=np.float32)[:1]
+    return eng, cfg, style
+
+
+class TestStreamEqualsBatch:
+    def test_full_clip_equality(self):
+        eng, cfg, style = _setup()
+        rng = np.random.default_rng(0)
+        audio = rng.standard_normal(cfg.samples_per_stride * 3 + 50).astype(np.float32)
+        key = jax.random.PRNGKey(7)
+        batch_out = eng.generate({}, {}, audio, style, key)
+
+        stream = ZeggsStreamSampler(eng, {}, {}, style, key)
+        chunks = []
+        # ragged chunk sizes, unaligned with windows
+        for piece in np.array_split(audio, 11):
+            chunks += stream.push(piece)
+        streamed = np.concatenate(chunks, axis=1)
+        assert streamed.shape == batch_out.shape
+        np.testing.assert_allclose(streamed, batch_out, atol=1e-5)
+        assert stream.frames_emitted == batch_out.shape[1]
+
+    def test_unnormalize_matches(self):
+        eng, cfg, style = _setup()
+        rng = np.random.default_rng(1)
+        audio = rng.standard_normal(cfg.samples_per_stride * 2).astype(np.float32)
+        mean = np.full(NJ, 5.0, np.float32)
+        std = np.full(NJ, 2.0, np.float32)
+        key = jax.random.PRNGKey(3)
+        batch_out = eng.generate({}, {}, audio, style, key, mean=mean, std=std)
+        stream = ZeggsStreamSampler(eng, {}, {}, style, key, mean=mean, std=std)
+        chunks = stream.push(audio)
+        streamed = np.concatenate(chunks, axis=1)
+        np.testing.assert_allclose(streamed, batch_out, atol=1e-4)
+
+    def test_incomplete_window_stays_buffered(self):
+        eng, cfg, style = _setup()
+        stream = ZeggsStreamSampler(eng, {}, {}, style, jax.random.PRNGKey(0))
+        assert stream.push(np.zeros(cfg.samples_per_stride - 1, np.float32)) == []
+        assert stream.frames_emitted == 0
+        out = stream.push(np.zeros(1, np.float32))
+        assert len(out) == 1
+        assert out[0].shape[1] == cfg.stride - cfg.n_seed
+
+    def test_one_program_many_windows(self):
+        """All windows reuse one compiled step (traced is_first)."""
+        eng, cfg, style = _setup()
+        stream = ZeggsStreamSampler(eng, {}, {}, style, jax.random.PRNGKey(1))
+        audio = np.random.default_rng(2).standard_normal(
+            cfg.samples_per_stride * 4).astype(np.float32)
+        chunks = stream.push(audio)
+        assert len(chunks) == 4
+        assert stream._step._cache_size() == 1
+
+    def test_sessions_share_compiled_step(self):
+        eng, cfg, style = _setup()
+        s1 = ZeggsStreamSampler(eng, {}, {}, style, jax.random.PRNGKey(1))
+        s2 = ZeggsStreamSampler(eng, {}, {}, style, jax.random.PRNGKey(2))
+        assert s1._step is s2._step
