@@ -10,3 +10,4 @@ from .edit import edit_motion, feature_mask, in_between_mask  # noqa: F401
 from .server import GestureServer, ServerConfig  # noqa: F401
 from .restyle import restyle_window  # noqa: F401
 from .streaming import ZeggsStreamSampler  # noqa: F401
+from .streaming import BeatTwhStreamSampler  # noqa: F401

@@ -1,11 +1,21 @@
-"""Streaming sampler: incremental push/pull equals the batch engine."""
+"""Streaming samplers: incremental push/pull equals the batch engines."""
 import numpy as np
 
 import jax
+import pytest
 
 from diffusestylegesture_tpu import diffusion as D
-from diffusestylegesture_tpu.sample import ZeggsEngineConfig, ZeggsSampler
-from diffusestylegesture_tpu.sample.streaming import ZeggsStreamSampler
+from diffusestylegesture_tpu.sample import (
+    BeatEngineConfig,
+    BeatTwhSampler,
+    ZeggsEngineConfig,
+    ZeggsSampler,
+    prepare_seed_gesture,
+)
+from diffusestylegesture_tpu.sample.streaming import (
+    BeatTwhStreamSampler,
+    ZeggsStreamSampler,
+)
 from test_engine import NJ, SCHED, toy_model_apply, toy_wavlm_apply
 
 
@@ -70,4 +80,48 @@ class TestStreamEqualsBatch:
         eng, cfg, style = _setup()
         s1 = ZeggsStreamSampler(eng, {}, {}, style, jax.random.PRNGKey(1))
         s2 = ZeggsStreamSampler(eng, {}, {}, style, jax.random.PRNGKey(2))
+        assert s1._step is s2._step
+
+
+class TestBeatStreamEqualsBatch:
+    MOTION_DIM = 8
+
+    def _setup(self, variant):
+        njoints = self.MOTION_DIM * 3
+        cfg = BeatEngineConfig(njoints=njoints, audio_dim=16, variant=variant)
+        eng = BeatTwhSampler(toy_model_apply, SCHED, cfg)
+        rng = np.random.default_rng(5)
+        raw_seed = rng.standard_normal((32, self.MOTION_DIM)).astype(np.float32)
+        mean = np.zeros(self.MOTION_DIM, np.float32)
+        std = np.ones(self.MOTION_DIM, np.float32)
+        seed = prepare_seed_gesture(raw_seed, mean, std)
+        style = np.eye(4, dtype=np.float32)[:1]
+        return eng, cfg, seed, style, mean, std
+
+    @pytest.mark.parametrize("variant", ["attention3", "attention4", "attention5"])
+    @pytest.mark.parametrize("n_frames", [250, 240, 100])
+    def test_equality(self, variant, n_frames):
+        """250: padded tail window; 240: exact stride multiple (batch keeps
+        the last window full); 100: single short window."""
+        eng, cfg, seed, style, mean, std = self._setup(variant)
+        rng = np.random.default_rng(6)
+        ta = rng.standard_normal((n_frames, 16)).astype(np.float32)
+        key = jax.random.PRNGKey(0)
+        kwargs = {"seed_last": seed} if variant == "attention5" else {}
+        batch_out = eng.generate({}, ta, seed, style, key, mean, std, **kwargs)
+
+        stream = BeatTwhStreamSampler(eng, {}, seed, style, key, mean, std,
+                                      **kwargs)
+        chunks = []
+        for piece in np.array_split(ta, 7):
+            chunks += stream.push(piece)
+        chunks += stream.flush()
+        streamed = np.concatenate(chunks, axis=1)
+        assert streamed.shape == batch_out.shape
+        np.testing.assert_allclose(streamed, batch_out, atol=1e-5)
+
+    def test_sessions_share_compiled_step(self):
+        eng, cfg, seed, style, mean, std = self._setup("attention4")
+        s1 = BeatTwhStreamSampler(eng, {}, seed, style, jax.random.PRNGKey(1), mean, std)
+        s2 = BeatTwhStreamSampler(eng, {}, seed, style, jax.random.PRNGKey(2), mean, std)
         assert s1._step is s2._step
