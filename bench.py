@@ -175,13 +175,17 @@ def main():
     # respacing but never uses it; quality/speed tradeoff documented in
     # ROADMAP.md).
     respace = os.environ.get("BENCH_RESPACE", "")
+    # BENCH_SAMPLER=dpmpp: DPM-Solver++(2M) over the respaced grid (2nd-order
+    # ODE solver — DDIM-quality trajectories at ~an order of magnitude fewer
+    # steps; pair with BENCH_RESPACE=ddim20).
+    sampler_name = os.environ.get("BENCH_SAMPLER", "ddim" if respace else "ddpm")
 
-    ecfg = ZeggsEngineConfig(sampler="ddim" if respace else "ddpm")
+    ecfg = ZeggsEngineConfig(sampler=sampler_name)
     if respace:
         sched = D.spaced_schedule(
             D.named_beta_schedule("cosine", steps), D.space_timesteps(steps, respace)
         )
-        steps_label = f"{steps}-respaced-{respace}"
+        steps_label = f"{steps}-respaced-{respace}-{sampler_name}"
     else:
         sched = D.Schedule.create(D.named_beta_schedule("cosine", steps))
         steps_label = str(steps)

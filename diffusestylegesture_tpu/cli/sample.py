@@ -80,6 +80,14 @@ def main(argv=None):
                         "(~4x benched throughput at batch; output deviation "
                         "vs f32 is within the bf16 noise floor - see bench.py "
                         "gates)")
+    p.add_argument("--sampler", default="ddpm",
+                   choices=["ddpm", "ddim", "plms", "dpmpp"],
+                   help="reverse-process sampler (dpmpp = DPM-Solver++(2M), "
+                        "pair with --respace for few-step serving)")
+    p.add_argument("--respace", type=int, default=0,
+                   help="respace the schedule to N timesteps "
+                        "(ddimN striding; the reference supports respacing "
+                        "but never enables it)")
     args = p.parse_args(argv)
 
     from ..utils.compile_cache import enable_persistent_cache
@@ -115,9 +123,12 @@ def main(argv=None):
             if getattr(a, "dtype", None) == jnp.float32 else a, wparams)
     wavlm_fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
 
-    sched = D.Schedule.create(
-        D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
-    )
+    betas = D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
+    if args.respace:
+        sched = D.spaced_schedule(
+            betas, D.space_timesteps(cfg.diffusion_steps, f"ddim{args.respace}"))
+    else:
+        sched = D.Schedule.create(betas)
 
     audio = load_wav_16k(args.audiowavlm_path)
     if args.max_len:
@@ -143,6 +154,7 @@ def main(argv=None):
             fps=cfg.motion_resampling_framerate,
             guidance_scale=args.guidance_scale,
             skip_timesteps=args.skip_timesteps,
+            sampler=args.sampler,
         ),
         aot_dir=args.aot_dir,
         program_tag="bf16-gelutanh" if args.serve_fast else "",

@@ -55,6 +55,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=123456)
     p.add_argument("--serve_fast", action="store_true",
                    help="bf16 trunk + tanh-approx GELU serving mode")
+    p.add_argument("--sampler", default="ddpm",
+                   choices=["ddpm", "ddim", "plms", "dpmpp"],
+                   help="reverse-process sampler (dpmpp = DPM-Solver++(2M))")
+    p.add_argument("--respace", type=int, default=0,
+                   help="respace the schedule to N timesteps for few-step serving")
     p.add_argument("--save_dir", default="./sample_dir")
     args = p.parse_args(argv)
 
@@ -132,9 +137,12 @@ def main(argv=None):
     style = np.zeros(cfg.style_dim, np.float32)
     style[args.speaker] = 1.0
 
-    sched = D.Schedule.create(
-        D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
-    )
+    betas = D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
+    if args.respace:
+        sched = D.spaced_schedule(
+            betas, D.space_timesteps(cfg.diffusion_steps, f"ddim{args.respace}"))
+    else:
+        sched = D.Schedule.create(betas)
 
     def model_apply(params, x, t, cond, uncond=None):
         return model.apply(params, x, t, cond, uncond=uncond)
@@ -144,6 +152,7 @@ def main(argv=None):
         BeatEngineConfig(
             n_poses=cfg.n_poses, n_seed=cfg.n_seed, njoints=cfg.njoints,
             audio_dim=cfg.audio_feature_dim, variant=VARIANTS[cfg.name],
+            sampler=args.sampler,
         ),
     )
     kwargs = {}

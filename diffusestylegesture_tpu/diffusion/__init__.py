@@ -24,6 +24,7 @@ from .sampling import (  # noqa: F401
     ddim_reverse_sample,
     ddim_reverse_sample_loop,
     plms_sample_loop,
+    dpmpp2m_sample_loop,
     cfg_combine,
     make_cfg_model_fn,
 )

@@ -293,6 +293,62 @@ def plms_sample_loop(
     return img
 
 
+def dpmpp2m_sample_loop(
+    sched: Schedule,
+    model_fn: ModelFn,
+    shape,
+    key: jax.Array,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+    noise: Optional[jax.Array] = None,
+    skip_timesteps: int = 0,
+    init_image: Optional[jax.Array] = None,
+    inpaint: Optional[tuple] = None,
+) -> jax.Array:
+    """DPM-Solver++(2M) — beyond-parity fast deterministic sampler (Lu et
+    al. 2022, arXiv:2211.01095), data-prediction multistep form: exact
+    exponential integrator for the probability-flow ODE in λ = log(α/σ)
+    with a 2nd-order multistep correction of the x₀ prediction. Matches
+    DDIM's ODE limit but converges ~an order of magnitude faster in steps;
+    run it over a respaced `Schedule` (e.g. `space_timesteps(1000,
+    "ddim20")`) for few-step serving.
+
+    Grid semantics match `ddim_sample_loop`: steps walk the schedule's own
+    timestep grid t0 → 0, and the final update takes σ → 0 with a 1st-order
+    step (diffusers' `lower_order_final`), returning the model's denoised
+    prediction at the last grid point.
+    """
+    key, init_key = jax.random.split(key)
+    img, t0 = _init_img(sched, init_key, shape, noise, skip_timesteps, init_image)
+    nd = len(shape)
+
+    alpha = jnp.sqrt(sched.alphas_cumprod)
+    sigma = jnp.sqrt(1.0 - sched.alphas_cumprod)
+    lam = jnp.log(alpha) - jnp.log(sigma)
+
+    def x0_at(x, i):
+        t = jnp.full((shape[0],), i, dtype=jnp.int32)
+        return _model_and_stats(sched, model_fn, x, t, cfg, inpaint).pred_xstart
+
+    def step(carry, i):
+        x, x0_prev, h_prev, is_first = carry
+        j = i - 1
+        h = lam[j] - lam[i]
+        x0 = x0_at(x, i)
+        r = h_prev / h
+        d_2m = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        d = jnp.where(is_first, x0, d_2m)
+        x_next = (sigma[j] / sigma[i]) * x - alpha[j] * (jnp.exp(-h) - 1.0) * d
+        return (x_next, x0, h, jnp.zeros((), bool)), None
+
+    if t0 > 0:
+        ts = jnp.arange(t0, 0, -1)
+        carry0 = (img, jnp.zeros_like(img), jnp.ones(()), jnp.ones((), bool))
+        (img, _, _, _), _ = jax.lax.scan(step, carry0, ts)
+    # final step to σ=0: x = D, taken 1st-order for stability
+    return x0_at(img, 0)
+
+
 def cfg_combine(out_cond: jax.Array, out_uncond: jax.Array, scale) -> jax.Array:
     """Classifier-free guidance mix (parity: `main/model/cfg_sampler.py:25-31`)."""
     return out_uncond + scale * (out_cond - out_uncond)

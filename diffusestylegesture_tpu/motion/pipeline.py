@@ -329,19 +329,15 @@ class ConstantsRemover:
 
     def inverse_transform(self, data: ChannelData) -> ChannelData:
         T = len(data.values)
-        cols = self.fit_columns if hasattr(self, "fit_columns") else None
         out = data.clone()
-        # rebuild in original column order: selected + constants
-        all_cols = list(data.columns)
-        for c in self.const_cols:
-            all_cols.append(c)
+        # restore constants by appending them after the kept columns
+        all_cols = list(data.columns) + list(self.const_cols)
         vals = np.zeros((T, len(all_cols)))
         vals[:, : len(data.columns)] = data.values
         for j, c in enumerate(self.const_cols):
             vals[:, len(data.columns) + j] = self.const_values[c]
         out.columns = all_cols
         out.values = vals
-        del cols
         return out
 
 

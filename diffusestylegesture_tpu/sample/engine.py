@@ -37,6 +37,7 @@ from ..diffusion import (
     Schedule,
     SamplerConfig,
     ddim_sample_loop,
+    dpmpp2m_sample_loop,
     p_sample_loop,
     plms_sample_loop,
 )
@@ -46,6 +47,7 @@ SAMPLE_LOOPS = {
     "ddpm": p_sample_loop,
     "ddim": ddim_sample_loop,
     "plms": plms_sample_loop,
+    "dpmpp": dpmpp2m_sample_loop,
 }
 
 
@@ -64,7 +66,7 @@ class ZeggsEngineConfig:
     # many overlap frames (the behavior the code comments describe).
     crossfade_n: Optional[int] = None
     root_delta_correction: bool = True  # ref `:269-282` (ZEGGS on, BEAT off)
-    sampler: str = "ddpm"  # ddpm | ddim | plms (use a respaced Schedule for ddimN)
+    sampler: str = "ddpm"  # ddpm | ddim | plms | dpmpp (use a respaced Schedule for ddimN)
     # Warm-start: skip the first N reverse steps, q_sampling the init
     # image (zeros when none) to t0 (ref `sample_fn(skip_timesteps=...)`,
     # `gaussian_diffusion.py:700-713`; the reference CLI threads it as 0).

@@ -49,7 +49,7 @@ class BeatEngineConfig:
     motion_feature_division: int = 3  # v0; 1 for v2
     guidance_scale: float = 0.0
     crossfade_n: Optional[int] = None  # None = reference quirk
-    sampler: str = "ddpm"  # ddpm | ddim | plms (use a respaced Schedule for ddimN)
+    sampler: str = "ddpm"  # ddpm | ddim | plms | dpmpp (use a respaced Schedule for ddimN)
 
     @property
     def stride(self) -> int:

@@ -16,8 +16,12 @@ from test_ref_e2e_parity import MDM_KW, NJOINTS, WAVLM_KW, _build_reference_mode
 
 
 @requires_reference
-@pytest.mark.parametrize("serve_fast", [False, True], ids=["f32", "fast"])
-def test_sample_cli_end_to_end(tmp_path, serve_fast):
+@pytest.mark.parametrize(
+    "serve_fast,extra",
+    [(False, []), (True, []), (False, ["--sampler", "dpmpp", "--respace", "2"])],
+    ids=["f32", "fast", "dpmpp"],
+)
+def test_sample_cli_end_to_end(tmp_path, serve_fast, extra):
     import torch
 
     from diffusestylegesture_tpu.cli import sample as sample_cli
@@ -81,7 +85,7 @@ def test_sample_cli_end_to_end(tmp_path, serve_fast):
         "--audiowavlm_path", wav_path,
         "--save_dir", save_dir,
         "--seed", "7",
-    ] + (["--serve_fast"] if serve_fast else []))
+    ] + (["--serve_fast"] if serve_fast else []) + extra)
 
     files = [f for f in os.listdir(save_dir) if f.endswith(".bvh")]
     assert len(files) == 1 and "Happy" in files[0]
