@@ -88,6 +88,10 @@ def main(argv=None):
                    help="respace the schedule to N timesteps "
                         "(ddimN striding; the reference supports respacing "
                         "but never enables it)")
+    p.add_argument("--window_buckets", default=None,
+                   help="comma-separated window-count buckets (e.g. 2,4,8,16): "
+                        "clip lengths pad up to the next bucket so a few "
+                        "compiled/AOT programs serve every length")
     args = p.parse_args(argv)
 
     from ..utils.compile_cache import enable_persistent_cache
@@ -159,9 +163,12 @@ def main(argv=None):
         aot_dir=args.aot_dir,
         program_tag="bf16-gelutanh" if args.serve_fast else "",
     )
+    buckets = None
+    if args.window_buckets:
+        buckets = tuple(int(b) for b in args.window_buckets.split(","))
     out = sampler.generate(
         params, wparams, audio, style[None], jax.random.PRNGKey(args.seed),
-        mean=mean, std=std,
+        mean=mean, std=std, window_buckets=buckets,
     )
 
     prefix = datetime.now().strftime("%Y%m%d_%H%M%S") + f"_{token}_{args.seed}"

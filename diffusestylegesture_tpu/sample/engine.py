@@ -278,6 +278,7 @@ class ZeggsSampler:
         std: Optional[np.ndarray] = None,
         noise_windows: Optional[np.ndarray] = None,
         mesh=None,
+        window_buckets: Optional[tuple] = None,
     ) -> np.ndarray:
         """Full pipeline: audio → (B, T_frames, njoints) un-normalized poses.
 
@@ -289,9 +290,29 @@ class ZeggsSampler:
         params/audio features replicate, and GSPMD partitions the whole
         windowed scan — batch-16 throughput scales ~linearly with chips
         since the chains are independent.
+
+        `window_buckets`: pad the window count up to the next bucket (e.g.
+        (2, 4, 8, 16)) with zero audio so arbitrary clip lengths reuse a
+        few compiled/AOT programs instead of one per length. Padded windows
+        are causally downstream of the real ones, so the (truncated) output
+        is identical to the unpadded run — equality-tested. The XLA-native
+        answer to the reference's dynamic `num_subdivision` Python loop
+        (`sample.py:217-224`).
         """
         windows = slice_audio_windows(np.asarray(audio, np.float32), self.cfg)
-        num_windows = windows.shape[0]
+        num_windows = real_windows = windows.shape[0]
+        if window_buckets:
+            fits = [b for b in sorted(window_buckets) if b >= num_windows]
+            if fits:
+                num_windows = fits[0]
+                pad = num_windows - real_windows
+                windows = np.concatenate(
+                    [windows, np.zeros((pad,) + windows.shape[1:], windows.dtype)])
+                if noise_windows is not None and pad:
+                    noise_windows = np.concatenate([
+                        np.asarray(noise_windows),
+                        np.zeros((pad,) + np.asarray(noise_windows).shape[1:],
+                                 np.float32)])
         style = jnp.atleast_2d(jnp.asarray(style, jnp.float32))
         if noise_windows is not None:
             noise_windows = jnp.asarray(noise_windows, jnp.float32)
@@ -324,6 +345,7 @@ class ZeggsSampler:
                 num_windows=num_windows, host_feats=host_feats,
             )
         seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
+        seq = seq[:, : real_windows * self.cfg.stride - self.cfg.n_seed]
         if std is not None:
             seq = seq * np.clip(np.asarray(std).squeeze(), 0.01, None)
         if mean is not None:

@@ -201,6 +201,7 @@ class BeatTwhSampler:
         max_len: int = 0,
         noise_windows: Optional[np.ndarray] = None,
         mesh=None,
+        window_buckets: Optional[tuple] = None,
     ) -> np.ndarray:
         """→ (B, real_n_frames, motion_dim) un-normalized position block.
 
@@ -208,11 +209,27 @@ class BeatTwhSampler:
         window's initial x_T (deterministic cross-framework comparison).
         `mesh`: shard the style batch over the mesh's 'data' axis
         (multi-chip serving, as in `ZeggsSampler.generate`).
+        `window_buckets`: pad the window count to the next bucket with zero
+        features so arbitrary clip lengths reuse a few compiled programs;
+        the `real_n` crop already discards the padded tail (equality-tested,
+        see `ZeggsSampler.generate`).
         """
         cfg = self.cfg
         if max_len:
             textaudio = textaudio[:max_len]
         windows, num, real_n = self.slice_windows(np.asarray(textaudio, np.float32))
+        if window_buckets:
+            fits = [b for b in sorted(window_buckets) if b >= num]
+            if fits:
+                pad = fits[0] - num
+                num = fits[0]
+                windows = np.concatenate(
+                    [windows, np.zeros((pad,) + windows.shape[1:], windows.dtype)])
+                if noise_windows is not None and pad:
+                    noise_windows = np.concatenate([
+                        np.asarray(noise_windows),
+                        np.zeros((pad,) + np.asarray(noise_windows).shape[1:],
+                                 np.float32)])
         style = jnp.atleast_2d(jnp.asarray(style, jnp.float32))
         B = style.shape[0]
         if noise_windows is not None:

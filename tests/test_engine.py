@@ -398,3 +398,46 @@ class TestMultiClip:
             )[0]
             np.testing.assert_allclose(outs[i], single, atol=1e-4,
                                        err_msg=f"clip {i}")
+
+
+class TestWindowBuckets:
+    """Window-count bucketing: padded runs equal unpadded runs (the padded
+    windows are causally downstream), so a few compiled programs serve all
+    clip lengths."""
+
+    def test_zeggs_bucketed_equals_exact(self):
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        audio = np.random.default_rng(3).standard_normal(
+            cfg.samples_per_stride * 3).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        exact = eng.generate({}, {}, audio, style, jax.random.PRNGKey(7))
+        bucketed = eng.generate({}, {}, audio, style, jax.random.PRNGKey(7),
+                                window_buckets=(2, 4, 8))
+        np.testing.assert_allclose(bucketed, exact, atol=1e-5)
+
+    def test_zeggs_oversize_falls_back(self):
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        audio = np.zeros(cfg.samples_per_stride * 3, np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        out = eng.generate({}, {}, audio, style, jax.random.PRNGKey(0),
+                           window_buckets=(1, 2))  # no bucket fits → exact
+        assert out.shape[1] == 3 * cfg.stride - cfg.n_seed
+
+    def test_beat_bucketed_equals_exact(self):
+        motion_dim = 8
+        cfg = BeatEngineConfig(njoints=motion_dim * 3, audio_dim=16,
+                               variant="attention4")
+        eng = BeatTwhSampler(toy_model_apply, SCHED, cfg)
+        rng = np.random.default_rng(4)
+        ta = rng.standard_normal((250, 16)).astype(np.float32)
+        raw_seed = rng.standard_normal((32, motion_dim)).astype(np.float32)
+        mean = np.zeros(motion_dim, np.float32)
+        std = np.ones(motion_dim, np.float32)
+        seed = prepare_seed_gesture(raw_seed, mean, std)
+        style = np.eye(4, dtype=np.float32)[:1]
+        exact = eng.generate({}, ta, seed, style, jax.random.PRNGKey(1), mean, std)
+        bucketed = eng.generate({}, ta, seed, style, jax.random.PRNGKey(1),
+                                mean, std, window_buckets=(4, 8))
+        np.testing.assert_allclose(bucketed, exact, atol=1e-5)
