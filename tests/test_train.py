@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from conftest import requires_reference
+
 from diffusestylegesture_tpu import diffusion as D
 from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig
 from diffusestylegesture_tpu.parallel import make_mesh, shard_batch, replicate
@@ -420,3 +422,58 @@ class TestDeviceCache:
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert int(state.step) == 3
+
+
+@requires_reference
+class TestAdamWEquivalence:
+    """optax.adamw == torch.optim.AdamW step-for-step at the reference
+    hyperparameters (lr 3e-5, wd 0, torch defaults b1/b2/eps): identical
+    gradients must yield identical parameter trajectories. Catches lr/eps/
+    weight-decay convention drift that gradient parity alone cannot."""
+
+    def test_param_trajectories_match(self):
+        import optax
+        import torch
+
+        rng = np.random.default_rng(0)
+        p0 = rng.standard_normal((7, 5)).astype(np.float32)
+        grads = [rng.standard_normal((7, 5)).astype(np.float32) for _ in range(5)]
+        lr, wd = 3e-5, 0.0
+
+        tp = torch.nn.Parameter(torch.as_tensor(p0.copy()))
+        topt = torch.optim.AdamW([tp], lr=lr, weight_decay=wd)
+        for g in grads:
+            topt.zero_grad()
+            tp.grad = torch.as_tensor(g)
+            topt.step()
+
+        tx = optax.adamw(lr, weight_decay=wd)
+        params = jnp.asarray(p0)
+        state = tx.init(params)
+        for g in grads:
+            updates, state = tx.update(jnp.asarray(g), state, params)
+            params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(params), tp.detach().numpy(), atol=2e-7)
+
+    def test_weight_decay_convention_matches(self):
+        """AdamW decoupled decay: torch multiplies by lr — so must optax."""
+        import optax
+        import torch
+
+        p0 = np.full((4,), 2.0, np.float32)
+        g = np.zeros((4,), np.float32)
+        lr, wd = 1e-2, 0.1
+
+        tp = torch.nn.Parameter(torch.as_tensor(p0.copy()))
+        topt = torch.optim.AdamW([tp], lr=lr, weight_decay=wd)
+        tp.grad = torch.as_tensor(g)
+        topt.step()
+
+        tx = optax.adamw(lr, weight_decay=wd)
+        params = jnp.asarray(p0)
+        updates, _ = tx.update(jnp.asarray(g), tx.init(params), params)
+        params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(params), tp.detach().numpy(),
+                                   atol=1e-7)
