@@ -26,12 +26,16 @@ def main(argv=None):
     p.add_argument("--metadata", default=None, help="GENEA metadata csv (TWH)")
     p.add_argument("--num_speakers", type=int, default=17)
     p.add_argument("--wavlm_path", default=None)
+    p.add_argument("--workers", type=int, default=0,
+                   help="ZEGGS: parallelize per-clip featurization over N "
+                        "processes (identical output to serial)")
     args = p.parse_args(argv)
 
     if args.dataset == "ZEGGS":
         from ..data import build_zeggs_dataset
 
-        stats = build_zeggs_dataset(args.source, args.target, fps=args.fps or 20)
+        stats = build_zeggs_dataset(args.source, args.target, fps=args.fps or 20,
+                                    workers=args.workers)
         print("mean/std written;", stats["mean"].shape)
         return
 

@@ -50,20 +50,47 @@ def load_wav_16k(path: str) -> np.ndarray:
     return data
 
 
+def _worker_init():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # a container sitecustomize may have imported jax (and registered a
+    # remote-TPU client) before this runs — force the CPU client explicitly
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _zeggs_clip_worker(task) -> dict:
+    """Per-clip CPU featurization (module-level: picklable for workers)."""
+    wav_path, bvh_path, name, style, fps = task
+    audio = load_wav_16k(wav_path)
+    mfcc = sphinx_mfcc_energy(audio, frate=fps)[:, :-2]
+    feats = zf.featurize_bvh_file(bvh_path, fps=fps)["features"]
+    return dict(name=name, audio=audio, mfcc=mfcc, poses=feats, style=style)
+
+
 def build_zeggs_dataset(
     source_dir: str,
     target_dir: str,
     fps: int = 20,
     valid_fraction: float = 0.1,
+    workers: int = 0,
 ) -> Dict[str, np.ndarray]:
     """(source_dir/*.wav + *.bvh) → target_dir/{train,valid}/*.npz + mean/std.
 
     Each shard holds {poses (normalized), audio_raw, mfcc, style}.
+
+    `workers` > 1 farms per-clip featurization (wav decode, Sphinx MFCC,
+    BVH→1141-d) over a process pool — the work is pure CPU NumPy with no
+    shared state, and clip order (hence mean/std and the train/valid
+    split) is preserved, so the output is identical to the serial build
+    (bitwise when the parent also runs the JAX CPU backend; on a TPU host
+    the serial path's device math can differ from the workers' pinned-CPU
+    math at float32 rounding). The reference's builder is strictly serial
+    (`zeggs_data_to_lmdb.py:107-165`).
     """
     os.makedirs(target_dir, exist_ok=True)
     wavs = sorted(glob.glob(os.path.join(source_dir, "*.wav")))
-    clips = []
-    all_poses: List[np.ndarray] = []
+    tasks = []
     for wav_path in wavs:
         name = os.path.splitext(os.path.basename(wav_path))[0]
         tokens = name.split("_")
@@ -73,11 +100,24 @@ def build_zeggs_dataset(
         bvh_path = os.path.join(source_dir, name + ".bvh")
         if not os.path.exists(bvh_path):
             continue
-        audio = load_wav_16k(wav_path)
-        mfcc = sphinx_mfcc_energy(audio, frate=fps)[:, :-2]
-        feats = zf.featurize_bvh_file(bvh_path, fps=fps)["features"]
-        clips.append(dict(name=name, audio=audio, mfcc=mfcc, poses=feats, style=style))
-        all_poses.append(feats)
+        tasks.append((wav_path, bvh_path, name, style, fps))
+
+    if workers and workers > 1 and len(tasks) > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        # spawn, not fork: the parent may hold a live TPU client whose
+        # threads deadlock forked children. Workers are pure-CPU NumPy, so
+        # pin them to the JAX CPU backend before anything imports jax.
+        with ProcessPoolExecutor(
+            max_workers=workers,
+            mp_context=mp.get_context("spawn"),
+            initializer=_worker_init,
+        ) as ex:
+            clips = list(ex.map(_zeggs_clip_worker, tasks))
+    else:
+        clips = [_zeggs_clip_worker(t) for t in tasks]
+    all_poses = [c["poses"] for c in clips]
 
     if not clips:
         raise ValueError(f"no usable (wav, bvh) pairs in {source_dir}")

@@ -250,3 +250,29 @@ class TestTrainCLI:
         cfg["num_steps"] = 4
         cfg_path.write_text(yaml.safe_dump(cfg))
         train_main(["--config", str(cfg_path), "--device_cache"])
+
+
+class TestParallelPrep:
+    def test_workers_output_identical(self, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, (name, seed) in enumerate([
+            ("001_Happy_0_x_1_0", 0), ("002_Sad_0_x_1_0", 1),
+            ("003_Neutral_0_x_1_0", 2),
+        ]):
+            write_synth_pair(str(src), name, seconds=6.0, seed=seed)
+        t_serial = str(tmp_path / "serial")
+        t_par = str(tmp_path / "par")
+        s0 = build_zeggs_dataset(str(src), t_serial, fps=20, workers=0)
+        s2 = build_zeggs_dataset(str(src), t_par, fps=20, workers=2)
+        np.testing.assert_array_equal(s0["mean"], s2["mean"])
+        np.testing.assert_array_equal(s0["std"], s2["std"])
+        for split in ("train", "valid"):
+            a = sorted(os.listdir(os.path.join(t_serial, split)))
+            b = sorted(os.listdir(os.path.join(t_par, split)))
+            assert a == b
+            for f in a:
+                da = np.load(os.path.join(t_serial, split, f))
+                db = np.load(os.path.join(t_par, split, f))
+                for k in da.files:
+                    np.testing.assert_array_equal(da[k], db[k])
