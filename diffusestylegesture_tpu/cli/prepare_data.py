@@ -5,8 +5,9 @@
 
 Parity: `main/mydiffusion_zeggs/zeggs_data_to_lmdb.py` (ZEGGS) and the
 BEAT/TWH builders (`process_BEAT_bvh.py:355-441`, `process_TWH_bvh.py:271-355`).
-Loudness normalization (ffmpeg-normalize) stays an external pre-step as
-in the reference.
+Loudness normalization: the reference shells out to `ffmpeg-normalize`;
+here `--normalize_loudness` runs a native EBU R128 (BS.1770-4) pass
+(`audio/loudness.py`) — or keep normalizing externally and omit the flag.
 """
 from __future__ import annotations
 
@@ -29,13 +30,18 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=0,
                    help="ZEGGS: parallelize per-clip featurization over N "
                         "processes (identical output to serial)")
+    p.add_argument("--normalize_loudness", action="store_true",
+                   help="ZEGGS: native EBU R128 normalization to -23 LUFS "
+                        "(replaces the reference's external ffmpeg-normalize "
+                        "pre-step)")
     args = p.parse_args(argv)
 
     if args.dataset == "ZEGGS":
         from ..data import build_zeggs_dataset
 
         stats = build_zeggs_dataset(args.source, args.target, fps=args.fps or 20,
-                                    workers=args.workers)
+                                    workers=args.workers,
+                                    loudnorm=args.normalize_loudness)
         print("mean/std written;", stats["mean"].shape)
         return
 

@@ -9,8 +9,8 @@ implementation detail — the tensors match):
     16 kHz + Sphinx-MFCC + 1141-d BVH features, global mean/std with the
     reference's std clip at 0.01, style one-hot from the filename token.
     (The reference shells out to `ffmpeg-normalize` for EBU-R128 loudness
-    first, `zeggs_data_to_lmdb.py:133` — run that externally; this
-    builder consumes already-normalized 16 kHz wavs.)
+    first, `zeggs_data_to_lmdb.py:133` — pass `loudnorm=True` for the
+    native BS.1770-4 equivalent, or feed pre-normalized wavs.)
   * `ZeggsWindowDataset` ↔ `DataPreprocessor` + `TrinityDataset`
     (`data_loader/data_preprocessor.py:38-153`, `lmdb_data_loader.py:13-67`):
     88-frame windows, stride 10, per-window raw-audio slice of
@@ -61,8 +61,14 @@ def _worker_init():
 
 def _zeggs_clip_worker(task) -> dict:
     """Per-clip CPU featurization (module-level: picklable for workers)."""
-    wav_path, bvh_path, name, style, fps = task
+    wav_path, bvh_path, name, style, fps, loudnorm = task
     audio = load_wav_16k(wav_path)
+    if loudnorm:
+        # native EBU R128 pass replacing the reference's external
+        # `ffmpeg-normalize` pre-step (`zeggs_data_to_lmdb.py:133`)
+        from ..audio.loudness import normalize_loudness
+
+        audio = normalize_loudness(audio, 16000.0)
     mfcc = sphinx_mfcc_energy(audio, frate=fps)[:, :-2]
     feats = zf.featurize_bvh_file(bvh_path, fps=fps)["features"]
     return dict(name=name, audio=audio, mfcc=mfcc, poses=feats, style=style)
@@ -74,6 +80,7 @@ def build_zeggs_dataset(
     fps: int = 20,
     valid_fraction: float = 0.1,
     workers: int = 0,
+    loudnorm: bool = False,
 ) -> Dict[str, np.ndarray]:
     """(source_dir/*.wav + *.bvh) → target_dir/{train,valid}/*.npz + mean/std.
 
@@ -100,7 +107,7 @@ def build_zeggs_dataset(
         bvh_path = os.path.join(source_dir, name + ".bvh")
         if not os.path.exists(bvh_path):
             continue
-        tasks.append((wav_path, bvh_path, name, style, fps))
+        tasks.append((wav_path, bvh_path, name, style, fps, loudnorm))
 
     if workers and workers > 1 and len(tasks) > 1:
         import multiprocessing as mp
