@@ -88,6 +88,11 @@ def main(argv=None):
                    help="respace the schedule to N timesteps "
                         "(ddimN striding; the reference supports respacing "
                         "but never enables it)")
+    p.add_argument("--normalize_loudness", action="store_true",
+                   help="EBU R128 normalize the input wav to -23 LUFS first "
+                        "(the reference's ffmpeg-normalize pre-step on its "
+                        "--audio_path route; its --audiowavlm_path demo path "
+                        "skips it, so this is off by default)")
     p.add_argument("--window_buckets", default=None,
                    help="comma-separated window-count buckets (e.g. 2,4,8,16): "
                         "clip lengths pad up to the next bucket so a few "
@@ -135,6 +140,10 @@ def main(argv=None):
         sched = D.Schedule.create(betas)
 
     audio = load_wav_16k(args.audiowavlm_path)
+    if args.normalize_loudness:
+        from ..audio.loudness import normalize_loudness
+
+        audio = normalize_loudness(audio, 16000.0)
     if args.max_len:
         audio = audio[: int(args.max_len * 16000 // cfg.motion_resampling_framerate)]
 
