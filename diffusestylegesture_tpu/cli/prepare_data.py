@@ -28,8 +28,9 @@ def main(argv=None):
     p.add_argument("--num_speakers", type=int, default=17)
     p.add_argument("--wavlm_path", default=None)
     p.add_argument("--workers", type=int, default=0,
-                   help="ZEGGS: parallelize per-clip featurization over N "
-                        "processes (identical output to serial)")
+                   help="parallelize per-clip featurization over N processes "
+                        "(identical output to serial; BEAT/TWH WavLM stays a "
+                        "serial device pass in the parent)")
     p.add_argument("--normalize_loudness", action="store_true",
                    help="ZEGGS: native EBU R128 normalization to -23 LUFS "
                         "(replaces the reference's external ffmpeg-normalize "
@@ -65,8 +66,14 @@ def prepare_beat_twh(args):
     from ..data.text import load_word_vectors
 
     w2v = {}
+    parallel = bool(args.workers and args.workers > 1)
     if args.word_vectors:
+        # always touch the table once here so the npz cache exists; in
+        # parallel mode free it again — each worker loads from the cache,
+        # and keeping a parent copy would double the footprint
         w2v = load_word_vectors(args.word_vectors, cache=args.word_vectors + ".npz")
+        if parallel:
+            w2v = {}
 
     meta = None
     if args.metadata:
@@ -83,7 +90,7 @@ def prepare_beat_twh(args):
         raw_fn = make_twh_wavlm_fn(WavLM(wcfg))
         wavlm_fn = jax.jit(raw_fn)
 
-    clips = []
+    tasks = []
     for bvh_path in sorted(glob.glob(os.path.join(args.source, "*.bvh"))):
         name = os.path.splitext(os.path.basename(bvh_path))[0]
         wav_path = os.path.join(args.source, name + ".wav")
@@ -91,7 +98,6 @@ def prepare_beat_twh(args):
         if not (os.path.exists(wav_path) and os.path.exists(tsv_path)):
             print("skip (missing wav/tsv):", name)
             continue
-        wav = load_wav_16k(wav_path)
         if args.dataset == "TWH" and meta is not None and name in meta:
             _, speaker_id = meta[name]
         elif args.dataset == "BEAT":
@@ -102,16 +108,27 @@ def prepare_beat_twh(args):
         onehot[speaker_id] = 1
         wavlm_feats = None
         if wavlm_fn is not None:
+            # device pass stays serial in the parent (one TPU client)
             import jax.numpy as jnp
 
-            wavlm_feats = np.asarray(wavlm_fn(wparams, jnp.asarray(wav)))
-        clips.append(
-            build_beat_twh_clip(
-                bvh_path, wav, 16000, tsv_path, w2v, onehot,
-                dataset=args.dataset, wavlm_features=wavlm_feats,
-            )
-        )
-        print("processed:", name)
+            wavlm_feats = np.asarray(wavlm_fn(wparams, jnp.asarray(load_wav_16k(wav_path))))
+        tasks.append((bvh_path, wav_path, tsv_path, onehot, args.dataset, wavlm_feats, name))
+
+    if args.workers and args.workers > 1 and len(tasks) > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(
+            max_workers=args.workers, mp_context=mp.get_context("spawn"),
+            initializer=_bt_worker_init, initargs=(args.word_vectors,),
+        ) as ex:
+            clips = list(ex.map(_bt_clip_worker, tasks))
+    else:
+        global _BT_W2V
+        _BT_W2V = w2v
+        clips = [_bt_clip_worker(t) for t in tasks]
+    for t in tasks:
+        print("processed:", t[-1])
 
     if not clips:
         raise SystemExit("no usable (bvh, wav, tsv) triples found")
@@ -121,6 +138,38 @@ def prepare_beat_twh(args):
     np.save(root + "_mean.npy", mean)
     np.save(root + "_std.npy", std)
     print(f"wrote {args.target} ({len(clips)} clips), mean/std {mean.shape}")
+
+
+_BT_W2V = {}
+
+
+def _bt_worker_init(word_vectors_path):
+    """Spawn-worker init: pin JAX to CPU and load the (cached) word-vector
+    table once per worker — it is far too large to pickle per task."""
+    import os as _os
+
+    _os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+    global _BT_W2V
+    if word_vectors_path:
+        from ..data.text import load_word_vectors
+
+        _BT_W2V = load_word_vectors(word_vectors_path,
+                                    cache=word_vectors_path + ".npz")
+    else:
+        _BT_W2V = {}
+
+
+def _bt_clip_worker(task):
+    from ..data import load_wav_16k
+    from ..data.beat_twh import build_beat_twh_clip
+
+    bvh_path, wav_path, tsv_path, onehot, dataset, wavlm_feats, _name = task
+    wav = load_wav_16k(wav_path)
+    return build_beat_twh_clip(bvh_path, wav, 16000, tsv_path, _BT_W2V, onehot,
+                               dataset=dataset, wavlm_features=wavlm_feats)
 
 
 if __name__ == "__main__":

@@ -276,3 +276,33 @@ class TestParallelPrep:
                 db = np.load(os.path.join(t_par, split, f))
                 for k in da.files:
                     np.testing.assert_array_equal(da[k], db[k])
+
+
+class TestParallelBeatPrep:
+    def test_workers_output_identical(self, tmp_path):
+        from test_pipeline import synth_beat_bvh
+        from scipy.io import wavfile
+        import h5py
+        from diffusestylegesture_tpu.cli.prepare_data import main
+
+        src = tmp_path / "src"
+        src.mkdir()
+        sr = 16000
+        for i, name in enumerate(["2_scott_0_1_1", "3_anna_0_1_1"]):
+            synth_beat_bvh(str(src / f"{name}.bvh"), T=121, fps=120, seed=20 + i)
+            t = np.arange(sr) / sr
+            wav = (0.3 * np.sin(2 * np.pi * (220 + 40 * i) * t) * 32767).astype(np.int16)
+            wavfile.write(str(src / f"{name}.wav"), sr, wav)
+            (src / f"{name}.tsv").write_text("0.1\t0.5\thello\n")
+
+        out_s = str(tmp_path / "serial.h5")
+        out_p = str(tmp_path / "par.h5")
+        base = ["--dataset", "BEAT", "--source", str(src), "--num_speakers", "4"]
+        main(base + ["--target", out_s])
+        main(base + ["--target", out_p, "--workers", "2"])
+
+        with h5py.File(out_s) as a, h5py.File(out_p) as b:
+            assert sorted(a.keys()) == sorted(b.keys())
+            for k in a.keys():
+                for field in ("speaker_id", "gesture", "audio", "text"):
+                    np.testing.assert_array_equal(a[k][field][...], b[k][field][...])
