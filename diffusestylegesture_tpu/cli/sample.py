@@ -64,7 +64,13 @@ def main(argv=None):
     p.add_argument("--model_path", required=True)
     p.add_argument("--audiowavlm_path", required=True)
     p.add_argument("--max_len", type=int, default=0)
-    p.add_argument("--style", default=None, help="override style token (e.g. Happy)")
+    p.add_argument("--style", default=None,
+                   help="style token (e.g. Happy) or additive blend "
+                        "'Happy:0.6,Sad:0.4' (ZeroEGGS-style 'add')")
+    p.add_argument("--styles", default=None,
+                   help="comma list of style tokens — ONE batched engine "
+                        "call generates every style concurrently, one BVH "
+                        "each (the batch axis is free on the MXU)")
     p.add_argument("--guidance_scale", type=float, default=0.0)
     p.add_argument("--skip_timesteps", type=int, default=0,
                    help="skip the first N reverse steps (warm start)")
@@ -147,10 +153,25 @@ def main(argv=None):
     if args.max_len:
         audio = audio[: int(args.max_len * 16000 // cfg.motion_resampling_framerate)]
 
-    token = args.style or os.path.basename(args.audiowavlm_path).split("_")[1]
-    style = zf.style_onehot(token)
-    if style is None:
-        raise SystemExit(f"unknown style token {token!r}; use --style")
+    def parse_style(spec: str):
+        """Token, or additive blend 'Happy:0.6,Sad:0.4' (ZeroEGGS 'add')."""
+        if ":" in spec:
+            from ..sample.styles import blend_styles
+
+            names, weights = zip(*(part.split(":") for part in spec.split(",")))
+            return blend_styles(names, [float(w) for w in weights])
+        v = zf.style_onehot(spec)
+        if v is None:
+            raise SystemExit(f"unknown style token {spec!r}")
+        return v
+
+    if args.styles:
+        tokens = args.styles.split(",")
+        style = np.stack([parse_style(t) for t in tokens])
+    else:
+        token = args.style or os.path.basename(args.audiowavlm_path).split("_")[1]
+        tokens = [token.replace(":", "").replace(",", "-")]
+        style = parse_style(token)[None]
 
     mean = np.load(os.path.join(cfg.data_dir, "mean.npz"))["mean"]
     std = np.load(os.path.join(cfg.data_dir, "std.npz"))["std"]
@@ -176,14 +197,15 @@ def main(argv=None):
     if args.window_buckets:
         buckets = tuple(int(b) for b in args.window_buckets.split(","))
     out = sampler.generate(
-        params, wparams, audio, style[None], jax.random.PRNGKey(args.seed),
+        params, wparams, audio, style, jax.random.PRNGKey(args.seed),
         mean=mean, std=std, window_buckets=buckets,
     )
 
-    prefix = datetime.now().strftime("%Y%m%d_%H%M%S") + f"_{token}_{args.seed}"
-    out_path = os.path.join(args.save_dir, prefix + ".bvh")
-    zf.pose_features_to_bvh(out[0], out_path, smoothing=True)
-    print("wrote", out_path)
+    stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    for i, tok in enumerate(tokens):
+        out_path = os.path.join(args.save_dir, f"{stamp}_{tok}_{args.seed}.bvh")
+        zf.pose_features_to_bvh(out[i], out_path, smoothing=True)
+        print("wrote", out_path)
 
 
 if __name__ == "__main__":

@@ -17,11 +17,16 @@ from test_ref_e2e_parity import MDM_KW, NJOINTS, WAVLM_KW, _build_reference_mode
 
 @requires_reference
 @pytest.mark.parametrize(
-    "serve_fast,extra",
-    [(False, []), (True, []), (False, ["--sampler", "dpmpp", "--respace", "2"])],
-    ids=["f32", "fast", "dpmpp"],
+    "serve_fast,extra,n_out",
+    [
+        (False, [], 1),
+        (True, [], 1),
+        (False, ["--sampler", "dpmpp", "--respace", "2"], 1),
+        (False, ["--styles", "Happy,Sad"], 2),
+    ],
+    ids=["f32", "fast", "dpmpp", "styles"],
 )
-def test_sample_cli_end_to_end(tmp_path, serve_fast, extra):
+def test_sample_cli_end_to_end(tmp_path, serve_fast, extra, n_out):
     import torch
 
     from diffusestylegesture_tpu.cli import sample as sample_cli
@@ -87,9 +92,13 @@ def test_sample_cli_end_to_end(tmp_path, serve_fast, extra):
         "--seed", "7",
     ] + (["--serve_fast"] if serve_fast else []) + extra)
 
-    files = [f for f in os.listdir(save_dir) if f.endswith(".bvh")]
-    assert len(files) == 1 and "Happy" in files[0]
-    loaded = bvh.load(os.path.join(save_dir, files[0]))
-    # 8 s audio → 2 windows → (2·80 − 8) frames at 20 fps, ×3 fps upsample
-    assert loaded["rotations"].shape == (152 * 3, 75, 3)
-    assert np.isfinite(loaded["positions"]).all()
+    files = sorted(f for f in os.listdir(save_dir) if f.endswith(".bvh"))
+    assert len(files) == n_out
+    assert any("Happy" in f for f in files)
+    if n_out == 2:
+        assert any("Sad" in f for f in files)
+    for f in files:
+        loaded = bvh.load(os.path.join(save_dir, f))
+        # 8 s audio → 2 windows → (2·80 − 8) frames at 20 fps, ×3 fps upsample
+        assert loaded["rotations"].shape == (152 * 3, 75, 3)
+        assert np.isfinite(loaded["positions"]).all()
