@@ -75,9 +75,9 @@ def integrated_loudness(y: np.ndarray, fs: float) -> float:
     hop = block // 4  # 75 % overlap
     if len(z) < block:
         return float("-inf")
-    n_blocks = 1 + (len(z) - block) // hop
-    idx = np.arange(block)[None, :] + hop * np.arange(n_blocks)[:, None]
-    power = np.mean(z[idx] ** 2, axis=1)  # mean square per block
+    # strided view, not a gathered index matrix: O(1) extra memory even
+    # for hours-long recordings
+    power = np.lib.stride_tricks.sliding_window_view(z * z, block)[::hop].mean(axis=1)
     with np.errstate(divide="ignore"):
         l_blocks = -0.691 + 10.0 * np.log10(power)
     above_abs = power[l_blocks > -70.0]
@@ -91,8 +91,11 @@ def integrated_loudness(y: np.ndarray, fs: float) -> float:
 
 
 def true_peak_db(y: np.ndarray, fs: float) -> float:
-    """True peak in dBTP via 4× polyphase oversampling (Annex 2)."""
-    over = resample_poly(np.asarray(y, np.float64), 4, 1)
+    """True peak in dBTP (Annex 2). The spec's 4× factor assumes 48 kHz
+    material (192 kHz measurement rate); oversample to ≥192 kHz whatever
+    the input rate (12× at 16 kHz), matching ffmpeg loudnorm."""
+    factor = max(4, int(np.ceil(192000.0 / fs)))
+    over = resample_poly(np.asarray(y, np.float64), factor, 1)
     peak = np.max(np.abs(over)) if len(over) else 0.0
     if peak <= 0:
         return float("-inf")

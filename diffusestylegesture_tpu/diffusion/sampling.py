@@ -61,7 +61,11 @@ def _model_and_stats(
     model_output = model_fn(x, sched.timestep_map[t])
     if inpaint is not None:
         # Inpainting hook: overwrite predicted x0 where mask=1
-        # (ref `gaussian_diffusion.py:317-324`, START_X only).
+        # (ref `gaussian_diffusion.py:317-324`, START_X only — the
+        # reference asserts the same; with EPSILON the x0-space motion
+        # would be misread as a noise prediction).
+        assert cfg.mean_type == G.MeanType.START_X, (
+            "inpainting requires mean_type=START_X (ref :318)")
         inpainting_mask, inpainted_motion = inpaint
         model_output = jnp.where(inpainting_mask, inpainted_motion, model_output)
     return G.p_mean_variance(

@@ -143,8 +143,12 @@ def cross_entropy_ignore(logits: jax.Array, labels: jax.Array,
 
 
 def top_k_filter(logits: jax.Array, thres: float = 0.9) -> jax.Array:
-    """`transformer.py:25-30`: keep the top `(1-thres)·vocab` logits, -inf rest."""
-    k = int((1 - thres) * logits.shape[-1])
+    """`transformer.py:25-30`: keep the top `(1-thres)·vocab` logits, -inf rest.
+
+    Clamped to k ≥ 1: the reference's `int((1-thres)*vocab)` reaches 0 for
+    small vocabularies, where its scatter leaves every logit -inf and
+    sampling crashes — degrade to greedy instead."""
+    k = max(1, int((1 - thres) * logits.shape[-1]))
     vals, _ = jax.lax.top_k(logits, k)
     kth = vals[..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)

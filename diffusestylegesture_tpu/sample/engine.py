@@ -51,6 +51,20 @@ SAMPLE_LOOPS = {
 }
 
 
+def crossfade_weights(n_seed: int, batch: int, crossfade_n):
+    """Linear crossfade weights over the n_seed overlap frames.
+
+    `crossfade_n=None` preserves the reference quirk: its blend loop runs
+    over the BATCH axis (`sample.py:284-288`), so n = batch. Shared by the
+    batch engines and the streaming steps so the quirk cannot drift.
+    """
+    n = batch if crossfade_n is None else int(crossfade_n)
+    j = np.arange(n_seed, dtype=np.float32)
+    wa = np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32)
+    wb = np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32)
+    return jnp.asarray(wa), jnp.asarray(wb)
+
+
 @dataclasses.dataclass(frozen=True)
 class ZeggsEngineConfig:
     n_poses: int = 88
@@ -225,15 +239,7 @@ class ZeggsSampler:
             # compiled program.
             feats = self.wavlm_apply(wavlm_params, audio_windows)  # (W, n_poses, 1024)
 
-        # static crossfade weights over the n_seed overlap frames
-        if cfg.crossfade_n is None:
-            n = B  # reference quirk: loop bound/weights use the batch size
-        else:
-            n = int(cfg.crossfade_n)
-        j = np.arange(n_seed, dtype=np.float32)
-        wa = np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32)
-        wb = np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32)
-        wa, wb = jnp.asarray(wa), jnp.asarray(wb)
+        wa, wb = crossfade_weights(n_seed, B, cfg.crossfade_n)
 
         def body(carry, xs):
             seed, k = carry
@@ -411,10 +417,7 @@ def _generate_multi(sampler, params, feats, styles, key, w_max, noise_windows=No
     B = styles.shape[0]
     n_seed, n_poses = cfg.n_seed, cfg.n_poses
 
-    n = B if cfg.crossfade_n is None else int(cfg.crossfade_n)
-    j = np.arange(n_seed, dtype=np.float32)
-    wa = jnp.asarray(np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32))
-    wb = jnp.asarray(np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32))
+    wa, wb = crossfade_weights(sampler.cfg.n_seed, B, cfg.crossfade_n)
 
     @partial(jax.jit, static_argnames=("num_windows",))
     def run(params, feats, styles, key, noise_windows, *, num_windows):

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..diffusion import Schedule, SamplerConfig
 from ..diffusion.sampling import cfg_combine
-from .engine import SAMPLE_LOOPS
+from .engine import SAMPLE_LOOPS, crossfade_weights
 
 
 def prepare_seed_gesture(raw: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
@@ -164,10 +164,7 @@ class BeatTwhSampler:
         n_seed = cfg.n_seed
         B = style.shape[0]
 
-        n = B if cfg.crossfade_n is None else int(cfg.crossfade_n)
-        j = np.arange(n_seed, dtype=np.float32)
-        wa = jnp.asarray(np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32))
-        wb = jnp.asarray(np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32))
+        wa, wb = crossfade_weights(cfg.n_seed, B, cfg.crossfade_n)
 
         def body(carry, xs):
             seed, k = carry

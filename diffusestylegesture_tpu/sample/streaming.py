@@ -29,16 +29,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import ZeggsSampler
+from .engine import ZeggsSampler, crossfade_weights
 from .engine_beat import BeatTwhSampler
 
 
 def _stream_step(sampler, params, wavlm_params, window_audio, seed, style,
-                 key, is_first):
+                 key, is_first, *, host_feats=False):
     """One window: mirrors `ZeggsSampler._generate_impl`'s scan body
-    (`engine.py:236-260`) so streamed output equals the batch engine."""
+    (`engine.py:236-260`) so streamed output equals the batch engine.
+
+    `host_feats` (static): `window_audio` already holds the per-frame
+    features computed host-side (the Sphinx-MFCC mode, like the batch
+    engine's `host_feats` branch) — a host fn cannot run under tracing.
+    """
     cfg = sampler.cfg
-    feats = sampler.wavlm_apply(wavlm_params, window_audio[None])[0]
+    if host_feats:
+        feats = window_audio
+    else:
+        feats = sampler.wavlm_apply(wavlm_params, window_audio[None])[0]
     key, sub = jax.random.split(key)
     sample = sampler._window_sample(params, sub, feats, seed, style)
 
@@ -47,10 +55,7 @@ def _stream_step(sampler, params, wavlm_params, window_audio, seed, style,
         corrected = sample.at[:, 0:3].add(-delta)
         sample = jnp.where(is_first, sample, corrected)
 
-    n = style.shape[0] if cfg.crossfade_n is None else int(cfg.crossfade_n)
-    j = np.arange(cfg.n_seed, dtype=np.float32)
-    wa = jnp.asarray(np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32))
-    wb = jnp.asarray(np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32))
+    wa, wb = crossfade_weights(cfg.n_seed, style.shape[0], cfg.crossfade_n)
     blended_head = seed * wa + sample[..., : cfg.n_seed] * wb
     head = jnp.where(is_first, sample[..., : cfg.n_seed], blended_head)
     sample = jnp.concatenate([head, sample[..., cfg.n_seed:]], axis=-1)
@@ -95,11 +100,16 @@ class ZeggsStreamSampler:
         self._window_index = 0
         self._buffer = np.zeros(0, np.float32)
         self._prev_tail = np.zeros(cfg.samples_per_seed, np.float32)
+        # host-side feature fns (e.g. the Sphinx-MFCC mode,
+        # `make_mfcc_window_fn`) cannot run under tracing — mirror the
+        # batch engine's host_feats branch and call them outside the jit
+        self._host_feats = bool(getattr(sampler.wavlm_apply, "host_side", False))
         # one compiled step per underlying sampler, shared by every stream
         # session over it (a new session per request must not re-jit)
         step = getattr(sampler, "_stream_step", None)
         if step is None:
-            step = jax.jit(partial(_stream_step, sampler))
+            step = jax.jit(
+                partial(_stream_step, sampler, host_feats=self._host_feats))
             sampler._stream_step = step
         self._step = step
 
@@ -114,6 +124,10 @@ class ZeggsStreamSampler:
             main, self._buffer = self._buffer[:sps], self._buffer[sps:]
             window_audio = np.concatenate([self._prev_tail, main])
             self._prev_tail = main[-self.cfg.samples_per_seed:]
+            if self._host_feats:
+                window_audio = np.asarray(
+                    self.sampler.wavlm_apply(self.wavlm_params, window_audio[None])
+                )[0]
             chunk, self._seed, self._key = self._step(
                 self.params, self.wavlm_params, jnp.asarray(window_audio),
                 self._seed, self.style, self._key,
@@ -144,10 +158,7 @@ def _beat_stream_step(sampler, params, audio_i, seed, style, seed_last, key,
     cfg = sampler.cfg
     key, sub = jax.random.split(key)
     sample = sampler._window_sample(params, sub, audio_i, seed, style, seed_last)
-    n = style.shape[0] if cfg.crossfade_n is None else int(cfg.crossfade_n)
-    j = np.arange(cfg.n_seed, dtype=np.float32)
-    wa = jnp.asarray(np.where(j < n, (n - j) / (n + 1), 0.0).astype(np.float32))
-    wb = jnp.asarray(np.where(j < n, (j + 1) / (n + 1), 1.0).astype(np.float32))
+    wa, wb = crossfade_weights(cfg.n_seed, style.shape[0], cfg.crossfade_n)
     blended = seed * wa + sample[..., : cfg.n_seed] * wb
     head = jnp.where(is_first, sample[..., : cfg.n_seed], blended)
     sample = jnp.concatenate([head, sample[..., cfg.n_seed:]], axis=-1)

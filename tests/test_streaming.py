@@ -125,3 +125,37 @@ class TestBeatStreamEqualsBatch:
         s1 = BeatTwhStreamSampler(eng, {}, seed, style, jax.random.PRNGKey(1), mean, std)
         s2 = BeatTwhStreamSampler(eng, {}, seed, style, jax.random.PRNGKey(2), mean, std)
         assert s1._step is s2._step
+
+
+class TestHostFeatsStreaming:
+    def test_mfcc_mode_equals_batch(self):
+        """The Sphinx-MFCC (host-side) feature mode must stream too — the
+        host fn runs outside the jitted step, like the batch engine's
+        host_feats branch."""
+        from diffusestylegesture_tpu.sample import make_mfcc_window_fn
+
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        mfcc_fn = make_mfcc_window_fn(n_poses=cfg.n_poses, fps=cfg.fps)
+
+        def model_apply(params, x, t, cond, uncond=None):
+            # shrink the 15-d mfcc cond into the toy model's audio slot
+            B, C, _, T = x.shape
+            sig = jnp.mean(cond["audio"], axis=-1)[:, None, None, :]
+            return 0.5 * x + 0.002 * sig + 0.1 * jnp.mean(
+                cond["seed"], axis=-1, keepdims=True)
+
+        import jax.numpy as jnp
+
+        eng = ZeggsSampler(model_apply, mfcc_fn, SCHED, cfg)
+        rng = np.random.default_rng(8)
+        audio = rng.standard_normal(cfg.samples_per_stride * 2).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        key = jax.random.PRNGKey(3)
+        batch_out = eng.generate({}, {}, audio, style, key)
+
+        stream = ZeggsStreamSampler(eng, {}, {}, style, key)
+        chunks = []
+        for piece in np.array_split(audio, 5):
+            chunks += stream.push(piece)
+        streamed = np.concatenate(chunks, axis=1)
+        np.testing.assert_allclose(streamed, batch_out, atol=1e-5)
