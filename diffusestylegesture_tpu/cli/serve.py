@@ -97,6 +97,12 @@ def main(argv=None):
         if isinstance(spec, (list, tuple)):
             return np.asarray(spec, np.float32)
         token = spec or os.path.basename(wav_path).split("_")[1]
+        if ":" in token:
+            # additive blend 'Happy:0.6,Sad:0.4' (same spec as cli.sample)
+            from ..sample.styles import blend_styles
+
+            names, weights = zip(*(p.split(":") for p in token.split(",")))
+            return blend_styles(names, [float(w) for w in weights])
         onehot = zf.style_onehot(token)
         if onehot is None:
             raise ValueError(f"unknown style token {token!r}")
