@@ -114,7 +114,7 @@ def prepare_beat_twh(args):
             wavlm_feats = np.asarray(wavlm_fn(wparams, jnp.asarray(load_wav_16k(wav_path))))
         tasks.append((bvh_path, wav_path, tsv_path, onehot, args.dataset, wavlm_feats, name))
 
-    if args.workers and args.workers > 1 and len(tasks) > 1:
+    if parallel and tasks:  # pool even for one task: the parent freed w2v
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 

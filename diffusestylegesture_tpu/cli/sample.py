@@ -68,9 +68,13 @@ def main(argv=None):
                    help="style token (e.g. Happy) or additive blend "
                         "'Happy:0.6,Sad:0.4' (ZeroEGGS-style 'add')")
     p.add_argument("--styles", default=None,
-                   help="comma list of style tokens — ONE batched engine "
-                        "call generates every style concurrently, one BVH "
-                        "each (the batch axis is free on the MXU)")
+                   help="';'- or ','-separated style specs — ONE batched "
+                        "engine call generates every style concurrently, one "
+                        "BVH each (the batch axis is free on the MXU). Use "
+                        "';' between specs when a spec is itself a blend "
+                        "('Happy:0.6,Sad:0.4;Angry'). Batched runs pin the "
+                        "crossfade width to 1 so each output equals its "
+                        "single-style run (see ZeggsEngineConfig.crossfade_n)")
     p.add_argument("--guidance_scale", type=float, default=0.0)
     p.add_argument("--skip_timesteps", type=int, default=0,
                    help="skip the first N reverse steps (warm start)")
@@ -165,13 +169,18 @@ def main(argv=None):
             raise SystemExit(f"unknown style token {spec!r}")
         return v
 
+    def sanitize(tok):
+        return tok.replace(":", "").replace(",", "-").replace(";", "-")
+
     if args.styles:
-        tokens = args.styles.split(",")
-        style = np.stack([parse_style(t) for t in tokens])
+        sep = ";" if ";" in args.styles else ","
+        specs = args.styles.split(sep)
+        style = np.stack([parse_style(t) for t in specs])
+        tokens = [sanitize(t) for t in specs]
     else:
         token = args.style or os.path.basename(args.audiowavlm_path).split("_")[1]
-        tokens = [token.replace(":", "").replace(",", "-")]
         style = parse_style(token)[None]
+        tokens = [sanitize(token)]
 
     mean = np.load(os.path.join(cfg.data_dir, "mean.npz"))["mean"]
     std = np.load(os.path.join(cfg.data_dir, "std.npz"))["std"]
@@ -189,6 +198,10 @@ def main(argv=None):
             guidance_scale=args.guidance_scale,
             skip_timesteps=args.skip_timesteps,
             sampler=args.sampler,
+            # multi-style batches pin the crossfade width to 1 (the
+            # reference quirk's batch-1 value) so each style's BVH equals
+            # its own single-style run; single runs keep the quirk
+            crossfade_n=1 if style.shape[0] > 1 else None,
         ),
         aot_dir=args.aot_dir,
         program_tag="bf16-gelutanh" if args.serve_fast else "",

@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--serve_fast", action="store_true",
                    help="bf16 trunk + tanh-approx GELU serving mode")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--crossfade_n", type=int, default=1,
+                   help="crossfade width in overlap frames (default 1 = the "
+                        "reference's effective batch-1 behavior, independent "
+                        "of server batch padding; -1 restores the reference "
+                        "quirk where the width follows the batch size)")
     args = p.parse_args(argv)
 
     from .. import diffusion as D
@@ -81,6 +86,10 @@ def main(argv=None):
         ZeggsEngineConfig(
             n_poses=cfg.n_poses, n_seed=cfg.n_seed, njoints=cfg.njoints,
             fps=cfg.motion_resampling_framerate,
+            # batch-size-independent blending: with the reference quirk
+            # (crossfade_n=None → n = batch) a request's output would
+            # depend on how many requests share its padded batch
+            crossfade_n=None if args.crossfade_n < 0 else args.crossfade_n,
         ),
         aot_dir=args.aot_dir,
         program_tag="bf16-gelutanh" if args.serve_fast else "",
@@ -115,8 +124,13 @@ def main(argv=None):
             line = line.strip()
             if not line:
                 continue
-            req = json.loads(line)
-            wav_path = req["wav"]
+            try:
+                req = json.loads(line)
+                wav_path = req["wav"]
+            except Exception as e:
+                # one malformed line must not abandon the whole run
+                print(json.dumps({"line": line[:200], "error": str(e)}), flush=True)
+                continue
             out_path = req.get("out") or (os.path.splitext(wav_path)[0] + "_gen.bvh")
             try:
                 style = parse_style(req.get("style"), wav_path)

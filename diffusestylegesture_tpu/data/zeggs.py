@@ -169,15 +169,33 @@ class ZeggsWindowDataset:
         self.fps = fps
         self.sr = sr
         self.audio_len = int(n_poses / fps * sr)
-        cache_path = cache_path or os.path.join(shard_dir, f"_cache_{n_poses}_{stride}.npz")
+        if cache_path is None:
+            # fingerprint the shard set so rebuilding the shards (new clips,
+            # loudness normalization, ...) invalidates the window cache
+            import hashlib
+
+            shards = sorted(
+                p for p in glob.glob(os.path.join(shard_dir, "*.npz"))
+                if not os.path.basename(p).startswith("_cache"))
+            sig = hashlib.sha1(repr([
+                (os.path.basename(p), os.path.getmtime(p), os.path.getsize(p))
+                for p in shards
+            ]).encode()).hexdigest()[:10]
+            cache_path = os.path.join(
+                shard_dir, f"_cache_{n_poses}_{stride}_{sig}.npz")
 
         if os.path.exists(cache_path):
             blob = np.load(cache_path)
-            self.poses = blob["poses"]
-            self.styles = blob["styles"]
-            self.wavlm = blob["wavlm"] if "wavlm" in blob else None
-            self.audio = blob["audio"] if "audio" in blob else None
-            return
+            # a cache built WITHOUT WavLM features cannot serve a caller
+            # that supplies a wavlm_fn — rebuild instead of silently
+            # training without audio features. (The reverse — cached
+            # features, no fn — is the intended precompute→train handoff.)
+            if not (wavlm_fn is not None and "wavlm" not in blob):
+                self.poses = blob["poses"]
+                self.styles = blob["styles"]
+                self.wavlm = blob["wavlm"] if "wavlm" in blob else None
+                self.audio = blob["audio"] if "audio" in blob else None
+                return
 
         poses_w, styles_w, audio_w = [], [], []
         for shard in sorted(glob.glob(os.path.join(shard_dir, "*.npz"))):
@@ -185,7 +203,11 @@ class ZeggsWindowDataset:
                 continue
             blob = np.load(shard)
             poses, audio, style = blob["poses"], blob["audio_raw"], blob["style"]
-            minlen = min(len(poses), int(len(audio) * fps / sr))
+            # reference quirk (`data_preprocessor.py:95`): the audio term of
+            # MINLEN converts samples at a hardcoded 60 fps (the raw BVH
+            # rate) even though poses are at `fps` — i.e. the audio cap is
+            # 3x lenient and effectively never binds; reproduced as-is
+            minlen = min(len(poses), int(len(audio) * 60 / sr))
             num = math.floor((minlen - n_poses) / stride)
             for i in range(max(0, num)):
                 s = i * stride

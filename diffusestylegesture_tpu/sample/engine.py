@@ -307,6 +307,12 @@ class ZeggsSampler:
         """
         windows = slice_audio_windows(np.asarray(audio, np.float32), self.cfg)
         num_windows = real_windows = windows.shape[0]
+        if num_windows == 0:
+            raise ValueError(
+                f"audio too short: {len(audio)} samples < one "
+                f"{self.cfg.samples_per_stride}-sample window "
+                f"({self.cfg.stride / self.cfg.fps:.0f} s at "
+                f"{self.cfg.sr} Hz)")
         if window_buckets:
             fits = [b for b in sorted(window_buckets) if b >= num_windows]
             if fits:
@@ -408,7 +414,9 @@ def generate_multi_clip(
         seq = seq + np.asarray(mean).squeeze()
     results = []
     for i, c in enumerate(counts):
-        results.append(seq[i, : c * cfg.stride - cfg.n_seed])
+        # c == 0 (clip shorter than one stride) must yield an empty result,
+        # not a negative-index slice full of padded-window motion
+        results.append(seq[i, : max(0, c * cfg.stride - cfg.n_seed)])
     return results
 
 
@@ -429,13 +437,26 @@ def _generate_multi(sampler, params, feats, styles, key, w_max, noise_windows=No
                 "mask_local": jnp.ones((B, cfg.n_poses), bool),
             }
 
-            def model_fn(x, t):
-                return sampler.model_apply(params, x, t, cond)
+            if cfg.guidance_scale and cfg.guidance_scale != 1.0:
+                # same CFG doubling as `ZeggsSampler._window_sample`
+                def model_fn(x, t):
+                    x2 = jnp.concatenate([x, x], 0)
+                    t2 = jnp.concatenate([t, t], 0)
+                    cond2 = jax.tree.map(
+                        lambda c: jnp.concatenate([c, c], 0), cond)
+                    un = jnp.concatenate(
+                        [jnp.zeros(B, bool), jnp.ones(B, bool)])
+                    out = sampler.model_apply(params, x2, t2, cond2, uncond=un)
+                    return cfg_combine(out[:B], out[B:], cfg.guidance_scale)
+            else:
+                def model_fn(x, t):
+                    return sampler.model_apply(params, x, t, cond)
 
             shape = (B, cfg.njoints, 1, cfg.n_poses)
             loop = SAMPLE_LOOPS[cfg.sampler]
             return loop(sampler.schedule, model_fn, shape, key,
-                        cfg=sampler.sampler_cfg, noise=noise)
+                        cfg=sampler.sampler_cfg, noise=noise,
+                        skip_timesteps=cfg.skip_timesteps)
 
         def body(carry, xs):
             seed, k = carry

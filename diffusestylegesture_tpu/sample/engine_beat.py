@@ -215,6 +215,7 @@ class BeatTwhSampler:
         if max_len:
             textaudio = textaudio[:max_len]
         windows, num, real_n = self.slice_windows(np.asarray(textaudio, np.float32))
+        real_num = num
         if window_buckets:
             fits = [b for b in sorted(window_buckets) if b >= num]
             if fits:
@@ -265,8 +266,11 @@ class BeatTwhSampler:
         samples = np.asarray(samples)  # (W, B, C, 1, n_poses)
         keep = cfg.njoints // cfg.motion_feature_division
         samples = samples[:, :, :keep, 0]  # (W, B, keep, n_poses)
-        parts = [samples[i][..., : cfg.stride] for i in range(num - 1)]
-        parts.append(samples[num - 1])  # last window kept full (ref `:180-188`)
+        # assemble from the REAL windows only: the last real window is the
+        # one kept full (ref `:180-188`) — bucket-padded windows are
+        # generated (causally downstream) but must never reach the output
+        parts = [samples[i][..., : cfg.stride] for i in range(real_num - 1)]
+        parts.append(samples[real_num - 1])
         seq = np.concatenate(parts, axis=-1).transpose(0, 2, 1)  # (B, T, keep)
         seq = seq[:, cfg.n_seed:]
         seq = seq * np.asarray(std) + np.asarray(mean)

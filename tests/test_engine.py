@@ -441,3 +441,69 @@ class TestWindowBuckets:
         bucketed = eng.generate({}, ta, seed, style, jax.random.PRNGKey(1),
                                 mean, std, window_buckets=(4, 8))
         np.testing.assert_allclose(bucketed, exact, atol=1e-5)
+
+
+class TestReviewRegressions:
+    def test_beat_bucketed_exact_stride_multiple(self):
+        """real_n ≡ 0 (mod stride): the batch engine keeps the last REAL
+        window full; bucketed assembly must not substitute the padded
+        window's motion for the final n_seed frames."""
+        motion_dim = 8
+        cfg = BeatEngineConfig(njoints=motion_dim * 3, audio_dim=16,
+                               variant="attention4")
+        eng = BeatTwhSampler(toy_model_apply, SCHED, cfg)
+        rng = np.random.default_rng(9)
+        ta = rng.standard_normal((2 * cfg.stride, 16)).astype(np.float32)
+        raw_seed = rng.standard_normal((32, motion_dim)).astype(np.float32)
+        mean = np.zeros(motion_dim, np.float32)
+        std = np.ones(motion_dim, np.float32)
+        seed = prepare_seed_gesture(raw_seed, mean, std)
+        style = np.eye(4, dtype=np.float32)[:1]
+        exact = eng.generate({}, ta, seed, style, jax.random.PRNGKey(2), mean, std)
+        bucketed = eng.generate({}, ta, seed, style, jax.random.PRNGKey(2),
+                                mean, std, window_buckets=(4,))
+        np.testing.assert_allclose(bucketed, exact, atol=1e-5)
+
+    def test_zeggs_too_short_audio_raises(self):
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        with np.testing.assert_raises(ValueError):
+            eng.generate({}, {}, np.zeros(100, np.float32),
+                         np.eye(6, dtype=np.float32)[:1], jax.random.PRNGKey(0))
+
+    def test_multi_clip_short_clip_empty_not_garbage(self):
+        from diffusestylegesture_tpu.sample import generate_multi_clip
+
+        cfg = ZeggsEngineConfig(njoints=NJ, crossfade_n=8)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        short = np.zeros(100, np.float32)  # < one stride
+        ok = np.random.default_rng(0).standard_normal(
+            cfg.samples_per_stride * 2).astype(np.float32)
+        styles = np.eye(6, dtype=np.float32)[:2]
+        outs = generate_multi_clip(eng, {}, {}, [short, ok], styles,
+                                   jax.random.PRNGKey(1))
+        assert outs[0].shape[0] == 0
+        assert outs[1].shape[0] == 2 * cfg.stride - cfg.n_seed
+
+    def test_multi_clip_respects_guidance_and_skip(self):
+        """generate_multi_clip must honour guidance_scale/skip_timesteps
+        like the single-clip engine (it silently ignored both)."""
+        from diffusestylegesture_tpu.sample import generate_multi_clip
+
+        rng = np.random.default_rng(3)
+        audio = rng.standard_normal(
+            ZeggsEngineConfig().samples_per_stride).astype(np.float32)
+        styles = np.eye(6, dtype=np.float32)[:1]
+        outs = {}
+        for gs in (0.0, 3.0):
+            cfg = ZeggsEngineConfig(njoints=NJ, crossfade_n=8, guidance_scale=gs)
+            eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+            outs[gs] = generate_multi_clip(eng, {}, {}, [audio], styles,
+                                           jax.random.PRNGKey(5))[0]
+        assert np.abs(outs[0.0] - outs[3.0]).max() > 1e-4
+        cfg = ZeggsEngineConfig(njoints=NJ, crossfade_n=8, skip_timesteps=4)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        skipped = generate_multi_clip(eng, {}, {}, [audio], styles,
+                                      jax.random.PRNGKey(5))[0]
+        assert np.isfinite(skipped).all()
+        assert np.abs(skipped - outs[0.0]).max() > 1e-4

@@ -75,6 +75,7 @@ def test_serve_cli_batches_requests(tmp_path, capsys, serve_fast):
         f.write(json.dumps({"wav": wavs[1], "style": "Neutral",
                             "out": str(tmp_path / "explicit.bvh")}) + "\n")
         f.write(json.dumps({"wav": wavs[1], "style": "NotAStyle"}) + "\n")
+        f.write("{not valid json\n")  # must not abandon the run
 
     serve_cli.main([
         "--config", cfg_path, "--model_path", mdm_pt,
@@ -92,6 +93,8 @@ def test_serve_cli_batches_requests(tmp_path, capsys, serve_fast):
     errors = [l for l in results if "error" in l]
     ok = [l for l in results if "out" in l]
     assert len(errors) == 1 and "NotAStyle" in errors[0]["error"]
+    bad_line = [l for l in lines if "line" in l and "error" in l]
+    assert len(bad_line) == 1  # malformed JSON reported, run continued
     assert len(ok) == 2
     assert summary["served"] == 2
     assert summary["batches"] == 1  # both valid requests rode one batch
