@@ -123,7 +123,7 @@ class _BiGRUCoHead(nn.Module):
     @nn.compact
     def __call__(self, gru_last: jax.Array) -> jax.Array:
         x = nn.Dense(self.hidden_size, name="dense0")(gru_last)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(name="norm", epsilon=1e-5)(x)  # torch default
         x = _leaky(x)
         return nn.Dense(self.output_size, name="dense1")(x)
 
@@ -344,17 +344,11 @@ def evaluate_fid(eval_wrapper: T2MEvaluator, gt_loader: Iterable, activations: D
         ],
         axis=0,
     )
-    gt_mu, gt_cov = activation_statistics(gt_emb)
     out = OrderedDict()
     for name, emb in activations.items():
-        mu, cov = activation_statistics(emb)
-        diff = gt_mu - mu
-        covmean = sqrtm(gt_cov.dot(cov))
-        if np.iscomplexobj(covmean):
-            covmean = covmean.real
-        out[name] = float(
-            diff.dot(diff) + np.trace(gt_cov) + np.trace(cov) - 2 * np.trace(covmean)
-        )
+        # shared helper carries the reference's non-finite eps fallback
+        # (`calculate_frechet_distance` retries with sigma + eps*I)
+        out[name] = frechet_distance(gt_emb, emb)
     return out
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .t2m import euclidean_distance_matrix
+
 
 def _polynomial_kernel(x: np.ndarray, y: np.ndarray, degree: int = 3,
                        gamma: float | None = None, coef0: float = 1.0) -> np.ndarray:
@@ -35,6 +37,8 @@ def polynomial_mmd(codes_g: np.ndarray, codes_r: np.ndarray, degree: int = 3,
                    var_at_m: int | None = None, ret_var: bool = True):
     """Unbiased MMD² (and variance) under the polynomial kernel — same
     estimator as the reference's `_mmd2_and_variance` (kid.py:44-126)."""
+    assert codes_g.shape[0] == codes_r.shape[0], (
+        "unbiased MMD estimator assumes equal set sizes (ref kid.py asserts)")
     k_xx = _polynomial_kernel(codes_g, codes_g, degree, gamma, coef0)
     k_yy = _polynomial_kernel(codes_r, codes_r, degree, gamma, coef0)
     k_xy = _polynomial_kernel(codes_g, codes_r, degree, gamma, coef0)
@@ -110,19 +114,15 @@ def kid(real_activations: np.ndarray, generated_activations: np.ndarray,
     return float(mmds.mean()), float(mmds.std())
 
 
-def _pairwise_l2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    d = (-2 * a @ b.T + np.sum(a * a, axis=1, keepdims=True)
-         + np.sum(b * b, axis=1))
-    return np.sqrt(np.maximum(d, 0.0))
 
 
 def manifold_estimate(a_features: np.ndarray, b_features: np.ndarray,
                       k: int = 3) -> float:
     """Fraction of B inside the k-NN ball of some A (self-distance 0 is
     included in A's neighbour list, exactly as the reference's loop)."""
-    d_aa = _pairwise_l2(a_features, a_features)
+    d_aa = euclidean_distance_matrix(a_features, a_features)
     radii = np.partition(d_aa, k, axis=1)[:, k]
-    d_ba = _pairwise_l2(b_features, a_features)
+    d_ba = euclidean_distance_matrix(b_features, a_features)
     covered = (d_ba <= radii[None, :]).any(axis=1)
     return float(covered.mean())
 

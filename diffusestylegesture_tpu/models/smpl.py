@@ -200,15 +200,19 @@ def lbs(model: SmplModel, betas: jnp.ndarray, pose_rotmats: jnp.ndarray):
     pose_feature = (pose_rotmats[:, 1:] - eye).reshape(b, -1)
     v_posed = v_shaped + (pose_feature @ model.posedirs).reshape(b, -1, 3)
 
-    _, rel_transforms = batch_rigid_transform(pose_rotmats, j_rest, model.parents)
+    posed_joints, rel_transforms = batch_rigid_transform(
+        pose_rotmats, j_rest, model.parents)
 
     vert_transforms = jnp.einsum(
         "vj,bjxy->bvxy", model.lbs_weights, rel_transforms)
     v_h = jnp.concatenate(
         [v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
     verts = (vert_transforms @ v_h[..., None])[..., :3, 0]
-    joints = jnp.einsum("jv,bvc->bjc", model.j_regressor, verts)
-    return verts, joints
+    # smplx `lbs()` returns the KINEMATIC joints (J_transformed from
+    # batch_rigid_transform), not a re-regression from the skinned
+    # vertices — the latter would fold pose blendshapes/LBS blending into
+    # every joint and deviate cm-scale on bent poses
+    return verts, posed_joints
 
 
 def vertices2joints(regressor: jnp.ndarray, vertices: jnp.ndarray) -> jnp.ndarray:
@@ -321,7 +325,10 @@ class Rotation2xyz:
         x_xyz = joints.reshape(nsamples, time, -1, 3)
         x_xyz = jnp.transpose(x_xyz, (0, 2, 3, 1))  # (B, J_out, 3, T)
         if mask is not None:
-            x_xyz = x_xyz * mask[:, None, None, :]
+            # where, not multiply: padded frames can hold NaN joints
+            # (Gram-Schmidt of zero-padded rot6d divides by zero) and
+            # 0·NaN stays NaN — the reference writes exact zeros there
+            x_xyz = jnp.where(mask[:, None, None, :], x_xyz, 0.0)
 
         if jointstype != "vertices":
             root_idx = JOINTSTYPE_ROOT[jointstype]

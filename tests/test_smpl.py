@@ -56,7 +56,9 @@ def numpy_lbs(model, betas, rot_mats):
         vh = np.concatenate([v_posed, np.ones((len(v_posed), 1))], axis=1)
         verts = np.einsum("vxy,vy->vx", T, vh)[:, :3]
         out_v.append(verts)
-        out_j.append(j_reg @ verts)
+        # smplx returns the kinematic J_transformed (FK joint positions),
+        # not a re-regression from the skinned vertices
+        out_j.append(G[:, :3, 3].copy())
     return np.stack(out_v), np.stack(out_j)
 
 
