@@ -372,7 +372,10 @@ def calc_bpd_loop(
         t = jnp.full((B,), t_scalar, jnp.int32)
         noise = jax.random.normal(nk, x_start.shape, jnp.float32)
         x_t = q_sample(sched, x_start, t, noise)
-        model_output = model_fn(x_t, sched.timestep_map[t])
+        # module contract (docstring): model_fn receives the INTERNAL
+        # timestep index and remaps itself — remapping here too would
+        # double-remap a compliant model_fn on respaced schedules
+        model_output = model_fn(x_t, t)
         vb, pred_xstart = vb_terms_bpd(
             sched, model_output, x_start, x_t, t,
             mean_type=mean_type, var_type=var_type, clip_denoised=clip_denoised,

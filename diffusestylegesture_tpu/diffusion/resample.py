@@ -97,9 +97,17 @@ def update_with_losses(
         def filling(h):
             return h.at[t, cnt].set(loss)
 
-        hist = jax.lax.cond(cnt == hpt, warmed, filling, hist)
-        counts = counts.at[t].set(jnp.minimum(cnt + 1, hpt))
-        return (hist, counts), None
+        def write(st2):
+            hist2, counts2 = st2
+            hist2 = jax.lax.cond(cnt == hpt, warmed, filling, hist2)
+            counts2 = counts2.at[t].set(jnp.minimum(cnt + 1, hpt))
+            return (hist2, counts2)
+
+        # a non-finite loss must never enter the ring history: one NaN
+        # makes every importance weight NaN forever (the optimizer's
+        # NaN-skip protects params but not this state)
+        return jax.lax.cond(jnp.isfinite(loss), write, lambda s: s,
+                            (hist, counts)), None
 
     (hist, counts), _ = jax.lax.scan(body, (state.history, state.counts), (ts, losses))
     return LossAwareState(history=hist, counts=counts)

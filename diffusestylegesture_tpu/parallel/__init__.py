@@ -5,4 +5,4 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
-from .tp import mdm_param_specs, shard_params  # noqa: F401
+from .tp import mdm_param_specs, shard_params, shard_train_state  # noqa: F401

@@ -22,8 +22,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map  # jax >= 0.6 canonical location
+
+    _SHARD_MAP_KW = {"check_vma": False}
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+
+    _SHARD_MAP_KW = {"check_rep": False}  # pre-0.6 spelling
 
 from ..models.local_attention import NEG_INF
 
@@ -119,6 +123,6 @@ def sequence_parallel_local_attention(
         mesh=mesh,
         in_specs=(P(None, axis, None), P(None, axis, None), P(None, axis, None), P(None, axis)),
         out_specs=P(None, axis, None),
-        check_vma=False,
+        **_SHARD_MAP_KW,
     )
     return fn(q, k, v, mask_full)

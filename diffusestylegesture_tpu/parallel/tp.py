@@ -49,3 +49,41 @@ def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
     return jax.tree.map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
     )
+
+
+def shard_train_state(mesh: Mesh, state: Any, specs: Any) -> Any:
+    """Apply param PartitionSpecs to EVERY params-shaped subtree of a
+    TrainState: `params`, `ema_params`, and the optimizer moments (AdamW
+    mu/nu mirror the param tree inside the optax state). Without this the
+    optimizer state stays replicated — 2× param memory per device, and a
+    sharding mismatch on the first donated step forces a recompile.
+
+    `specs` is the spec pytree for `state.params` (same structure).
+    """
+    params_struct = jax.tree.structure(state.params)
+
+    def shard_like_params(tree):
+        return jax.tree.map(
+            lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), tree, specs
+        )
+
+    def rec(node):
+        try:
+            if jax.tree.structure(node) == params_struct:
+                return shard_like_params(node)
+        except Exception:
+            pass
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            vals = [rec(v) for v in node]
+            # namedtuples (optax states) rebuild from positional fields
+            return type(node)(*vals) if hasattr(node, "_fields") else tuple(vals)
+        if isinstance(node, list):
+            return [rec(v) for v in node]
+        return node
+
+    new_params = shard_like_params(state.params)
+    new_ema = None if state.ema_params is None else shard_like_params(state.ema_params)
+    new_opt = rec(state.opt_state)
+    return state.replace(params=new_params, ema_params=new_ema, opt_state=new_opt)

@@ -56,9 +56,7 @@ def student_schedule(teacher: Schedule, base_betas=None) -> Schedule:
         assert (base_map == np.arange(len(base_map))).all(), (
             "pass base_betas for an already-respaced teacher"
         )
-    n_teacher = teacher.num_timesteps
     use = set(np.asarray(teacher.timestep_map)[1::2].tolist())
-    del n_teacher
     return spaced_schedule(base_betas, use)
 
 
@@ -145,11 +143,9 @@ def make_distill_step(
         return tx.init(params)
 
     def step_fn(params, opt_state, x0_batch, key, cond=None):
-        import optax as _optax
-
         loss, grads = jax.value_and_grad(loss_fn)(params, x0_batch, key, cond)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = _optax.apply_updates(params, updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss}
 
     return init_fn, step_fn

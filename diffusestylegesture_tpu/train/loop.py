@@ -58,6 +58,8 @@ class TrainLoop:
         self.data = data
         self.logger = KVLogger()
         tp = max(1, loop_cfg.tensor_parallel)
+        if tp > 1 and not loop_cfg.use_mesh:
+            raise ValueError("tensor_parallel > 1 requires use_mesh=True")
         if loop_cfg.use_mesh and tp > 1:
             n = len(jax.devices())
             if n % tp:
@@ -87,16 +89,21 @@ class TrainLoop:
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
             if tp > 1:
-                from ..parallel import mdm_param_specs, shard_params
+                from ..parallel import mdm_param_specs, shard_train_state
 
-                specs = mdm_param_specs(self.state.params["params"])
-                self.state = self.state.replace(
-                    params={
-                        "params": shard_params(
-                            self.mesh, self.state.params["params"], specs
-                        )
-                    }
-                )
+                # specs for the whole variables dict: TP specs for the
+                # 'params' collection, replicated for any other collection
+                from jax.sharding import PartitionSpec as _P
+
+                specs = {
+                    k: (mdm_param_specs(v) if k == "params"
+                        else jax.tree.map(lambda _: _P(), v))
+                    for k, v in self.state.params.items()
+                }
+                # shard params AND the optimizer moments / EMA — otherwise
+                # opt_state stays replicated (2x param memory) and the
+                # donated step recompiles on the sharding mismatch
+                self.state = shard_train_state(self.mesh, self.state, specs)
 
         self.ckpt = (
             CheckpointManager(loop_cfg.checkpoint_dir)
@@ -110,6 +117,9 @@ class TrainLoop:
             if restored is not None:
                 self.state = restored
                 self.resume_step = int(np.asarray(self.state.step))
+                # fresh randomness after resume: without this the resumed
+                # run replays the exact t/noise/dropout stream from step 0
+                self.rng = jax.random.fold_in(self.rng, self.resume_step)
                 self.logger.log(f"resumed from step {self.resume_step}")
 
     def _batches(self):
@@ -119,10 +129,35 @@ class TrainLoop:
         else:
             yield from self.data
 
+    def _flush_metrics(self, pending) -> None:
+        """Materialize buffered device metrics in one transfer and feed the
+        logger. Deferring the host sync to logging boundaries keeps the
+        step loop async — a per-step np.asarray would serialize every
+        iteration on a device→host copy, defeating device_cache's
+        zero-host-traffic design."""
+        if not pending:
+            return
+        for metrics in jax.device_get(pending):
+            ts = np.asarray(metrics.pop("t"))
+            host_metrics = {
+                k: np.asarray(v) for k, v in metrics.items()
+                if np.asarray(v).ndim <= 1
+            }
+            self.logger.log_loss_dict(
+                ts,
+                self.schedule.num_timesteps,
+                {k: v for k, v in host_metrics.items() if v.ndim == 1},
+            )
+            for k, v in host_metrics.items():
+                if v.ndim == 0:
+                    self.logger.logkv_mean(k, float(v))
+        pending.clear()
+
     def run(self) -> TrainState:
         cfg = self.loop_cfg
         step = self.resume_step
         t0 = time.time()
+        pending = []
         for batch in self._batches():
             if step >= cfg.num_steps:
                 break
@@ -134,31 +169,23 @@ class TrainLoop:
                     batch = shard_batch(self.mesh, batch)
                 self.state, metrics = self.train_step(self.state, batch, sub)
 
-            ts = np.asarray(metrics.pop("t"))
-            host_metrics = {
-                k: np.asarray(v)
-                for k, v in metrics.items()
-                if np.asarray(v).ndim <= 1
-            }
-            self.logger.log_loss_dict(
-                ts,
-                self.schedule.num_timesteps,
-                {k: v for k, v in host_metrics.items() if v.ndim == 1},
-            )
-            for k, v in host_metrics.items():
-                if v.ndim == 0:
-                    self.logger.logkv_mean(k, float(v))
-            self.logger.logkv("step", step)
-            self.logger.logkv("steps_per_sec", (step - self.resume_step + 1) / (time.time() - t0))
+            pending.append(metrics)
 
             if step % cfg.log_interval == 0:
+                self._flush_metrics(pending)
+                self.logger.logkv("step", step)
+                self.logger.logkv(
+                    "steps_per_sec",
+                    (step - self.resume_step + 1) / (time.time() - t0))
                 self.logger.dumpkvs()
 
             if cfg.save_interval and step and step % cfg.save_interval == 0:
+                self._flush_metrics(pending)
                 self.save(step)
                 if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                     return self.state
             step += 1
+        self._flush_metrics(pending)
         if self.ckpt is not None:
             self.save(step)
         return self.state

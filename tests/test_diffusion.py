@@ -111,6 +111,26 @@ class TestLossAware:
         t, wt = D.resample.loss_aware_sample_t(key, st, 4)
         assert t.shape == (4,) and wt.shape == (4,)
 
+    def test_nonfinite_losses_never_poison_history(self):
+        """One NaN loss must not enter the ring — it would make every
+        importance weight NaN permanently (the optimizer's NaN-skip only
+        protects params, not this state)."""
+        st = D.resample.LossAwareState.create(4, history_per_term=2)
+        for i in range(6):  # warm up every term
+            st = D.resample.update_with_losses(
+                st, jnp.array([i % 4, (i + 1) % 4]), jnp.array([1.0, 2.0]))
+        st = D.resample.update_with_losses(
+            st, jnp.array([0, 1]), jnp.array([float("nan"), float("inf")]))
+        assert np.isfinite(np.asarray(st.history)).all()
+        w = np.asarray(D.resample.loss_aware_weights(st))
+        assert np.isfinite(w).all()
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+        # the finite companion losses in a mixed batch still get recorded
+        st2 = D.resample.update_with_losses(
+            st, jnp.array([2, 3]), jnp.array([9.0, float("nan")]))
+        assert np.isfinite(np.asarray(st2.history)).all()
+        assert (np.asarray(st2.history) == 9.0).any()
+
 
 @requires_reference
 class TestReferenceParity:
