@@ -120,7 +120,22 @@ def _read_textgrid_first_tier(path: str) -> List[Tuple[float, float, str]]:
                 seen_zero = True
             out.append((float(xmin), float(xmax), mark))
         return out
-    raise ValueError(f"unrecognized TextGrid format: {path}")
+    # short format: after the per-tier header ("IntervalTier", name, xmin,
+    # xmax, count) the intervals follow as bare (xmin, xmax, "text") triples
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    try:
+        ti = next(i for i, ln in enumerate(lines) if "IntervalTier" in ln)
+        n = int(float(lines[ti + 4]))
+        pos = ti + 5
+        for _ in range(n):
+            xmin = float(lines[pos])
+            xmax = float(lines[pos + 1])
+            mark = lines[pos + 2].strip().strip('"')
+            out.append((xmin, xmax, mark))
+            pos += 3
+        return out
+    except (StopIteration, ValueError, IndexError):
+        raise ValueError(f"unrecognized TextGrid format: {path}")
 
 
 def build_beat_twh_clip(

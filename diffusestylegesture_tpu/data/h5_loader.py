@@ -78,6 +78,9 @@ class SpeechGestureDataset:
     def sample(self, rng: np.random.Generator, idx: int):
         T = len(self.gesture[idx])
         n = self.n_poses
+        # reference quirk kept: np.random.randint's EXCLUSIVE high
+        # (`h5_data_loader.py:44`) means the start T-n is never drawn, so
+        # each clip's final frame has zero sampling probability
         start = int(rng.integers(0, max(1, T - n)))
         g = self.gesture[idx][start: start + n]
         a = self.textaudio[idx][start: start + n]

@@ -126,22 +126,26 @@ class MDM(nn.Module):
         emb_t = TimestepEmbedder(D, name="embed_timestep")(timesteps)  # (B, D)
 
         cm_rng = self.make_rng("cond_mask") if (train and cfg.cond_mask_prob > 0) else None
+        # style and seed draw INDEPENDENT dropout masks (the reference's
+        # mask_cond calls torch.bernoulli separately per call)
+        cm_style, cm_seed = (jax.random.split(cm_rng)
+                             if cm_rng is not None else (None, None))
         mk = lambda c, r: mask_cond(  # noqa: E731
             c, cond_mask_prob=cfg.cond_mask_prob, train=train, uncond=uncond, rng=r
         )
 
         if "style1" in cfg.cond_mode:
             style_emb = nn.Dense(cfg.style_dim, name="embed_style")(cond["style"])
-            style_emb = mk(style_emb, cm_rng)
+            style_emb = mk(style_emb, cm_style)
             if cfg.n_seed != 0:
                 seed_flat = cond["seed"].reshape(B, -1)
-                seed_flat = mk(seed_flat, cm_rng)
+                seed_flat = mk(seed_flat, cm_seed)
                 seed_emb = nn.Dense(D - cfg.style_dim, name="embed_text")(seed_flat)
                 emb_1 = jnp.concatenate([style_emb, seed_emb], axis=-1)
             else:
                 emb_1 = style_emb
         elif cfg.n_seed != 0:
-            seed_flat = mk(cond["seed"].reshape(B, -1), cm_rng)
+            seed_flat = mk(cond["seed"].reshape(B, -1), cm_seed)
             emb_1 = nn.Dense(D, name="embed_text")(seed_flat)
         else:
             emb_1 = jnp.zeros((B, D), dtype=x.dtype)

@@ -110,17 +110,21 @@ class MDMPlus(nn.Module):
 
         emb_t = TimestepEmbedder(D, name="embed_timestep")(timesteps)
         cm_rng = self.make_rng("cond_mask") if (train and cfg.cond_mask_prob > 0) else None
+        # independent dropout masks for style and seed (ref: separate
+        # torch.bernoulli draws per mask_cond call)
+        cm_style, cm_seed = (jax.random.split(cm_rng)
+                             if cm_rng is not None else (None, None))
         mk = lambda c, r: mask_cond(  # noqa: E731
             c, cond_mask_prob=cfg.cond_mask_prob, train=train, uncond=uncond, rng=r
         )
 
         style_width = cfg.style_dim if "cross_local_attention3" in mode else D
-        style_emb = mk(nn.Dense(style_width, name="embed_style")(cond["style"]), cm_rng)
+        style_emb = mk(nn.Dense(style_width, name="embed_style")(cond["style"]), cm_style)
 
         audio_enc = WavEncoder(cfg.audio_feat_dim, name="WavEncoder")(cond["audio"])
 
         if "cross_local_attention3" in mode:
-            seed_flat = mk(cond["seed"].reshape(B, -1), cm_rng)
+            seed_flat = mk(cond["seed"].reshape(B, -1), cm_seed)
             seed_emb = nn.Dense(D - cfg.style_dim, name="embed_text")(seed_flat)
             token = jnp.concatenate([style_emb, seed_emb], axis=-1) + emb_t
             enc_text = audio_enc  # (B, T, A)
@@ -140,6 +144,12 @@ class MDMPlus(nn.Module):
             raise NotImplementedError(mode)
 
         x_ = InputProcess(D, name="input_process")(x)  # (B, T, D)
+        # compute-dtype discipline as in MDM (`mdm.py:157-163`): the trunk
+        # runs in cfg.dtype (bf16 serving mode), output cast back to f32
+        cdt = cfg.dtype
+        token = token.astype(cdt)
+        x_ = x_.astype(cdt)
+        enc_text = enc_text.astype(cdt)
         tok = jnp.broadcast_to(token[:, None, :], (B, T, D))
         cat = jnp.concatenate([tok, x_, enc_text], axis=-1)
         h = nn.Dense(D, name="input_process2")(cat)
@@ -164,7 +174,8 @@ class MDMPlus(nn.Module):
             name="seqTransEncoder",
         )(seq, deterministic=not train)[:, 1:]
 
-        return OutputProcess(cfg.input_feats, njoints, nfeats, name="output_process")(out)
+        return OutputProcess(cfg.input_feats, njoints, nfeats,
+                             name="output_process")(out.astype(jnp.float32))
 
 
 def beat_mdm(**overrides) -> MDMPlus:

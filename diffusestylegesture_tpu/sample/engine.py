@@ -51,6 +51,16 @@ SAMPLE_LOOPS = {
 }
 
 
+def unnormalize_poses(seq, mean, std):
+    """Shared output epilogue: std clipped at 0.01 (ref `sample.py:320-326`),
+    then mean added. One definition for engine, multi-clip, and server."""
+    if std is not None:
+        seq = seq * np.clip(np.asarray(std).squeeze(), 0.01, None)
+    if mean is not None:
+        seq = seq + np.asarray(mean).squeeze()
+    return seq
+
+
 def crossfade_weights(n_seed: int, batch: int, crossfade_n):
     """Linear crossfade weights over the n_seed overlap frames.
 
@@ -358,11 +368,7 @@ class ZeggsSampler:
             )
         seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
         seq = seq[:, : real_windows * self.cfg.stride - self.cfg.n_seed]
-        if std is not None:
-            seq = seq * np.clip(np.asarray(std).squeeze(), 0.01, None)
-        if mean is not None:
-            seq = seq + np.asarray(mean).squeeze()
-        return seq
+        return unnormalize_poses(seq, mean, std)
 
 
 def generate_multi_clip(
@@ -408,10 +414,7 @@ def generate_multi_clip(
                           jnp.asarray(styles, jnp.float32), key, w_max,
                           noise_windows)
     seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T_max, C)
-    if std is not None:
-        seq = seq * np.clip(np.asarray(std).squeeze(), 0.01, None)
-    if mean is not None:
-        seq = seq + np.asarray(mean).squeeze()
+    seq = unnormalize_poses(seq, mean, std)
     results = []
     for i, c in enumerate(counts):
         # c == 0 (clip shorter than one stride) must yield an empty result,

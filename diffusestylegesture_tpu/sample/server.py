@@ -41,6 +41,9 @@ class ServerConfig:
     # window-count buckets (ascending); requests pad up to the nearest.
     # 5 windows = 20 s of audio under the ZEGGS geometry.
     window_buckets: Sequence[int] = (1, 2, 5, 10, 20)
+    # style-vector dimensionality; requests are validated against it at
+    # submit() so one malformed request cannot fail its co-batched peers
+    style_dim: int = 6
     # Pad every batch to max_batch with dummy requests so the engine
     # compiles ONE batch shape per bucket. Without this each distinct
     # batch size is a new XLA program — measured 60s+ recompiles per
@@ -87,6 +90,7 @@ class GestureServer:
         self.mean = mean
         self.std = std
         self.cfg = cfg
+        self._style_dim = cfg.style_dim
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -101,7 +105,18 @@ class GestureServer:
         """Enqueue one clip; returns a Future of (T, njoints) poses."""
         audio = np.asarray(audio, np.float32)
         ecfg = self.sampler.cfg
-        num = max(1, len(audio) // ecfg.samples_per_stride)
+        num = len(audio) // ecfg.samples_per_stride
+        if num == 0:
+            # match ZeggsSampler.generate: refuse instead of fabricating
+            # motion from an all-zero padded window
+            raise ValueError(
+                f"audio too short: {len(audio)} samples < one "
+                f"{ecfg.samples_per_stride}-sample window")
+        style = np.asarray(style, np.float32).reshape(-1)
+        if style.shape[0] != self._style_dim:
+            # validate HERE so a bad request cannot fail its whole batch
+            raise ValueError(
+                f"style has {style.shape[0]} dims, expected {self._style_dim}")
         bucket = self._bucket_for(num)
         if bucket is None:
             raise ValueError(
@@ -111,8 +126,8 @@ class GestureServer:
             self._key, sub = jax.random.split(self._key)
         fut: Future = Future()
         self._queue.put(
-            _Request(audio=audio, style=np.asarray(style, np.float32),
-                     key=sub, num_windows=num, future=fut)
+            _Request(audio=audio, style=style, key=sub,
+                     num_windows=num, future=fut)
         )
         return fut
 
@@ -195,8 +210,7 @@ class GestureServer:
         feats = self.sampler.wavlm_apply(self.wavlm_params, jnp.asarray(flat))
         feats = np.asarray(feats).reshape(B, bucket, ecfg.n_poses, -1)
 
-        style_dim = batch[0].style.reshape(-1).shape[0]
-        styles = np.zeros((B, style_dim), np.float32)
+        styles = np.zeros((B, self._style_dim), np.float32)
         for i, req in enumerate(batch):
             styles[i] = req.style.reshape(-1)
         from .engine import _generate_multi
@@ -209,11 +223,10 @@ class GestureServer:
             self.sampler, self.params, jnp.asarray(feats),
             jnp.asarray(styles), batch[0].key, bucket,
         )
+        from .engine import unnormalize_poses
+
         seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T_max, C)
-        if self.std is not None:
-            seq = seq * np.clip(np.asarray(self.std).squeeze(), 0.01, None)
-        if self.mean is not None:
-            seq = seq + np.asarray(self.mean).squeeze()
+        seq = unnormalize_poses(seq, self.mean, self.std)
 
         for i, req in enumerate(batch):
             T_i = req.num_windows * ecfg.stride - ecfg.n_seed

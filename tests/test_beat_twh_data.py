@@ -124,3 +124,38 @@ class TestBVHRepair:
         np.testing.assert_allclose(
             after.values[:, 4], before.values[:, 4] - 180.0, atol=1e-4
         )
+
+
+SHORT_TEXTGRID = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+0
+2.5
+<exists>
+1
+"IntervalTier"
+"words"
+0
+2.5
+3
+0
+0.5
+""
+0.5
+1.2
+"hello"
+1.2
+2.5
+"world"
+"""
+
+
+def test_short_format_textgrid(tmp_path):
+    from diffusestylegesture_tpu.data.beat_twh import textgrid_to_tsv
+
+    p = tmp_path / "short.TextGrid"
+    p.write_text(SHORT_TEXTGRID)
+    tsv = textgrid_to_tsv(str(p))
+    rows = [ln.split("\t") for ln in open(tsv).read().strip().splitlines()]
+    assert [r[2] for r in rows] == ["hello", "world"]
+    assert float(rows[0][0]) == 0.5 and float(rows[1][1]) == 2.5
