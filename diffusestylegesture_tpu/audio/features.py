@@ -198,15 +198,16 @@ def prosodic_features(y: np.ndarray, sr: int) -> np.ndarray:
 
 
 def hfc_odf(y: np.ndarray, sr: int = 16000, frame: int = 1024, hop: int = 512) -> np.ndarray:
-    """High-frequency-content onset detection function per frame."""
+    """High-frequency-content onset detection function per frame
+    (vectorized framing + batched rfft, same pattern as `stft_power`)."""
     n = max(0, 1 + (len(y) - frame) // hop)
-    win = _hann_periodic(frame)
-    out = np.zeros(n, np.float64)
-    for i in range(n):
-        fr = y[i * hop: i * hop + frame] * win
-        mag2 = np.abs(np.fft.rfft(fr)) ** 2
-        out[i] = np.sum(np.arange(len(mag2)) * mag2)
-    return out
+    if n == 0:
+        return np.zeros(0, np.float64)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    frames = np.asarray(y)[idx] * _hann_periodic(frame)[None, :]
+    spec = np.fft.rfft(frames, axis=1)
+    mag2 = spec.real**2 + spec.imag**2
+    return (mag2 * np.arange(mag2.shape[1])[None, :]).sum(axis=1)
 
 
 def detect_onsets(y: np.ndarray, sr: int = 16000, silence_threshold: float = 0.04) -> np.ndarray:
@@ -219,9 +220,11 @@ def detect_onsets(y: np.ndarray, sr: int = 16000, silence_threshold: float = 0.0
     thresh = max(silence_threshold, np.median(norm) * 1.5)
     peaks = []
     for i in range(1, len(norm) - 1):
+        # ODF frames are 32 ms apart (hop 512 @16 kHz), so any two distinct
+        # peaks already satisfy essentia's ~20 ms merge window — no extra
+        # minimum-distance filter is needed at this hop
         if norm[i] > thresh and norm[i] >= norm[i - 1] and norm[i] > norm[i + 1]:
-            if not peaks or (i - peaks[-1]) * 512 / sr > 0.02:
-                peaks.append(i)
+            peaks.append(i)
     return np.array(peaks) * 512.0 / sr
 
 

@@ -165,7 +165,10 @@ def sound_to_pitch_ac(
             f = sr / lag
             if f >= cfg.ceiling or f < cfg.floor / 2:
                 continue
-            val = min(val, 1.0)
+            if val > 1.0:
+                # praat Sound_to_Pitch.cpp: strengths above 1 (short-window
+                # artifacts) are REFLECTED around 1, not clamped
+                val = 1.0 / val
             # Boersma eq. 24: R = r - OctaveCost * log2(MinimumPitch * tau)
             strength = val - cfg.octave_cost * np.log2(cfg.floor * lag / sr)
             cand_freq[i, ncand] = f
@@ -175,6 +178,12 @@ def sound_to_pitch_ac(
                 break
 
     # --- Viterbi path (Boersma eq. 25) ---
+    # praat Pitch.cpp Pitch_pathFinder: transition costs are defined per
+    # 0.01 s and scaled by timeStepCorrection = 0.01/dx for the actual
+    # frame step (3x at our 1/300 s hop)
+    tsc = 0.01 / time_step
+    octave_jump_cost = cfg.octave_jump_cost * tsc
+    voiced_unvoiced_cost = cfg.voiced_unvoiced_cost * tsc
     ncand = cfg.max_candidates
     delta = cand_str[0].copy()
     psi = np.zeros((nf, ncand), np.int32)
@@ -192,11 +201,11 @@ def sound_to_pitch_ac(
             )
         trans = np.where(
             both_voiced,
-            cfg.octave_jump_cost * jump,
+            octave_jump_cost * jump,
             np.where(
                 prev_uv[:, None] == cur_uv[None, :],  # uv→uv
                 0.0,
-                cfg.voiced_unvoiced_cost,
+                voiced_unvoiced_cost,
             ),
         )
         scores = delta[:, None] - trans + cand_str[i][None, :]

@@ -207,6 +207,9 @@ class Seq2SeqNet(nn.Module):
         )
         outputs = [poses[:, 0]]
         dec_in = poses[:, 0]
+        # deliberate Python unroll (vs the lax.scan used in zeroeggs.py):
+        # the attention + BatchNorm (mutable state) per step make nn.scan
+        # awkward, and this baseline is vestigial — short n_frames only
         for t in range(1, self.n_frames):
             out, dec_hidden, _ = cell(dec_in, dec_hidden, enc)
             outputs.append(out)

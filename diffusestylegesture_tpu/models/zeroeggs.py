@@ -84,13 +84,17 @@ class TorchGRU(nn.Module):
 
         out = x
         h_finals = []
+        ndir = 2 if self.bidirectional else 1
         for layer in range(self.num_layers):
-            hi = jnp.zeros((B, H)) if h0 is None else h0[layer]
+            # torch h0 layout: (num_layers * num_directions, B, H) with the
+            # backward direction at 2*layer+1
+            hi = jnp.zeros((B, H)) if h0 is None else h0[ndir * layer]
             fwd_cell = TorchGRUCell(H, name=f"l{layer}_fwd")
             ys_f, hf = run(fwd_cell, out, hi)
             if self.bidirectional:
+                hi_b = jnp.zeros((B, H)) if h0 is None else h0[ndir * layer + 1]
                 bwd_cell = TorchGRUCell(H, name=f"l{layer}_bwd")
-                ys_b, hb = run(bwd_cell, out, hi, reverse=True)
+                ys_b, hb = run(bwd_cell, out, hi_b, reverse=True)
                 out = jnp.concatenate([ys_f, ys_b], axis=-1)
                 h_finals.extend([hf, hb])
             else:
@@ -293,7 +297,6 @@ class ZeroEGGSDecoder(nn.Module):
             )
             return (rp, rr, rv, rt, lp, lt, lv, lr, cell), (rp, rr, lp, lt)
 
-        T = speech_encoding.shape[1]
         xs = (
             jnp.swapaxes(speech_encoding[:, 1:], 0, 1),
             jnp.swapaxes(style_encoding[:, 1:], 0, 1),
@@ -307,7 +310,6 @@ class ZeroEGGSDecoder(nn.Module):
         rr_all = jnp.concatenate([root_rot[None], rr_seq], axis=0).swapaxes(0, 1)
         lp_all = jnp.concatenate([lpos[None], lp_seq], axis=0).swapaxes(0, 1)
         lt_all = jnp.concatenate([ltxy[None], lt_seq], axis=0).swapaxes(0, 1)
-        del T
         return rp_all, rr_all, lp_all, lt_all
 
 
@@ -376,9 +378,8 @@ def make_zeroeggs_train_step(
             params, batch, key, iteration
         )
         updates, opt_state = tx.update(grads, opt_state, params)
-        import optax as _optax
 
-        params = _optax.apply_updates(params, updates)
+        params = optax.apply_updates(params, updates)
         aux["loss"] = loss
         return params, opt_state, aux
 

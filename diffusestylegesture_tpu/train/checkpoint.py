@@ -46,9 +46,15 @@ def save_params_npz(path: str, params: Any) -> None:
     `model{step:09d}.pt` weight dumps)."""
     import numpy as np
 
+    def part(p):
+        for attr in ("key", "idx", "name"):  # Dict/Sequence/GetAttr keys
+            if hasattr(p, attr):
+                return str(getattr(p, attr))
+        return str(p).strip(".")
+
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
     for kp, v in flat:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+        key = "/".join(part(p) for p in kp)
         out[key] = np.asarray(v)
     np.savez(path, **out)
