@@ -85,7 +85,7 @@ def main(argv=None):
         cfg = AEConfig(window=args.window, feat_dim=D, latent=args.ae_latent)
         rw = rf.reshape(-1, args.window, D)
         gw = gf.reshape(-1, args.window, D)
-        params, ae_loss = train_autoencoder(rw, cfg, num_steps=args.ae_steps)
+        params, _ = train_autoencoder(rw, cfg, num_steps=args.ae_steps)
         gf = embed_windows(params, cfg, gw)
         rf = embed_windows(params, cfg, rw)
 

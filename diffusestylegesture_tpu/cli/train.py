@@ -46,8 +46,10 @@ def build_zeggs(cfg):
         fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
         jfn = jax.jit(lambda w: fn(wparams, w))
         wavlm_fn = lambda w: jfn(jnp.asarray(w))  # noqa: E731
-    except FileNotFoundError:
-        print(f"WavLM checkpoint not found at {cfg.wavlm_path}; "
+    except (FileNotFoundError, ImportError):
+        # also ImportError: the converter needs torch, which a JAX-only
+        # machine may lack — cached wavlm features make it unnecessary
+        print(f"WavLM unavailable ({cfg.wavlm_path}); "
               "expecting cached wavlm features in the dataset")
 
     data = ZeggsWindowDataset(
@@ -108,10 +110,8 @@ def main(argv=None):
 
     if cfg.dataset == "ZEGGS":
         model, mcfg, batches, builder, dataset = build_zeggs(cfg)
-        example_audio_dim = 1024
     else:
         model, mcfg, batches, builder, dataset = build_beat_twh(cfg)
-        example_audio_dim = cfg.audio_feature_dim
 
     device_cache = None
     if args.device_cache:
@@ -119,7 +119,17 @@ def main(argv=None):
             raise SystemExit("--device_cache currently supports the ZEGGS path")
         from ..data.device_cache import DeviceWindowCache
 
-        device_cache = DeviceWindowCache.from_zeggs(dataset)
+        sharding = None
+        if args.use_mesh:
+            # replicate the cache across the mesh so the in-jit batch
+            # gather runs on every device (committed-to-device-0 arrays
+            # would funnel all gathers through one chip)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import make_mesh
+
+            sharding = NamedSharding(make_mesh(), P())
+        device_cache = DeviceWindowCache.from_zeggs(dataset, sharding=sharding)
 
     sched = D.Schedule.create(
         D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
@@ -162,7 +172,6 @@ def main(argv=None):
         batch_size=cfg.batch_size if device_cache is not None else 0,
     )
     loop.run()
-    del example_audio_dim
 
 
 if __name__ == "__main__":

@@ -178,10 +178,16 @@ def cmd_train(args) -> None:
 
     def sample_batch(rng):
         batch_feats, batch_audio = [], []
+        # clips shorter than one window cannot be sampled (ragged stack)
+        usable = [i for i in range(len(feats)) if len(feats[i]) >= W + 1]
+        if not usable:
+            raise SystemExit(
+                f"no prepared clip has >= {W + 1} frames (--window {W})")
         for _ in range(B):
-            ci = rng.integers(len(feats))
+            ci = usable[rng.integers(len(usable))]
             T = len(feats[ci])
-            s = rng.integers(0, max(1, T - W - 1))
+            # inclusive high: the last valid start T - W - 1 must be drawable
+            s = rng.integers(0, T - W)
             batch_feats.append(feats[ci][s : s + W + 1])
             batch_audio.append(audio[ci][s + 1 : s + W + 1])
         f = np.stack(batch_feats)  # (B, W+1, 1141): frame 0 = initial state
@@ -193,7 +199,10 @@ def cmd_train(args) -> None:
             initial_state=tuple(jnp.asarray(x) for x in init),
             gaze=jnp.asarray(_sl(tgt, "gaze_dir")),
             audio_features=jnp.asarray(a),
-            style_example=jnp.asarray(anim_in),
+            # reference normalizes the style example before the encoder
+            # (`train.py:224`); generation normalizes identically (below)
+            style_example=(jnp.asarray(anim_in) - stats["anim_input_mean"])
+            / stats["anim_input_std"],
             target_root_pos=jnp.asarray(_sl(tgt, "root_pos")),
             target_root_rot=jnp.asarray(_sl(tgt, "root_rot")),
             target_lpos=jnp.asarray(_sl(tgt, "lpos").reshape(B, W, J, 3)),

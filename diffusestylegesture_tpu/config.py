@@ -57,6 +57,9 @@ def apply_beat_twh_derivations(cfg: Config) -> Config:
         elif "v2" in version:
             cfg.motion_dim = 1141
             cfg.njoints = 1141
+        else:
+            raise NotImplementedError(
+                f"BEAT version {version!r} (supported: v0*, v2*)")
     elif cfg.dataset == "TWH":
         cfg.motion_dim = 744
         cfg.njoints = 2232

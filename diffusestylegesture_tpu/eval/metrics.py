@@ -38,7 +38,16 @@ def activation_statistics(feats: np.ndarray):
 
 
 def frechet_distance(feats1: np.ndarray, feats2: np.ndarray, eps: float = 1e-6) -> float:
-    """Fréchet distance between Gaussians fit to two feature sets."""
+    """Fréchet distance between Gaussians fit to two feature sets.
+
+    Guarded against runaway dimensionality: raw-mode callers flattening
+    whole windows (window·D can reach ~45k dims for 1141-d gesture clips)
+    would allocate two ~16 GB covariance matrices and an O(n³) sqrtm —
+    use the autoencoder embedding (`eval/embedding.py`) instead."""
+    if feats1.shape[1] > 8192:
+        raise ValueError(
+            f"feature dim {feats1.shape[1]} too large for covariance-based "
+            "FGD; embed first (cli.eval --embedding autoencoder)")
     mu1, sigma1 = activation_statistics(feats1)
     mu2, sigma2 = activation_statistics(feats2)
     diff = mu1 - mu2
@@ -83,13 +92,11 @@ def beat_alignment(
     if len(onset_times) == 0 or len(motion) < 3:
         return float("nan")
     vel = np.linalg.norm(np.diff(motion, axis=0), axis=1)
-    acc = np.diff(vel)
     # kinematic beats = local minima of velocity (direction changes)
     beats = [i for i in range(1, len(vel) - 1) if vel[i] < vel[i - 1] and vel[i] <= vel[i + 1]]
     if not beats:
         return float("nan")
     beat_times = np.array(beats) / fps
-    del acc
     scores = [
         np.exp(-((np.min(np.abs(beat_times - t))) ** 2) / (2 * sigma**2))
         for t in onset_times

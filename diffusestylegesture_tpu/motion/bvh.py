@@ -89,8 +89,16 @@ def load(filename: str, order: Optional[str] = None) -> Dict:
     rotations = np.zeros((T, J, 3), np.float32)
     if T:
         if channels == 3:
-            positions[:, 0] = data[:, 0:3]
-            rotations[:] = data[:, 3:].reshape(T, J, 3)
+            if data.shape[1] == 3 * J + 3:
+                # root carries 6 channels (position + rotation)
+                positions[:, 0] = data[:, 0:3]
+                rotations[:] = data[:, 3:].reshape(T, J, 3)
+            elif data.shape[1] == 3 * J:
+                # rotation-only file (every joint incl. root CHANNELS 3)
+                rotations[:] = data.reshape(T, J, 3)
+            else:
+                raise ValueError(
+                    f"frame width {data.shape[1]} does not match {J} joints")
         elif channels == 6:
             blk = data.reshape(T, J, 6)
             positions[:] = blk[..., 0:3]

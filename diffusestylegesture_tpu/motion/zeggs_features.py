@@ -70,6 +70,8 @@ def style_onehot(name_token: str) -> Optional[np.ndarray]:
 
 def _edge_extrapolate(v: np.ndarray) -> np.ndarray:
     """Reference's frame-0 velocity fill: v[0] = v[1] - (v[3] - v[2])."""
+    if len(v) < 4:  # degenerate clip: no 4-frame stencil, keep v[0] as-is
+        return v
     v[0] = v[1] - (v[3] - v[2])
     return v
 
@@ -85,6 +87,12 @@ def featurize_animation(anim: Dict, fps: int = 20) -> Dict[str, np.ndarray]:
     nframes = len(rotations)
     src_fps = round(1.0 / anim["frametime"])
     if fps != src_fps:
+        if src_fps % fps or src_fps < fps:
+            # the reference decimates by integer stride only
+            # (`process_zeggs_bvh.py:100-104`); a non-divisor target would
+            # silently keep the wrong rate while scaling velocities by dt
+            raise ValueError(
+                f"target fps {fps} must integer-divide source fps {src_fps}")
         rate = src_fps // fps
         rotations = rotations[0:nframes:rate]
         positions = positions[0:nframes:rate]
