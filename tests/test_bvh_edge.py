@@ -1,0 +1,73 @@
+"""Edge-case guards in BVH loading and ZEGGS featurization."""
+import numpy as np
+import pytest
+
+from diffusestylegesture_tpu.motion import bvh
+from diffusestylegesture_tpu.motion import zeggs_features as zf
+
+
+def _write_rotation_only_bvh(path, T=4):
+    """Every joint (incl. root) declares CHANNELS 3 — no root position."""
+    txt = """HIERARCHY
+ROOT A
+{
+\tOFFSET 0.0 1.0 0.0
+\tCHANNELS 3 Zrotation Xrotation Yrotation
+\tJOINT B
+\t{
+\t\tOFFSET 0.0 2.0 0.0
+\t\tCHANNELS 3 Zrotation Xrotation Yrotation
+\t\tEnd Site
+\t\t{
+\t\t\tOFFSET 0.0 1.0 0.0
+\t\t}
+\t}
+}
+MOTION
+Frames: %d
+Frame Time: 0.05
+""" % T
+    rows = "\n".join(" ".join(f"{v:.4f}" for v in np.arange(6) + t) for t in range(T))
+    open(path, "w").write(txt + rows + "\n")
+
+
+class TestRotationOnlyBvh:
+    def test_loads_with_offset_positions(self, tmp_path):
+        p = str(tmp_path / "rotonly.bvh")
+        _write_rotation_only_bvh(p)
+        anim = bvh.load(p)
+        assert anim["rotations"].shape == (4, 2, 3)
+        # root position falls back to its offset
+        np.testing.assert_allclose(
+            anim["positions"][:, 0], np.tile([0.0, 1.0, 0.0], (4, 1)))
+        np.testing.assert_allclose(anim["rotations"][0, 0], [0.0, 1.0, 2.0])
+
+
+class TestFeaturizeGuards:
+    def _anim(self, T=12, fps=60):
+        rng = np.random.default_rng(0)
+        J = zf.ZEGGS_NJOINTS
+        a = {
+            "rotations": rng.uniform(-20, 20, (T, J, 3)).astype(np.float32),
+            "positions": np.broadcast_to(
+                rng.uniform(-5, 5, (J, 3)).astype(np.float32), (T, J, 3)).copy(),
+            "offsets": rng.uniform(-5, 5, (J, 3)).astype(np.float32),
+            "parents": zf.ZEGGS_PARENTS,
+            "names": list(zf.ZEGGS_BONE_NAMES),
+            "order": "zyx",
+            "frametime": 1.0 / fps,
+        }
+        a["positions"][:, 0, 1] = 100
+        return a
+
+    def test_non_divisor_fps_raises(self):
+        with pytest.raises(ValueError, match="integer-divide"):
+            zf.featurize_animation(self._anim(fps=30), fps=20)
+
+    def test_upsampling_raises(self):
+        with pytest.raises(ValueError, match="integer-divide"):
+            zf.featurize_animation(self._anim(fps=20), fps=60)
+
+    def test_divisor_fps_ok(self):
+        out = zf.featurize_animation(self._anim(T=12, fps=60), fps=20)
+        assert out["features"].shape[0] == 4  # 12 frames / rate 3
