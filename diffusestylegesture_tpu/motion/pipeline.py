@@ -166,6 +166,7 @@ def write_bvh_channels(data: ChannelData, path: str) -> None:
             children.setdefault(p, []).append(n)
 
     lines: List[str] = ["HIERARCHY"]
+    ordered_cols: List[str] = []  # hierarchy-traversal channel order
 
     def emit(name: str, depth: int, tag: str):
         t = "\t" * depth
@@ -183,26 +184,46 @@ def write_bvh_channels(data: ChannelData, path: str) -> None:
         ch = data.channels.get(name, [])
         if ch:
             lines.append(f"{t}\tCHANNELS {len(ch)} " + " ".join(ch))
+            ordered_cols.extend(f"{name}_{c}" for c in ch)
         for c in children.get(name, []):
             emit(c, depth + 1, "JOINT")
         lines.append(f"{t}}}")
 
     emit(data.root_name, 0, "ROOT")
+    # values are looked up BY COLUMN NAME in hierarchy order (pymo
+    # `BVHWriter` semantics, `writers.py:58-63`) — transforms whose
+    # inverse appends restored columns at the end must still write a
+    # correctly ordered motion block
+    idx = data.column_index()
+    missing = [c for c in ordered_cols if c not in idx]
+    if missing:
+        raise ValueError(f"columns missing for BVH write: {missing[:5]}")
+    perm = [idx[c] for c in ordered_cols]
+    vals = data.values[:, perm]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
         f.write("MOTION\n")
         f.write(f"Frames: {len(data.values)}\n")
         f.write(f"Frame Time: {data.framerate:.8f}\n")
-        for row in data.values:
+        for row in vals:
             f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
 
 
 class JointSelector:
-    """pymo `JointSelector` parity (`preprocessing.py:328-384`)."""
+    """pymo `JointSelector` parity (`preprocessing.py:328-384`).
 
-    def __init__(self, joints: Sequence[str], include_root: bool = False):
+    `exact` selects the pymo_TWH matching rule
+    (`pymo_TWH/preprocessing.py:345`: `joint + "_" + channel == column`)
+    instead of BEAT-pymo's substring rule — TWH bone names collide
+    (`b_l_arm` is a prefix of `b_l_arm_twist`), so substring matching
+    would select every twist channel twice (816-d instead of 744-d).
+    """
+
+    def __init__(self, joints: Sequence[str], include_root: bool = False,
+                 exact: bool = False):
         self.joints = list(joints)
         self.include_root = include_root
+        self.exact = exact
 
     def fit(self, data: ChannelData) -> "JointSelector":
         selected_joints = ([data.root_name] if self.include_root else []) + self.joints
@@ -220,9 +241,15 @@ class JointSelector:
         selected_joints = sj
         selected_channels: List[str] = []
         for j in selected_joints:
-            selected_channels.extend(
-                [c for c in data.columns if (j + "_") in c and "Nub" not in c]
-            )
+            if self.exact:
+                selected_channels.extend(
+                    [c for c in data.columns
+                     if j + "_" + c.split("_")[-1] == c and "Nub" not in c]
+                )
+            else:
+                selected_channels.extend(
+                    [c for c in data.columns if (j + "_") in c and "Nub" not in c]
+                )
         self.selected_joints = selected_joints
         self.selected_channels = selected_channels
         not_selected = [c for c in data.columns if c not in set(selected_channels)]
@@ -232,7 +259,10 @@ class JointSelector:
             c: float(data.values[0, idx[c]]) if len(data.values) else 0.0
             for c in not_selected
         }
+        # inverse needs only structure + the not-selected constants, not
+        # the whole (T, C) value block — keep a zero-row clone
         self.orig = data.clone()
+        self.orig.values = self.orig.values[:0]
         return self
 
     def transform(self, data: ChannelData) -> ChannelData:
@@ -262,7 +292,14 @@ class JointSelector:
 
 
 class DownSampler:
-    """pymo `DownSampler` parity incl. the `[0:-1:rate]` last-frame drop."""
+    """pymo `DownSampler` parity incl. the `[0:-1:rate]` last-frame drop.
+
+    The live BEAT pipeline uses `keep_all=False` (`process_BEAT_bvh.py:60`)
+    — one track. pymo's `keep_all=True` (its default) emits `rate`
+    phase-shifted tracks for augmentation; that multi-track shape does not
+    fit the single-track pipeline composition here, so use
+    `transform_all()` for it — `transform()` refuses rather than silently
+    dropping the other phases."""
 
     def __init__(self, tgt_fps: int, keep_all: bool = False):
         self.tgt_fps = tgt_fps
@@ -271,7 +308,23 @@ class DownSampler:
     def fit(self, data: ChannelData) -> "DownSampler":
         return self
 
+    def transform_all(self, data: ChannelData) -> List[ChannelData]:
+        """All `rate` phase-shifted tracks (pymo keep_all=True semantics)."""
+        orig_fps = round(1.0 / data.framerate)
+        rate = orig_fps // self.tgt_fps
+        out = []
+        for ii in range(rate):
+            t = data.clone()
+            t.values = data.values[ii:-1:rate].copy()
+            t.framerate = 1.0 / self.tgt_fps
+            out.append(t)
+        return out
+
     def transform(self, data: ChannelData) -> ChannelData:
+        if self.keep_all:
+            raise ValueError(
+                "keep_all=True yields multiple phase-shifted tracks; "
+                "call transform_all()")
         orig_fps = round(1.0 / data.framerate)
         rate = orig_fps // self.tgt_fps
         out = data.clone()
@@ -455,7 +508,7 @@ def beat_features_to_bvh(
 
 def twh_pipeline() -> MotionPipeline:
     return MotionPipeline(
-        [JointSelector(TWH_BONE_NAMES, include_root=False), Numpyfier()]
+        [JointSelector(TWH_BONE_NAMES, include_root=False, exact=True), Numpyfier()]
     )
 
 
@@ -779,7 +832,7 @@ def twh_expmap_pipeline() -> MotionPipeline:
     → Numpyfier."""
     return MotionPipeline(
         [
-            JointSelector(TWH_BONE_NAMES, include_root=True),
+            JointSelector(TWH_BONE_NAMES, include_root=True, exact=True),
             MocapParameterizer("expmap"),
             ConstantsRemoverWithRoot(),
             Numpyfier(),
@@ -865,8 +918,8 @@ class RootTransformer:
         velocity columns (pymo:535-636).
     Inverse restores absolute positions by cumulative summation from a
     configurable start position (pymo's inverse with start_pos=0; like
-    pymo, only the abdolute_translation_deltas and hip_centric methods
-    invert — pos_rot_deltas passes through).
+    pymo, ONLY abdolute_translation_deltas inverts — hip_centric and
+    pos_rot_deltas pass through).
     """
 
     def __init__(self, method: str, position_smoothing: float = 0,
@@ -878,14 +931,6 @@ class RootTransformer:
         self.rotation_smoothing = rotation_smoothing
 
     def fit(self, data: ChannelData) -> "RootTransformer":
-        if self.method == "hip_centric":
-            idx = data.column_index()
-            root = data.root_name
-            self._saved = {
-                c: data.values[:, idx[c]].copy()
-                for c in data.columns
-                if c.startswith(root + "_")
-            }
         return self
 
     def transform(self, data: ChannelData) -> ChannelData:
@@ -990,15 +1035,11 @@ class RootTransformer:
         out = data.clone()
         root = data.root_name
         idx = data.column_index()
-        if self.method == "hip_centric":
-            for c, v in self._saved.items():
-                if c in idx:
-                    T = min(len(v), len(out.values))
-                    out.values[:T, idx[c]] = v[:T]
-            return out
-        if self.method == "pos_rot_deltas":
+        if self.method in ("hip_centric", "pos_rot_deltas"):
             # pymo's inverse only handles abdolute_translation_deltas
-            # (preprocessing.py:666-716); other methods pass through
+            # (preprocessing.py:666-716); other methods PASS THROUGH —
+            # restoring fit-time root values here would paste the training
+            # clip's trajectory onto generated motion
             return out
         dxc, dzc = f"{root}_dXposition", f"{root}_dZposition"
         dx = data.values[:, idx[dxc]]

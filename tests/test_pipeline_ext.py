@@ -221,3 +221,63 @@ class TestRootTransformer:
             np.testing.assert_allclose(
                 back.values[:, i_b[c]], data.values[:, i_o[c]], atol=1e-6, err_msg=c
             )
+
+
+class TestJointSelectorExact:
+    def test_twist_collisions_not_duplicated(self, tmp_path):
+        """TWH bone names collide by prefix (b_l_arm / b_l_arm_twist);
+        the exact matcher must select each channel once. Substring mode
+        (BEAT parity) would duplicate the twist channels."""
+        joints = ["b_l_arm", "b_l_arm_twist", "b_l_wrist", "b_l_wrist_twist"]
+        parents = {"b_l_arm": None, "b_l_arm_twist": "b_l_arm",
+                   "b_l_wrist": "b_l_arm_twist", "b_l_wrist_twist": "b_l_wrist"}
+        channels = {"b_l_arm": ["Xposition", "Yposition", "Zposition",
+                                "Zrotation", "Xrotation", "Yrotation"]}
+        for j in joints[1:]:
+            channels[j] = ["Zrotation", "Xrotation", "Yrotation"]
+        cols = [f"{j}_{c}" for j in joints for c in channels[j]]
+        rng = np.random.default_rng(0)
+        data = P.ChannelData(joints, parents, {j: np.zeros(3) for j in joints},
+                             channels, cols,
+                             rng.standard_normal((5, len(cols))), 1/30, "b_l_arm")
+        sel = P.JointSelector(joints, exact=True).fit(data)
+        assert len(sel.selected_channels) == len(cols)
+        assert len(set(sel.selected_channels)) == len(cols)
+        out = sel.transform(data)
+        assert out.values.shape[1] == len(cols)
+        # substring mode duplicates (documents WHY exact exists for TWH)
+        sub = P.JointSelector(joints, exact=False).fit(data)
+        assert len(sub.selected_channels) > len(cols)
+
+    @requires_reference
+    def test_matches_pymo_twh_exact_rule(self, tmp_path):
+        _stub_pymo_deps()
+        import sys
+        sys.path.insert(0, f"{REFERENCE_ROOT}/BEAT-TWH-main/process")
+        from pymo_TWH.parsers import BVHParser  # type: ignore
+        from pymo_TWH.preprocessing import JointSelector  # type: ignore
+
+        # synthetic BVH with colliding names
+        path = str(tmp_path / "tw.bvh")
+        joints = ["b_root", "b_l_arm", "b_l_arm_twist"]
+        parents = {"b_root": None, "b_l_arm": "b_root",
+                   "b_l_arm_twist": "b_l_arm", "b_l_arm_twist_Nub": "b_l_arm_twist"}
+        channels = {"b_root": ["Xposition", "Yposition", "Zposition",
+                               "Zrotation", "Xrotation", "Yrotation"],
+                    "b_l_arm": ["Zrotation", "Xrotation", "Yrotation"],
+                    "b_l_arm_twist": ["Zrotation", "Xrotation", "Yrotation"],
+                    "b_l_arm_twist_Nub": []}
+        cols = [f"{j}_{c}" for j in joints for c in channels[j]]
+        rng = np.random.default_rng(1)
+        data = P.ChannelData(
+            joints + ["b_l_arm_twist_Nub"], parents,
+            {j: rng.uniform(-2, 2, 3).astype(np.float32)
+             for j in joints + ["b_l_arm_twist_Nub"]},
+            channels, cols, rng.uniform(-30, 30, (7, len(cols))), 1/30, "b_root")
+        P.write_bvh_channels(data, path)
+
+        theirs = JointSelector(["b_l_arm", "b_l_arm_twist"]).fit(
+            [BVHParser().parse(path)])
+        ours = P.JointSelector(["b_l_arm", "b_l_arm_twist"], exact=True).fit(
+            P.parse_bvh(path))
+        assert list(theirs.selected_channels) == ours.selected_channels
