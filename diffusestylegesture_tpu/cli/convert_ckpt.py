@@ -24,9 +24,19 @@ def main(argv=None):
     from ..models import convert
 
     if args.kind == "wavlm":
+        import dataclasses
+        import json
+
         from ..models.wavlm import load_wavlm_checkpoint
 
         cfg, params = load_wavlm_checkpoint(args.src)
+        # persist the architecture next to the params — without it the
+        # orbax dir cannot be restored (defaults describe WavLM-Base, not
+        # whatever this checkpoint is)
+        os.makedirs(os.path.abspath(args.dst) + ".meta", exist_ok=True)
+        with open(os.path.join(os.path.abspath(args.dst) + ".meta",
+                               "wavlm_config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=1, default=str)
         print("WavLM config:", cfg)
     else:
         sd = convert.load_torch_checkpoint(args.src)

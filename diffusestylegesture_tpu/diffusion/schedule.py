@@ -96,10 +96,13 @@ class Schedule:
         alphas_cumprod_next = np.append(alphas_cumprod[1:], 0.0)
 
         posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        # single-step schedules have no posterior_variance[1] (the
+        # reference guards with `if len(...) > 1`): fall back to beta_0
+        pv1 = posterior_variance[1] if len(posterior_variance) > 1 else betas[0]
         posterior_log_variance_clipped = np.log(
-            np.append(posterior_variance[1], posterior_variance[1:])
+            np.append(pv1, posterior_variance[1:])
         )
-        fixed_large_variance = np.append(posterior_variance[1], betas[1:])
+        fixed_large_variance = np.append(pv1, betas[1:])
 
         if timestep_map is None:
             timestep_map = np.arange(T)

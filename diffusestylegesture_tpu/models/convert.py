@@ -101,10 +101,14 @@ def convert_mdm_beat_twh(sd: Mapping[str, Any], num_layers: int = 8) -> Dict[str
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Load a .pt state_dict without CUDA, returning numpy arrays."""
+    """Load a .pt state_dict without CUDA, returning numpy arrays.
+
+    `weights_only=True`: these checkpoints are plain tensor dicts, so the
+    restricted unpickler suffices — a malicious .pt cannot execute code.
+    (The WavLM loader relaxes this separately for its embedded cfg dict.)"""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model_state_dict" in sd:
         sd = sd["model_state_dict"]
     return {k: _np(v) for k, v in sd.items()}
@@ -200,7 +204,8 @@ def convert_zeroeggs_style_encoder_attn(sd: Mapping[str, Any]) -> Dict[str, Any]
 
 def convert_local_transformer(sd: Mapping[str, Any], depth: int) -> Dict[str, Any]:
     """lucidrains `LocalTransformer` (`main/model/local_attention/transformer.py:98-131`)
-    → `models/local_transformer.LocalTransformer` params.
+    → `models/local_transformer.LocalTransformer` params (bare tree, wrap in
+    {"params": ...} for apply — same convention as every other converter).
 
     Layer i is `layers.{i}.0` (LocalMHA: norm, to_qkv, to_out — all biasless
     except the LayerNorm) and `layers.{i}.1` (Sequential LayerNorm/Dense/
@@ -222,4 +227,4 @@ def convert_local_transformer(sd: Mapping[str, Any], depth: int) -> Dict[str, An
             "linear1": {"kernel": _np(sd[f"layers.{i}.1.1.weight"]).T},
             "linear2": {"kernel": _np(sd[f"layers.{i}.1.4.weight"]).T},
         }
-    return {"params": params}
+    return params

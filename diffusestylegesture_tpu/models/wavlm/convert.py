@@ -14,18 +14,9 @@ import numpy as np
 from .model import WavLMConfig
 
 
-def _np(x) -> np.ndarray:
-    if hasattr(x, "detach"):
-        x = x.detach().cpu().numpy()
-    return np.asarray(x)
-
-
-def _dense(sd, prefix):
-    return {"kernel": _np(sd[f"{prefix}.weight"]).T, "bias": _np(sd[f"{prefix}.bias"])}
-
-
-def _ln(sd, prefix):
-    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+# shared torch→flax primitives live in models/convert.py; only the
+# optional-bias conv variant is WavLM-specific
+from ..convert import _dense, _layernorm as _ln, _np  # noqa: E402
 
 
 def _conv1d(sd, prefix, has_bias=False):

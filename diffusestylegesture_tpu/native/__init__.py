@@ -41,10 +41,18 @@ def _load() -> Optional[ctypes.CDLL]:
     with _LOCK:
         if _LIB is not None or _FAILED:
             return _LIB
-        if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(
-            os.path.join(_HERE, "bvh_fast.cpp")
-        ):
-            if not _build():
+        src = os.path.join(_HERE, "bvh_fast.cpp")
+        have_so = os.path.exists(_SO_PATH)
+        # rebuild when the source is newer; a missing source (deploys that
+        # ship only the .so) just uses the prebuilt library
+        stale = (
+            have_so and os.path.exists(src)
+            and os.path.getmtime(_SO_PATH) < os.path.getmtime(src)
+        )
+        if not have_so or stale:
+            if not _build() and not have_so:
+                # no library at all → Python fallback; a stale-but-working
+                # .so is still better than the 10-40x slower Python path
                 _FAILED = True
                 return None
         lib = ctypes.CDLL(_SO_PATH)

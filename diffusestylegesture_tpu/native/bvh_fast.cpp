@@ -92,6 +92,7 @@ ParseResult* parse_file(const char* path) {
       res->joints.push_back(j);
       current = static_cast<int>(res->joints.size()) - 1;
     } else if (starts_with(l, "End Site")) {
+      if (current < 0) { res->error = "malformed hierarchy"; return res; }
       end_site = true;
       Joint j;
       j.name = res->joints[current].name + "_Nub";
@@ -102,21 +103,27 @@ ParseResult* parse_file(const char* path) {
       stack.push_back(end_site ? static_cast<int>(res->joints.size()) - 1
                                : current);
     } else if (*l == '}') {
+      if (stack.empty()) { res->error = "malformed hierarchy"; return res; }
       int popped = stack.back();
+      if (popped < 0) { res->error = "malformed hierarchy"; return res; }
       stack.pop_back();
       const std::string& nm = res->joints[popped].name;
       if (nm.size() >= 4 && nm.compare(nm.size() - 4, 4, "_Nub") == 0)
         end_site = false;
       current = stack.empty() ? -1 : stack.back();
     } else if (starts_with(l, "OFFSET")) {
+      if (stack.empty()) { res->error = "malformed hierarchy"; return res; }
       char* q = const_cast<char*>(l + 6);
       int tgt = stack.back();
+      if (tgt < 0) { res->error = "malformed hierarchy"; return res; }
       for (int i = 0; i < 3; ++i)
         res->joints[tgt].offset[i] = std::strtof(q, &q);
     } else if (starts_with(l, "CHANNELS")) {
+      if (stack.empty()) { res->error = "malformed hierarchy"; return res; }
       char* q = const_cast<char*>(l + 8);
       long n = std::strtol(q, &q, 10);
       int tgt = stack.back();
+      if (tgt < 0) { res->error = "malformed hierarchy"; return res; }
       for (long i = 0; i < n; ++i) {
         q = const_cast<char*>(skip_ws(q));
         const char* ws = q;
@@ -171,8 +178,14 @@ ParseResult* parse_file(const char* path) {
     }
     if (digits == 0 || digits > 15) {
       // empty, or mantissa may exceed 2^53 (exactness no longer a single
-      // correctly-rounded division) → strtod
-      return std::strtod(q0, next_out);
+      // correctly-rounded division) → strtod. If strtod also cannot parse
+      // (endptr == q0), report NO progress — otherwise the caller would
+      // record a spurious 0.0 and silently accept a corrupt line.
+      char* e2 = nullptr;
+      double dv = std::strtod(q0, &e2);
+      if (e2 == q0) { *next_out = start; return 0.0; }
+      *next_out = e2;
+      return dv;
     }
     double v = (double)mant;
     if (*s == 'e' || *s == 'E') {
@@ -210,8 +223,10 @@ ParseResult* parse_file(const char* path) {
     if (cnt == C && C > 0) {
       ++T;
     } else if (cnt != 0) {
-      // ragged line: drop it (mirrors the python parsers' tolerance)
-      res->frames.resize(res->frames.size() - cnt);
+      // ragged/corrupt motion line: error out so the caller can fall back
+      // to the Python parser, which raises on such input too
+      res->error = "ragged motion line";
+      return res;
     }
     p = line_end + 1;
   }

@@ -22,7 +22,7 @@ _PROFILE_COUNTS: Dict[str, int] = defaultdict(int)
 @contextlib.contextmanager
 def profile_kv(scopename: str, device_annotation: bool = True):
     """Wall-time scope accounting (+ device trace annotation under capture)."""
-    t0 = time.time()
+    t0 = time.perf_counter()
     ctx = (
         jax.profiler.TraceAnnotation(scopename)
         if device_annotation
@@ -32,7 +32,7 @@ def profile_kv(scopename: str, device_annotation: bool = True):
         with ctx:
             yield
     finally:
-        _PROFILE_SUMS[scopename] += time.time() - t0
+        _PROFILE_SUMS[scopename] += time.perf_counter() - t0
         _PROFILE_COUNTS[scopename] += 1
 
 

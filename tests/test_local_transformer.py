@@ -79,7 +79,7 @@ class TestRefParity:
         import torch
 
         ref = _repair(_build_ref())
-        params = convert.convert_local_transformer(ref.state_dict(), DEPTH)
+        params = {"params": convert.convert_local_transformer(ref.state_dict(), DEPTH)}
         rng = np.random.default_rng(0)
         # divisible length (the vendored attention autopads only upstream)
         tokens = rng.integers(0, VOCAB, (2, 33))
@@ -92,7 +92,7 @@ class TestRefParity:
         import torch
 
         ref = _repair(_build_ref())
-        params = convert.convert_local_transformer(ref.state_dict(), DEPTH)
+        params = {"params": convert.convert_local_transformer(ref.state_dict(), DEPTH)}
         rng = np.random.default_rng(1)
         tokens = rng.integers(0, VOCAB, (2, 34))
         # only the final position lands exclusively in the shifted labels,

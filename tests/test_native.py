@@ -135,3 +135,35 @@ class TestNativeParser:
         out_py = P.parse_bvh(path)
         assert len(calls) == 1  # not called again
         np.testing.assert_allclose(out.values, out_py.values, atol=1e-4)
+
+
+def test_malformed_input_no_crash(tmp_path):
+    """Garbage input must error cleanly (native guards → Python fallback →
+    Python error), never segfault the process."""
+    import pytest
+
+    from diffusestylegesture_tpu.motion import pipeline as P
+
+    bad = tmp_path / "not_a_bvh.json"
+    bad.write_text('{"a": 1}\n}\nEnd Site\nOFFSET 1 2 3\n')
+    with pytest.raises(Exception):
+        P.parse_bvh(str(bad))
+
+
+def test_corrupt_motion_line_not_silently_zeroed(tmp_path):
+    """A non-numeric token inside the motion block must not be parsed as
+    an extra 0.0 (native) — both parsers should reject the file."""
+    import pytest
+
+    from diffusestylegesture_tpu.motion import pipeline as P
+
+    p = tmp_path / "c.bvh"
+    p.write_text(
+        "HIERARCHY\nROOT A\n{\n\tOFFSET 0 0 0\n"
+        "\tCHANNELS 3 Zrotation Xrotation Yrotation\n"
+        "\tEnd Site\n\t{\n\t\tOFFSET 0 1 0\n\t}\n}\n"
+        "MOTION\nFrames: 2\nFrame Time: 0.05\n"
+        "1.0 2.0 3.0\n0.1 0.2 x\n"
+    )
+    with pytest.raises(Exception):
+        P.parse_bvh(str(p))
