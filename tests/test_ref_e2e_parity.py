@@ -383,3 +383,50 @@ def test_zeggs_end_to_end_parity_plms(tmp_path):
     scale = np.abs(ref_poses).mean()
     err = np.abs(ref_poses - ours).max()
     assert err < 2e-3 * max(scale, 1.0), f"plms max abs err {err} (scale {scale})"
+
+
+@requires_reference
+def test_streaming_equals_batch_with_converted_weights():
+    """`ZeggsStreamSampler` vs `ZeggsSampler.generate` with a REAL
+    converted-weight MDM + WavLM pair (streaming elsewhere is equality-
+    tested with toy models only). CPU: exact program semantics."""
+    from diffusestylegesture_tpu.sample.streaming import ZeggsStreamSampler
+
+    _, ref_mdm, ref_wavlm, jcfg = _build_reference_models()
+    params = {"params": convert.convert_mdm_zeggs(
+        ref_mdm.state_dict(), num_layers=MDM_KW["num_layers"])}
+    wavlm_sd = {k: v.detach().numpy() for k, v in ref_wavlm.state_dict().items()}
+    wavlm_params = {"params": convert_wavlm(wavlm_sd, jcfg)}
+    model = MDM(MDMConfig(njoints=NJOINTS, window_size=11, **MDM_KW))
+
+    def model_apply(p, xx, tt, cc, uncond=None):
+        return model.apply(p, xx, tt, cc, uncond=uncond)
+
+    sched = D.spaced_schedule(
+        D.named_beta_schedule("cosine", BASE_STEPS),
+        D.space_timesteps(BASE_STEPS, DDIM_SECTIONS),
+    )
+    cfg = ZeggsEngineConfig(njoints=NJOINTS, sampler="ddim")
+    sampler = ZeggsSampler(
+        model_apply, make_zeggs_wavlm_fn(WavLM(jcfg), N_POSES), sched, cfg)
+
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(cfg.samples_per_stride * 2).astype(np.float32) * 0.05
+    style = zf.style_onehot("Happy")
+    mean = rng.standard_normal(NJOINTS).astype(np.float32)
+    std = (0.5 + rng.random(NJOINTS)).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+
+    batch_out = sampler.generate(
+        params, wavlm_params, audio, style[None], key, mean=mean, std=std)
+
+    stream = ZeggsStreamSampler(sampler, params, wavlm_params, style[None],
+                                key, mean=mean, std=std)
+    chunks = []
+    for piece in np.array_split(audio, 5):
+        chunks += stream.push(piece)
+    streamed = np.concatenate(chunks, axis=1)
+    assert streamed.shape == batch_out.shape
+    scale = np.abs(batch_out).mean()
+    err = np.abs(streamed - batch_out).max()
+    assert err < 1e-3 * max(scale, 1.0), f"stream-vs-batch max err {err}"
