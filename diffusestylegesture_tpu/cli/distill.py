@@ -116,23 +116,29 @@ def main(argv=None):
         nt = sched_teacher.num_timesteps
         print(f"stage {stage}: {nt} → {nt // 2} steps")
 
-        def teacher_fn(x, t, cond, _tp=teacher_params):
-            return model.apply(_tp, x, t, cond)
-
         def student_apply(pp, x, t, cond):
             return model.apply(pp, x, t, cond)
 
-        init_fn, step_fn = make_distill_step(
-            teacher_fn, student_apply, sched_teacher, lr=args.lr,
-            conditioned=True,
-        )
-        step_fn = jax.jit(step_fn)
+        def _make(tp):
+            return make_distill_step(
+                lambda x, t, cond: model.apply(tp, x, t, cond),
+                student_apply, sched_teacher, lr=args.lr, conditioned=True,
+            )
+
+        init_fn, _ = _make(teacher_params)
+
+        # teacher params enter the jit as an ARGUMENT — closing over them
+        # would bake the whole weight pytree into the executable as
+        # constants (compile bloat + a full recompile every stage)
+        @jax.jit
+        def step_fn(tp, params, opt_state, x0, key, cond):
+            return _make(tp)[1](params, opt_state, x0, key, cond)
         opt = init_fn(student_params)
         params = student_params
         for i in range(args.steps_per_stage):
             x0, cond, _mask = sample_batch()
             key, sub = jax.random.split(key)
-            params, opt, m = step_fn(params, opt, x0, sub, cond)
+            params, opt, m = step_fn(teacher_params, params, opt, x0, sub, cond)
             if i % max(1, args.steps_per_stage // 10) == 0:
                 print(f"  step {i}: loss {float(m['loss']):.5f}")
 

@@ -364,11 +364,12 @@ class A2MEvaluation:
 
     @staticmethod
     def init_variables(rng, in_channels: int, num_classes: int,
-                       layout: str = "smpl", num_nodes: int | None = None):
+                       layout: str = "smpl"):
+        # node count always comes from the graph layout — any other value
+        # would crash STGCN's data_bn reshape
         graph = Graph(layout=layout, strategy="spatial")
-        v = num_nodes or graph.num_node
         model = STGCN(in_channels, num_classes, graph)
-        return model.init(rng, jnp.zeros((1, v, in_channels, 8)))
+        return model.init(rng, jnp.zeros((1, graph.num_node, in_channels, 8)))
 
     def compute_features(self, loader: Iterable[dict]):
         feats, logits, labels = [], [], []

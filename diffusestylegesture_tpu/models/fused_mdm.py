@@ -36,19 +36,11 @@ def make_fused_zeggs_apply(cfg: MDMConfig, attn_impl: str = "xla", mxu_bf16: boo
     H = cfg.local_heads
     pe = jnp.asarray(sinusoidal_pe(5000, D))
 
-    def heads_split(x, heads):
-        B, T, _ = x.shape
-        return x.reshape(B, T, heads, D // heads).transpose(0, 2, 1, 3).reshape(
-            B * heads, T, D // heads
-        )
-
-    def heads_merge(x, B, heads):
-        BH, T, hd = x.shape
-        return x.reshape(B, heads, T, hd).transpose(0, 2, 1, 3).reshape(B, T, heads * hd)
-
-    def rope(x):
-        freqs = rotary.sinusoidal_freqs(x.shape[1], x.shape[2], dtype=x.dtype)
-        return rotary.apply_rotary(x, freqs)
+    # shared packed-head helpers (rotary.py) — same definitions as the
+    # flax MDM path, so the layouts cannot drift
+    heads_split = rotary.heads_split
+    heads_merge = rotary.heads_merge
+    rope = rotary.rope
 
     def apply(params: Dict[str, Any], x, timesteps, cond, uncond: Optional[jax.Array] = None):
         p = params["params"] if "params" in params else params

@@ -94,19 +94,16 @@ class MDM(nn.Module):
 
     cfg: MDMConfig
 
+    # shared packed-head helpers (rotary.py) — one definition for the
+    # flax and fused-Pallas paths
     def _heads_split(self, x: jax.Array, heads: int) -> jax.Array:
-        B, T, D = x.shape
-        x = x.reshape(B, T, heads, D // heads).transpose(0, 2, 1, 3)
-        return x.reshape(B * heads, T, D // heads)
+        return rotary.heads_split(x, heads)
 
     def _heads_merge(self, x: jax.Array, B: int, heads: int) -> jax.Array:
-        BH, T, hd = x.shape
-        x = x.reshape(B, heads, T, hd).transpose(0, 2, 1, 3)
-        return x.reshape(B, T, heads * hd)
+        return rotary.heads_merge(x, B, heads)
 
     def _rope(self, x: jax.Array) -> jax.Array:
-        freqs = rotary.sinusoidal_freqs(x.shape[1], x.shape[2], dtype=x.dtype)
-        return rotary.apply_rotary(x, freqs)
+        return rotary.rope(x)
 
     @nn.compact
     def __call__(

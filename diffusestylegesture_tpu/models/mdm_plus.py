@@ -78,19 +78,15 @@ class MDMPlus(nn.Module):
 
     cfg: MDMPlusConfig
 
+    # shared packed-head helpers (rotary.py)
     def _heads_split(self, x, heads):
-        B, T, D = x.shape
-        return x.reshape(B, T, heads, D // heads).transpose(0, 2, 1, 3).reshape(
-            B * heads, T, D // heads
-        )
+        return rotary.heads_split(x, heads)
 
     def _heads_merge(self, x, B, heads):
-        BH, T, hd = x.shape
-        return x.reshape(B, heads, T, hd).transpose(0, 2, 1, 3).reshape(B, T, heads * hd)
+        return rotary.heads_merge(x, B, heads)
 
     def _rope(self, x):
-        freqs = rotary.sinusoidal_freqs(x.shape[1], x.shape[2], dtype=x.dtype)
-        return rotary.apply_rotary(x, freqs)
+        return rotary.rope(x)
 
     @nn.compact
     def __call__(

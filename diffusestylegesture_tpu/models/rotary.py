@@ -33,6 +33,33 @@ def rotate_half(x: jax.Array) -> jax.Array:
 def apply_rotary(x: jax.Array, freqs: jax.Array) -> jax.Array:
     """Rotate the last dim of x by per-position angles.
 
-    x: (..., n, d); freqs: (n, d) from `sinusoidal_freqs`.
+    x: (..., n, d); freqs: (n, d) from `sinusoidal_freqs`. The angle table
+    and cos/sin are evaluated in f32 even when x is bf16 — a bf16 angle at
+    window-tail positions is off by up to 0.14 rad (~30× bf16 rounding),
+    visibly mis-rotating the positional embedding. Only the rotated
+    result returns in x's dtype.
     """
-    return x * jnp.cos(freqs) + rotate_half(x) * jnp.sin(freqs)
+    f = freqs.astype(jnp.float32)
+    out = x.astype(jnp.float32) * jnp.cos(f) + \
+        rotate_half(x).astype(jnp.float32) * jnp.sin(f)
+    return out.astype(x.dtype)
+
+
+def heads_split(x: jax.Array, heads: int) -> jax.Array:
+    """(B, T, D) → (B·heads, T, D/heads) packed layout (shared by MDM,
+    MDMPlus and the fused Pallas path so the layouts cannot drift)."""
+    B, T, D = x.shape
+    x = x.reshape(B, T, heads, D // heads).transpose(0, 2, 1, 3)
+    return x.reshape(B * heads, T, D // heads)
+
+
+def heads_merge(x: jax.Array, B: int, heads: int) -> jax.Array:
+    BH, T, hd = x.shape
+    x = x.reshape(B, heads, T, hd).transpose(0, 2, 1, 3)
+    return x.reshape(B, T, heads * hd)
+
+
+def rope(x: jax.Array) -> jax.Array:
+    """Apply rotary over (•, T, d) using the table for x's length."""
+    freqs = sinusoidal_freqs(x.shape[1], x.shape[2])
+    return apply_rotary(x, freqs)

@@ -40,9 +40,18 @@ class TorchMultiheadAttention(nn.Module):
         if kv is None:
             q, k, v = jnp.split(in_proj(x), 3, axis=-1)
         else:
-            # apply the packed projection to each input, keep the right thirds
-            q = jnp.split(in_proj(x), 3, axis=-1)[0]
-            _, k, v = jnp.split(in_proj(kv), 3, axis=-1)
+            # packed (3D, D) projection, but only the needed thirds are
+            # computed: q rows on the query input, k/v rows on kv —
+            # projecting both inputs fully would double the FLOPs
+            W = in_proj.variables["params"]["kernel"] if in_proj.has_variable(
+                "params", "kernel") else None
+            if W is None:  # during init, materialize the params once
+                in_proj(x)
+                W = in_proj.variables["params"]["kernel"]
+            b = in_proj.variables["params"]["bias"]
+            q = x @ W[:, :D] + b[:D]
+            kvp = kv @ W[:, D:] + b[D:]
+            k, v = jnp.split(kvp, 2, axis=-1)
 
         B, T, _ = q.shape
         S = k.shape[1]
@@ -53,7 +62,13 @@ class TorchMultiheadAttention(nn.Module):
         scale = head_dim**-0.5
         sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
         if attn_mask is not None:
-            sim = jnp.where(attn_mask, sim, float(jnp.finfo(jnp.float32).min))
+            # torch nn.MultiheadAttention semantics: a BOOL mask marks
+            # positions to EXCLUDE (True = masked); a float mask is an
+            # ADDITIVE bias (e.g. TISA positional scores)
+            if attn_mask.dtype == jnp.bool_:
+                sim = jnp.where(attn_mask, float(jnp.finfo(jnp.float32).min), sim)
+            else:
+                sim = sim + attn_mask
         attn = jax.nn.softmax(sim, axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)

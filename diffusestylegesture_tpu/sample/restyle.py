@@ -65,10 +65,11 @@ def restyle_window(
         out = _model_and_stats(
             sched, lambda xx, tt: model_apply(xx, tt, cond_tgt), x, t, cfg
         )
-        eps = G.predict_eps_from_xstart(sched, x, t, out.pred_xstart)
-        ab_prev = G._bcast(sched.alphas_cumprod_prev, t, x.ndim)
-        nxt = out.pred_xstart * jnp.sqrt(ab_prev) + jnp.sqrt(1 - ab_prev) * eps
-        return nxt, None
+        # shared deterministic DDIM update (one definition,
+        # train/distill.ddim_step)
+        from ..train.distill import ddim_step
+
+        return ddim_step(sched, x, t, out.pred_xstart), None
 
     out, _ = jax.lax.scan(decode_step, latent, jnp.arange(t_hi, -1, -1))
     return out
