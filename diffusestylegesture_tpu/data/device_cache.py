@@ -27,9 +27,12 @@ class DeviceWindowCache:
         for k, v in arrays.items():
             if v is None:
                 continue
-            arr = jnp.asarray(v)
             if sharding is not None:
-                arr = jax.device_put(arr, sharding)
+                # place directly from host — jnp.asarray first would commit
+                # ~GBs to device 0 and then re-copy (transient 2x HBM peak)
+                arr = jax.device_put(np.asarray(v), sharding)
+            else:
+                arr = jnp.asarray(v)
             self.arrays[k] = arr
             n = arr.shape[0] if n is None else n
             assert arr.shape[0] == n, f"{k} length mismatch"
@@ -55,11 +58,15 @@ def make_device_data_train_step(
     cache: DeviceWindowCache,
     cond_builder: Callable,
     batch_size: int,
+    batch_sharding=None,
 ) -> Callable:
     """Train step `(state, key) → (state, metrics)` with on-device batching.
 
     The batch gather fuses into the compiled step — zero host traffic per
-    iteration.
+    iteration. `batch_sharding` (a NamedSharding over the mesh's 'data'
+    axis) constrains the sampled batch: without it GSPMD propagates the
+    replicated cache through the whole step and every chip redundantly
+    computes the identical full batch — data parallelism silently lost.
     """
     from ..train.state import make_train_step
 
@@ -68,6 +75,10 @@ def make_device_data_train_step(
     def step(state, key):
         k_data, k_step = jax.random.split(key)
         batch = cache.sample_batch(k_data, batch_size)
+        if batch_sharding is not None:
+            batch = jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, batch_sharding),
+                batch)
         return inner(state, batch, k_step)
 
     return step

@@ -38,7 +38,16 @@ def data_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host pytree of (B, ...) arrays with the batch dim sharded."""
+    """Place a host pytree of (B, ...) arrays with the batch dim sharded.
+
+    Multi-process: each process passes ITS slice of the global batch —
+    assembly goes through `make_array_from_process_local_data` (a plain
+    device_put would wrongly treat every host's different local batch as
+    the same global value)."""
+    if jax.process_count() > 1:
+        from .multihost import global_batch_from_host_local
+
+        return global_batch_from_host_local(mesh, batch, axis=axis)
     sh = data_sharded(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 

@@ -21,10 +21,10 @@ def initialize(coordinator_address: Optional[str] = None, **kw) -> None:
 
 
 def global_mesh(axes: Sequence[str] = ("data",), shape=None) -> Mesh:
-    devs = np.asarray(jax.devices())
-    if shape is None:
-        shape = [len(devs)] + [1] * (len(axes) - 1)
-    return Mesh(devs.reshape(shape), tuple(axes))
+    """Alias of `mesh.make_mesh` (one mesh-construction implementation)."""
+    from .mesh import make_mesh
+
+    return make_mesh(axes=axes, shape=shape)
 
 
 def global_batch_from_host_local(mesh: Mesh, batch, axis: str = "data"):

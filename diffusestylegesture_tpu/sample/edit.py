@@ -28,7 +28,7 @@ def in_between_mask(shape, prefix_frames: int, suffix_frames: int = 0) -> jnp.nd
     """(B, C, 1, T) boolean: True = keep the reference motion."""
     B, C, F, T = shape
     t = np.arange(T)
-    keep = (t < prefix_frames) | (t >= T - suffix_frames if suffix_frames else np.zeros_like(t, bool))
+    keep = (t < prefix_frames) | (t >= T - suffix_frames)  # suffix 0 → all-False term
     mask = np.broadcast_to(keep[None, None, None, :], shape)
     return jnp.asarray(mask)
 
@@ -37,7 +37,7 @@ def feature_mask(shape, keep_channels: Sequence[int]) -> jnp.ndarray:
     """(B, C, 1, T) boolean: True on the given channel rows."""
     B, C, F, T = shape
     keep = np.zeros(C, bool)
-    keep[np.asarray(keep_channels)] = True
+    keep[np.asarray(keep_channels, dtype=int)] = True  # () defaults to float64: invalid index
     mask = np.broadcast_to(keep[None, :, None, None], shape)
     return jnp.asarray(mask)
 

@@ -74,9 +74,14 @@ class TrainLoop:
             from ..data.device_cache import make_device_data_train_step
 
             assert batch_size > 0, "batch_size required with device_cache"
+            batch_sharding = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_sharding = NamedSharding(self.mesh, P("data"))
             cached = make_device_data_train_step(
                 model_apply, schedule, train_cfg, device_cache,
-                cond_builder, batch_size,
+                cond_builder, batch_size, batch_sharding=batch_sharding,
             )
             self.cached_step = jax.jit(cached, donate_argnums=(0,))
             self.train_step = None

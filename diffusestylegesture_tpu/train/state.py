@@ -212,6 +212,10 @@ def make_beat_cond_builder(variant: str, n_seed: int) -> Callable:
         if "attention4" in variant:
             cond["audio"] = audio[:, n_seed:]
         elif "attention5" in variant:
+            if n_seed <= 0:
+                # [:-0] would be the EMPTY slice and [-0:] the FULL motion
+                # (the ground truth leaked as conditioning)
+                raise ValueError("attention5 requires n_seed > 0")
             cond["audio"] = audio[:, n_seed:-n_seed]
             cond["seed_last"] = motion[..., -n_seed:]
         else:
