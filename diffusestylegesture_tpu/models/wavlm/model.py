@@ -26,6 +26,7 @@ completeness.
 """
 from __future__ import annotations
 
+import ast
 import dataclasses
 from typing import Any, Optional, Tuple
 
@@ -77,10 +78,39 @@ class WavLMConfig:
         """Build from a checkpoint's stored cfg dict (`WavLM.py:213-217`)."""
         layers = cfg.get("conv_feature_layers", "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2")
         if isinstance(layers, str):
-            layers = tuple(tuple(t) for t in eval(layers))  # noqa: S307 - trusted ckpt metadata
+            layers = tuple(tuple(t) for t in _parse_conv_layers(layers))
         keep = {f.name for f in dataclasses.fields(cls)} - {"conv_feature_layers", "dtype"}
         kwargs = {k: v for k, v in cfg.items() if k in keep}
         return cls(conv_feature_layers=layers, **kwargs)
+
+
+def _parse_conv_layers(spec: str):
+    """Safely evaluate a fairseq conv-layer spec like
+    ``"[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"``.
+
+    The torch checkpoints store this as a Python expression string
+    (`WavLM.py:170`); we evaluate only list/tuple/int literals combined
+    with ``+`` (concat) and ``*`` (repeat) — never arbitrary code.
+    """
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.BinOp):
+            left, right = ev(node.left), ev(node.right)
+            if isinstance(node.op, ast.Add):
+                return left + right
+            if isinstance(node.op, ast.Mult):
+                return left * right
+            raise ValueError(f"unsupported operator in conv spec: {ast.dump(node.op)}")
+        if isinstance(node, (ast.List, ast.Tuple)):
+            elts = [ev(e) for e in node.elts]
+            return elts if isinstance(node, ast.List) else tuple(elts)
+        if isinstance(node, ast.Constant) and isinstance(node.value, int):
+            return node.value
+        raise ValueError(f"unsupported node in conv spec: {ast.dump(node)}")
+
+    return ev(ast.parse(spec, mode="eval"))
 
 
 class ConvFeatureExtractor(nn.Module):
