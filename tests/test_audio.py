@@ -202,3 +202,81 @@ class TestProsodyOnsets:
         assert flags.shape == (90,)
         assert set(np.unique(flags)).issubset({0.0, 1.0})
         assert flags.sum() >= 1  # bursty envelope → at least one onset
+
+
+class TestEssentiaOnsetPort:
+    """Analytic pins for the essentia `Onsets`/aubio peak-picker port
+    (VERDICT r2 item 5). essentia itself is absent from this image, so
+    these are ground-truth-by-construction signals: click trains at
+    known positions, silence, steady tones."""
+
+    def _clicks(self, times, seconds=2.0, sr=16000, amp=1.0):
+        y = 0.001 * np.random.default_rng(0).standard_normal(
+            int(seconds * sr)).astype(np.float32)
+        for t in times:
+            i = int(t * sr)
+            y[i:i + 160] += amp * np.sin(
+                2 * np.pi * 4000 * np.arange(160) / sr).astype(np.float32)
+        return y
+
+    def test_click_train_positions(self):
+        sr = 16000
+        truth = [0.5, 1.0, 1.5]
+        y = self._clicks(truth, sr=sr)
+        onsets = F.detect_onsets(y, sr)
+        assert len(onsets) == 3
+        # the biquad smoother delays a sharp attack by ~1 ODF frame
+        # (32 ms @ hop 512); allow 2 frames
+        for t, o in zip(truth, onsets):
+            assert abs(o - t) <= 2 * 512 / sr + 1e-9
+
+    def test_silence_and_dc(self):
+        assert len(F.detect_onsets(np.zeros(16000, np.float32), 16000)) == 0
+        # a DC step has exactly two spectral events: turn-on and cut-off
+        onsets = F.detect_onsets(np.full(16000, 0.5, np.float32), 16000)
+        assert all(o < 0.2 or o > 0.9 for o in onsets)
+
+    def test_steady_tone_only_attack(self):
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        onsets = F.detect_onsets(y, sr)
+        # the signal turning on is a legitimate onset; nothing after
+        assert all(o < 0.2 for o in onsets)
+
+    def test_quiet_clicks_below_silence_gate(self):
+        # clicks whose normalized ODF stays under silenceThreshold next
+        # to one loud click are gated out (essentia silenceThreshold
+        # semantics on the max-normalized ODF)
+        sr = 16000
+        y = self._clicks([0.5], sr=sr, amp=1.0)
+        y += self._clicks([1.2], sr=sr, amp=0.01) - self._clicks([], sr=sr)
+        onsets = F.detect_onsets(y, sr)
+        assert len(onsets) == 1 and abs(onsets[0] - 0.5) < 0.1
+
+    def test_essentia_onsets_weighted_sum(self):
+        # two ODFs, weights [1, 3] — a peak present only in the heavier
+        # function dominates
+        n = 50
+        odf_a = np.zeros(n); odf_a[10] = 1.0
+        odf_b = np.zeros(n); odf_b[30] = 1.0
+        times = F.essentia_onsets(
+            np.stack([odf_a, odf_b]), [1.0, 3.0], frame_rate=1.0,
+            silence_threshold=0.04)
+        assert any(abs(t - 30) <= 2 for t in times)
+
+    def test_biquad_dc_gain_unity(self):
+        # aubio low-pass: unity DC gain, so the adaptive threshold's
+        # median/mean operate at the ODF's own scale
+        b0, b1, b2 = F._AUBIO_B
+        a1, a2 = F._AUBIO_A
+        assert (b0 + b1 + b2) / (1 + a1 + a2) == pytest.approx(1.0, abs=1e-6)
+
+    def test_frame_centering(self):
+        # essentia FrameGenerator startFromZero=false: frame j is
+        # centered at j·hop — an impulse at sample 512 peaks the ODF at
+        # frame 1, not frame 0
+        y = np.zeros(4096, np.float32)
+        y[512] = 1.0
+        odf = F.hfc_odf(y, 16000)
+        assert int(np.argmax(odf)) == 1

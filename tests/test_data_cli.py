@@ -133,11 +133,11 @@ class TestConvertCkptCLI:
 
         if not has_reference():
             pytest.skip("reference not mounted")
-        import sys
+        # import via the helper: a raw `from model.mdm import ...` picks up
+        # the BEAT tree's `model` package when a BEAT parity test ran first
+        from ref_compat import import_ref_mdm
 
-        sys.path.insert(0, "/root/reference/main")
-        sys.path.insert(0, "/root/reference/main/model")
-        from model.mdm import MDM as RefMDM  # type: ignore
+        RefMDM = import_ref_mdm()
 
         torch.manual_seed(0)
         ref = RefMDM(
