@@ -66,7 +66,16 @@ def _cost_flops(jitted, *args) -> float:
 def bench_train():
     """BENCH_MODE=train: flagship ZEGGS train step throughput at the
     reference configuration (batch 300 × (88, 1141), full MDM, AdamW) —
-    the reference's released checkpoint took 450k of these steps."""
+    the reference's released checkpoint took 450k of these steps.
+
+    Measures BOTH precisions with full utilization accounting:
+      * f32 end-to-end (round-2 configuration), and
+      * bf16 mixed precision (f32 master weights + bf16 trunk — the
+        TPU-native `MixedPrecisionTrainer`, fp16_util.py:148-232),
+        gated by an on-device loss/grad agreement check vs f32.
+    Reports XLA cost-analysis FLOPs per step and MFU for each. The
+    headline steps/s is the bf16 number when the gate passes.
+    """
     import time
 
     import jax
@@ -81,9 +90,8 @@ def bench_train():
     enable_persistent_cache()
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "300"))
     T = 88
-    mcfg = MDMConfig()
-    model = MDM(mcfg)
     rng = np.random.default_rng(0)
+    mcfg = MDMConfig()
     batch = {
         "motion": rng.standard_normal((B, T, mcfg.njoints)).astype(np.float32),
         "style": np.eye(6, dtype=np.float32)[rng.integers(0, 6, B)],
@@ -96,12 +104,9 @@ def bench_train():
         "audio": jnp.asarray(batch["wavlm"]),
         "mask_local": jnp.ones((B, T), bool),
     }
-    params = jax.jit(model.init)(
+    params = jax.jit(MDM(mcfg).init)(
         jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond
     )
-
-    def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
-        return model.apply(p, xx, tt, cc, train=train, rngs=rngs, uncond=uncond)
 
     # device-resident batch: steady-state training streams windows from the
     # on-device cache (`data/device_cache.py`), so the steady-state step must
@@ -111,31 +116,66 @@ def bench_train():
     jax.block_until_ready(batch)
 
     sched = D.Schedule.create(D.named_beta_schedule("cosine", 1000))
-    tcfg = TrainConfig(lr=3e-5)
-    step = jax.jit(
-        make_train_step(apply, sched, tcfg, make_zeggs_cond_builder(mcfg.n_seed)),
-        donate_argnums=(0,),
-    )
-    state = create_train_state(params, tcfg, 1000)
-    state, _ = step(state, batch, jax.random.PRNGKey(1))  # compile
-    jax.block_until_ready(state.params)
-    n = 10
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / n
-    sps = 1.0 / dt
-    hours_450k = 450_000 * dt / 3600.0
     dev = jax.devices()[0]
+    peak = _chip_peak_flops(dev)
+
+    def run_precision(compute_dtype):
+        model = MDM(MDMConfig(dtype=jnp.dtype(compute_dtype)))
+
+        def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
+            return model.apply(p, xx, tt, cc, train=train, rngs=rngs, uncond=uncond)
+
+        tcfg = TrainConfig(lr=3e-5, compute_dtype=compute_dtype)
+        step = jax.jit(
+            make_train_step(apply, sched, tcfg, make_zeggs_cond_builder(mcfg.n_seed)),
+            donate_argnums=(0,),
+        )
+        # fresh buffers per precision: the donated step deletes its input
+        # state, and both states alias the shared init params otherwise
+        state = create_train_state(jax.tree.map(jnp.copy, params), tcfg, 1000)
+        rng0 = jax.random.PRNGKey(1)
+        flops = _cost_flops(step, state, batch, rng0)
+        state, m0 = step(state, batch, rng0)  # compile
+        jax.block_until_ready(state.params)
+        n = 10
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / n
+        return dt, flops, float(m0["loss"]), float(m0["grad_norm"])
+
+    dt32, flops32, loss32, gnorm32 = run_precision("float32")
+    dt16, flops16, loss16, gnorm16 = run_precision("bfloat16")
+
+    # on-device mixed-precision gate: same rng → same t/noise; the first
+    # step's loss and grad norm must agree with f32 within tolerance
+    loss_rel = abs(loss16 - loss32) / max(abs(loss32), 1e-9)
+    gnorm_rel = abs(gnorm16 - gnorm32) / max(gnorm32, 1e-9)
+    bf16_ok = np.isfinite(loss16) and loss_rel < 0.05 and gnorm_rel < 0.2
+
+    dt = dt16 if bf16_ok else dt32
+    sps = 1.0 / dt
+    mfu32 = flops32 / dt32 / peak if flops32 else 0.0
+    mfu16 = flops16 / dt16 / peak if flops16 else 0.0
+    hours_450k = 450_000 * dt / 3600.0
     print(
         json.dumps(
             {
                 "metric": "zeggs_train_steps_per_sec_per_chip",
                 "value": round(sps, 3),
                 "unit": "steps/s (batch %d x (88,1141) full MDM+AdamW on %s; "
-                "%.0f ms/step, released 450k-step schedule = %.1f h)"
-                % (B, getattr(dev, "device_kind", dev.platform), dt * 1e3, hours_450k),
+                "%s %.0f ms/step; f32 %.0f ms/step %.1f TFLOP/step MFU %.1f%%; "
+                "bf16 %.0f ms/step %.1f TFLOP/step MFU %.1f%% "
+                "loss/gnorm rel-dev %.3g/%.3g%s; 450k-step schedule = %.1f h)"
+                % (
+                    B, getattr(dev, "device_kind", dev.platform),
+                    "bf16" if bf16_ok else "f32", dt * 1e3,
+                    dt32 * 1e3, flops32 / 1e12, mfu32 * 100.0,
+                    dt16 * 1e3, flops16 / 1e12, mfu16 * 100.0,
+                    loss_rel, gnorm_rel, " OK" if bf16_ok else " REJECTED",
+                    hours_450k,
+                ),
                 "vs_baseline": round(sps, 3),
             }
         )

@@ -98,6 +98,10 @@ def main(argv=None):
                    help="respace the schedule to N timesteps "
                         "(ddimN striding; the reference supports respacing "
                         "but never enables it)")
+    p.add_argument("--allow_degraded", action="store_true",
+                   help="serve a fast mode even if the motion-quality "
+                        "harness flagged it as degrading FGD beyond "
+                        "tolerance (see sample/quality_gate.py)")
     p.add_argument("--normalize_loudness", action="store_true",
                    help="EBU R128 normalize the input wav to -23 LUFS first "
                         "(the reference's ffmpeg-normalize pre-step on its "
@@ -115,6 +119,17 @@ def main(argv=None):
 
     cfg = load_yaml_config(args.config)
     os.makedirs(args.save_dir, exist_ok=True)
+
+    # motion-quality gate on fast serving modes (harness-measured FGD vs
+    # DDPM-1000; `sample/quality_gate.py`) — checked BEFORE any model
+    # loading/compilation so a refused mode costs nothing
+    from ..sample.quality_gate import check_mode
+
+    status, message = check_mode(args.sampler, args.respace, cfg.diffusion_steps)
+    if status == "degraded" and not args.allow_degraded:
+        raise SystemExit(f"REFUSED: {message}")
+    if status != "baseline":
+        print(("note: " if status == "unknown" else "") + message)
 
     mcfg = MDMConfig(
         njoints=cfg.njoints, latent_dim=cfg.latent_dim,

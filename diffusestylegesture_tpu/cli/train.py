@@ -35,6 +35,7 @@ def build_zeggs(cfg):
         cond_mode=cfg.cond_mode,
         cond_mask_prob=cfg.cond_mask_prob,
         audio_feat=cfg.audio_feat,
+        dtype=jnp.dtype(cfg.get("compute_dtype", "float32")),
     )
     model = MDM(mcfg)
 
@@ -74,6 +75,7 @@ def build_beat_twh(cfg):
         source_audio_dim=cfg.audio_feature_dim,
         audio_feat_dim=cfg.audio_feat_dim_latent,
         style_dim_in=cfg.style_dim,
+        dtype=jnp.dtype(cfg.get("compute_dtype", "float32")),
     )
     model = MDMPlus(mcfg)
     mean, std = gesture_statistics(cfg.h5file)
@@ -97,6 +99,11 @@ def main(argv=None):
                    help="ZEGGS: upload the whole window set to HBM once and "
                         "gather batches on device inside the step (zero host "
                         "traffic per iteration)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 trunk compute with "
+                        "f32 master weights/optimizer (the TPU-native "
+                        "completion of the reference MixedPrecisionTrainer, "
+                        "main/diffusion/fp16_util.py:148-232)")
     args = p.parse_args(argv)
 
     from ..utils.compile_cache import enable_persistent_cache
@@ -107,6 +114,8 @@ def main(argv=None):
         args.config,
         {k: getattr(args, k) for k in ("dataset", "name", "num_steps", "batch_size")},
     )
+    if args.bf16:
+        cfg["compute_dtype"] = "bfloat16"
 
     if cfg.dataset == "ZEGGS":
         model, mcfg, batches, builder, dataset = build_zeggs(cfg)
@@ -157,6 +166,7 @@ def main(argv=None):
             weight_decay=cfg.get("weight_decay", 0.0),
             lr_anneal_steps=cfg.get("lr_anneal_steps", 0),
             schedule_sampler=cfg.get("schedule_sampler", "uniform"),
+            compute_dtype=cfg.get("compute_dtype", "float32"),
         ),
         loop_cfg=LoopConfig(
             num_steps=cfg.get("num_steps", 100000),
@@ -165,6 +175,8 @@ def main(argv=None):
             checkpoint_dir=cfg.get("save_dir"),
             use_mesh=args.use_mesh or args.tp > 1,
             tensor_parallel=args.tp,
+            log_dir=cfg.get("log_dir"),
+            log_formats=tuple(cfg.get("log_formats", ("stdout",))),
         ),
         cond_builder=builder,
         seed=args.seed,

@@ -53,6 +53,8 @@ def local_attention(
     heads: int = 1,
     impl: str = "xla",
     exact_windowsize: bool = False,
+    seq_mesh=None,
+    seq_axis: str = "seq",
 ) -> jax.Array:
     """Windowed causal attention.
 
@@ -62,7 +64,10 @@ def local_attention(
       window_size: tokens per window; N % window_size == 0.
       mask: optional (B, N) boolean key-validity mask (True = attend).
       heads: H, needed to expand `mask` over the packed head axis.
-      impl: "xla" | "pallas".
+      impl: "xla" | "pallas" | "seq_parallel" (time axis sharded over
+        `seq_axis` of `seq_mesh`, one halo ppermute per call — see
+        `parallel/seq_parallel.py`; requires a mask, as the live paths
+        always pass one).
       exact_windowsize: additionally mask keys further back than
         window_size·look_backward from the query (ref `:154-157`;
         used by the LocalTransformer wrapper, not the denoisers).
@@ -72,6 +77,15 @@ def local_attention(
         from ..ops.local_attention_pallas import local_attention_pallas
 
         return local_attention_pallas(q, k, v, window_size, mask, heads=heads)
+    if impl == "seq_parallel":
+        assert not exact_windowsize, "seq_parallel implements the denoiser config"
+        assert seq_mesh is not None, "impl='seq_parallel' requires seq_mesh"
+        assert mask is not None, (
+            "seq_parallel needs the key mask (window-0 halo removal)")
+        from ..parallel.seq_parallel import sequence_parallel_local_attention
+
+        return sequence_parallel_local_attention(
+            q, k, v, window_size, seq_mesh, seq_axis, mask, heads=heads)
 
     bh, n, d = q.shape
     w = window_size

@@ -67,7 +67,15 @@ class MDMConfig:
     # RoFormer rotary positions instead of additive sinusoidal PE.
     # cross_local_attention modes ignore arch, as in the reference.
     arch: str = "trans_enc"
+    # "xla" | "pallas" | "seq_parallel". seq_parallel shards the TIME axis
+    # of the windowed local attention over `seq_axis` of `seq_mesh`
+    # (context parallelism — one halo ppermute per call over ICI; see
+    # `parallel/seq_parallel.py`). The rest of the network is
+    # length-pointwise, so GSPMD keeps activations time-sharded between
+    # attention calls; compose with a "data" axis for DP × SP.
     attn_impl: str = "xla"
+    seq_mesh: Any = None  # jax.sharding.Mesh, required for seq_parallel
+    seq_axis: str = "seq"
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -173,7 +181,8 @@ class MDM(nn.Module):
             hh = self._heads_split(h, H)
             hh = self._rope(hh)
             out = local_attention(
-                hh, hh, hh, cfg.window_size, mask_local, heads=H, impl=cfg.attn_impl
+                hh, hh, hh, cfg.window_size, mask_local, heads=H,
+                impl=cfg.attn_impl, seq_mesh=cfg.seq_mesh, seq_axis=cfg.seq_axis,
             )
             return self._heads_merge(out, B, H)
 

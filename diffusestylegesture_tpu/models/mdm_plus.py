@@ -58,7 +58,11 @@ class MDMPlusConfig:
     cond_mode: str = "cross_local_attention4_style1"
     cond_mask_prob: float = 0.1
     window_size: int = 15
+    # "xla" | "pallas" | "seq_parallel" (time-sharded local attention over
+    # seq_axis of seq_mesh — see `models/mdm.py` and parallel/seq_parallel)
     attn_impl: str = "xla"
+    seq_mesh: Any = None
+    seq_axis: str = "seq"
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -152,7 +156,7 @@ class MDMPlus(nn.Module):
         hh = self._rope(self._heads_split(h, H))
         out = local_attention(
             hh, hh, hh, cfg.window_size, cond.get("mask_local"), heads=H,
-            impl=cfg.attn_impl,
+            impl=cfg.attn_impl, seq_mesh=cfg.seq_mesh, seq_axis=cfg.seq_axis,
         )
         h = self._heads_merge(out, B, H)
 

@@ -84,13 +84,27 @@ def sequence_parallel_local_attention(
     axis: str = "seq",
     mask: Optional[jax.Array] = None,
     heads: int = 1,
+    batch_axis: Optional[str] = "auto",
 ) -> jax.Array:
     """Local attention with the TIME axis sharded over `axis`.
 
     Same semantics as `models.local_attention.local_attention` (with a
-    user mask; window-0 pads masked). q/k/v: (B·H, N, D).
+    user mask; window-0 pads masked). q/v/v: (B·H, N, D).
+
+    `batch_axis`: mesh axis the packed B·H axis is sharded over (data
+    parallelism composed with sequence parallelism). "auto" uses "data"
+    when the mesh has that axis — without it, a (data × seq) mesh would
+    silently all-gather the batch into every data group and recompute
+    redundantly (the DP-lost failure mode); None forces replication for
+    seq-only meshes.
     """
     bh, n, d = q.shape
+    if batch_axis == "auto":
+        batch_axis = "data" if "data" in mesh.axis_names else None
+    if batch_axis is not None and bh % mesh.shape[batch_axis] != 0:
+        raise ValueError(
+            f"packed batch·heads {bh} not divisible by "
+            f"{batch_axis}={mesh.shape[batch_axis]}")
     n_shards = mesh.shape[axis]
     assert n % (n_shards * window_size) == 0, (
         f"T={n} must divide into {n_shards} shards of whole windows"
@@ -121,8 +135,11 @@ def sequence_parallel_local_attention(
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None), P(None, axis, None), P(None, axis)),
-        out_specs=P(None, axis, None),
+        in_specs=(
+            P(batch_axis, axis, None), P(batch_axis, axis, None),
+            P(batch_axis, axis, None), P(batch_axis, axis),
+        ),
+        out_specs=P(batch_axis, axis, None),
         **_SHARD_MAP_KW,
     )
     return fn(q, k, v, mask_full)

@@ -1,0 +1,77 @@
+"""Motion-quality gate for fast-serving modes.
+
+The framework ships samplers far faster than the reference's DDPM-1000
+(ddim100, DPM-Solver++ few-step, progressive distillation). Speed is
+gated on *numeric* deviation at the bench (`bench.py` bf16 gates), but
+the reference's entire value proposition is gesture quality
+(`/root/reference/README.md:3`, human-eval ≈ ground truth) — so the
+few-step modes additionally carry a MOTION-QUALITY gate: an in-env
+harness (`scripts/quality_harness.py`) trains a real MDM on structured
+audio-synchronized data, generates with each serving mode, and scores
+FGD (autoencoder embedding, Yoon et al. 2020 convention), diversity and
+beat alignment against ground truth, with DDPM-1000 as the baseline.
+
+The harness writes its verdicts to `resources/quality_gate.json`; the
+sampling CLI consults it and refuses a mode whose FGD degraded beyond
+tolerance in the harness (override with --allow_degraded). Modes the
+harness never measured pass with a note — the gate protects against
+*measured* regressions, it does not guess.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+MANIFEST_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources", "quality_gate.json",
+)
+
+
+def mode_key(sampler: str, respace: int, diffusion_steps: int) -> Optional[str]:
+    """Serving-mode key for the manifest; None = the ungated baseline
+    (full-schedule ancestral sampling, the reference configuration)."""
+    if sampler == "ddpm" and not respace:
+        return None
+    return f"{sampler}{respace or diffusion_steps}"
+
+
+def load_manifest(path: Optional[str] = None) -> Optional[dict]:
+    path = path or MANIFEST_PATH
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def check_mode(
+    sampler: str,
+    respace: int,
+    diffusion_steps: int,
+    manifest: Optional[dict] = None,
+) -> Tuple[str, str]:
+    """→ (status, message); status ∈ {"baseline", "ok", "degraded", "unknown"}."""
+    key = mode_key(sampler, respace, diffusion_steps)
+    if key is None:
+        return "baseline", "full-schedule DDPM (reference configuration)"
+    manifest = manifest if manifest is not None else load_manifest()
+    if manifest is None:
+        return "unknown", (
+            f"serving mode {key!r} has no quality manifest "
+            "(run scripts/quality_harness.py to generate one)")
+    entry = manifest.get("modes", {}).get(key)
+    if entry is None:
+        return "unknown", (
+            f"serving mode {key!r} not measured by the quality harness "
+            f"(measured: {sorted(manifest.get('modes', {}))})")
+    if entry.get("ok", False):
+        return "ok", (
+            f"quality gate OK for {key}: FGD ratio vs DDPM-1000 "
+            f"{entry.get('fgd_ratio', float('nan')):.2f} "
+            f"(tolerance {manifest.get('fgd_ratio_tolerance')})")
+    return "degraded", (
+        f"serving mode {key} DEGRADED motion quality in the harness: "
+        f"FGD ratio vs DDPM-1000 {entry.get('fgd_ratio', float('nan')):.2f} "
+        f"> tolerance {manifest.get('fgd_ratio_tolerance')} "
+        "(pass --allow_degraded to serve anyway)")

@@ -32,6 +32,10 @@ class LoopConfig:
     log_interval: int = 50
     save_interval: int = 50_000
     checkpoint_dir: Optional[str] = None
+    # KVLogger sinks (ref `format_strs`, `main/diffusion/logger.py:442-472`):
+    # any of "stdout", "csv", "json", "tensorboard"; file sinks need log_dir
+    log_dir: Optional[str] = None
+    log_formats: tuple = ("stdout",)
     use_mesh: bool = False
     # tensor-parallel degree over the 'model' mesh axis (0/1 = pure DP).
     # Requires use_mesh; the trunk's matmuls shard Megatron-style via
@@ -56,7 +60,7 @@ class TrainLoop:
         self.loop_cfg = loop_cfg
         self.schedule = schedule
         self.data = data
-        self.logger = KVLogger()
+        self.logger = KVLogger(loop_cfg.log_dir, loop_cfg.log_formats)
         tp = max(1, loop_cfg.tensor_parallel)
         if tp > 1 and not loop_cfg.use_mesh:
             raise ValueError("tensor_parallel > 1 requires use_mesh=True")

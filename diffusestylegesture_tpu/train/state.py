@@ -51,6 +51,18 @@ class TrainConfig:
     # Skip non-finite updates (TPU-native analog of the reference fp16
     # trainer's NaN-overflow backoff, `fp16_util.py:193-197`). 0 disables.
     skip_nonfinite_updates: int = 0
+    # Mixed-precision training — the TPU-native completion of the
+    # reference's `MixedPrecisionTrainer` (`main/diffusion/fp16_util.py:
+    # 148-232`): "bfloat16" keeps f32 master weights / optimizer moments /
+    # EMA and casts params to bf16 inside the loss so the trunk matmuls
+    # run on the MXU at bf16 rate; gradients flow back through the cast
+    # as f32. bf16 shares f32's exponent range, so the reference's
+    # fp16 loss-scaling + overflow backoff is unnecessary —
+    # `skip_nonfinite_updates` already covers pathological batches.
+    # The model should be built with a matching compute dtype
+    # (`MDMConfig(dtype=jnp.bfloat16)`) so activations cast too; the
+    # param cast alone would be promoted back to f32 by flax.
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -100,8 +112,17 @@ def make_train_step(
     if cond_builder is None:
         cond_builder = zeggs_cond_builder
     loss_aware = cfg.schedule_sampler == "loss-second-moment"
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     def loss_fn(params, batch, rng, la_state):
+        if compute_dtype != jnp.float32:
+            # master weights stay f32 in `state.params`; the model sees a
+            # bf16 view, and d(cast)/dp routes the gradient back as f32
+            params = jax.tree.map(
+                lambda p: p.astype(compute_dtype)
+                if p.dtype == jnp.float32 else p,
+                params,
+            )
         x_start, cond, mask = cond_builder(batch)
         B = x_start.shape[0]
         rng_t, rng_noise, rng_cm, rng_do = jax.random.split(rng, 4)
@@ -117,10 +138,12 @@ def make_train_step(
         noise = jax.random.normal(rng_noise, x_start.shape, jnp.float32)
 
         def model_fn(x, tt):
-            return model_apply(
+            out = model_apply(
                 params, x, tt, cond, train=True,
                 rngs={"cond_mask": rng_cm, "dropout": rng_do},
             )
+            # diffusion loss math always in f32, whatever the trunk dtype
+            return out.astype(jnp.float32)
 
         terms, _ = G.training_losses(
             sched, model_fn, x_start, t, noise, mask,

@@ -1,0 +1,482 @@
+"""In-env motion-quality harness for the fast serving modes (VERDICT r2
+items 1 + 6).
+
+One command drives the ENTIRE product loop end to end and closes the
+quality gap on fast serving:
+
+  1. synthesize a structured, audio-synchronized ZEGGS-format corpus
+     (wav + BVH pairs; gesture strokes locked to audio beats, two
+     styles with distinct motion character);
+  2. build the dataset with the real `data.build_zeggs_dataset`
+     featurizer (wav→MFCC, BVH→1141-d) and cache pseudo-WavLM audio
+     features (a fixed random spectral projection standing in for the
+     frozen encoder, which has no released weights in this image);
+  3. train a REAL full-architecture ZEGGS MDM on-chip for a few
+     thousand steps through `cli.train` (loss curve → CSV, orbax
+     checkpoint);
+  4. generate held-out clips with every serving mode — DDPM-1000
+     (reference configuration), ddim100, DPM-Solver++(2M) 20-step, and
+     a progressively distilled student — through the compiled windowed
+     sampler, writing pose-feature npys and a BVH;
+  5. score each mode against ground truth with the product eval stack
+     (`cli.eval`: FGD over a trained autoencoder embedding, diversity,
+     beat alignment vs wav onsets);
+  6. write `QUALITY_r03.json` (full results), the serving gate manifest
+     `diffusestylegesture_tpu/resources/quality_gate.json` (consumed by
+     `cli.sample` — a mode whose FGD degrades beyond tolerance is
+     refused), and the convergence artifact `DEMO_r03.md`.
+
+Env knobs: QH_STEPS (train steps, default 3000), QH_WORKDIR,
+QH_DISTILL_STAGES (default 3 → 125-step student), QH_SKIP_TRAIN=1 to
+reuse an existing checkpoint.
+
+Run: `timeout 3600 python scripts/quality_harness.py`
+"""
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Honor JAX_PLATFORMS=cpu even when the container's sitecustomize already
+# imported jax and registered the remote-TPU (axon) plugin — the env var
+# alone is too late at that point (same guard as __graft_entry__).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+SR = 16000
+FPS_BVH = 60  # ZEGGS source BVHs are 60 fps (featurizer decimates to 20)
+FPS = 20
+N_POSES, N_SEED = 88, 8
+# QH_DIFFUSION_STEPS < 1000 is a smoke configuration (CI/dev); the real
+# harness runs the reference's 1000-step schedule
+DIFFUSION_STEPS = int(os.environ.get("QH_DIFFUSION_STEPS", "1000"))
+SMALL = bool(os.environ.get("QH_SMALL", ""))  # tiny trunk for smoke runs
+FGD_RATIO_TOL = 1.5  # fast mode accepted if FGD ≤ 1.5× the DDPM-1000 FGD
+
+STYLES = {  # style token → (tempo_hz, motion_freq_hz, amplitude_deg)
+    "Happy": (2.0, 1.0, 18.0),
+    "Sad": (1.25, 0.5, 8.0),
+}
+TRAIN_CLIPS = 8
+EVAL_CLIPS = 3
+CLIP_SECONDS = 30.0
+EVAL_SECONDS = 24.0
+
+
+# ---------------------------------------------------------------------------
+# 1. structured audio-synchronized corpus
+# ---------------------------------------------------------------------------
+
+
+def synth_clip(style: str, seed: int, seconds: float):
+    """Audio with click-train beats + motion whose strokes ride the beats.
+
+    The point is learnability and metric sensitivity: gesture "strokes"
+    (angular-velocity bumps) occur exactly on audio beats, amplitudes
+    track the audio envelope, and each style has its own tempo/frequency/
+    amplitude character — so a well-sampled model scores high beat
+    alignment and style-consistent FGD, and a degraded sampler shows up.
+    """
+    from diffusestylegesture_tpu.motion import zeggs_features as zf
+
+    tempo, mfreq, amp = STYLES[style]
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+
+    # --- audio: carrier + beat clicks + envelope ---
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * 0.11 * t + rng.uniform(0, 6.28))
+    carrier = 0.25 * np.sin(2 * np.pi * (170 + 40 * np.sin(2 * np.pi * 0.07 * t)) * t)
+    wav = carrier * env
+    beat_times = np.arange(0.5, seconds - 0.3, 1.0 / tempo)
+    beat_times = beat_times + rng.uniform(-0.02, 0.02, beat_times.shape)
+    click = np.sin(2 * np.pi * 3000 * np.arange(240) / SR) * np.hanning(240)
+    for bt in beat_times:
+        i = int(bt * SR)
+        wav[i: i + 240] += 0.8 * click[: len(wav) - i]
+    wav = (wav / np.abs(wav).max() * 0.9).astype(np.float32)
+
+    # --- motion: smooth oscillation + beat-locked strokes ---
+    T = int(seconds * FPS_BVH)
+    tf = np.arange(T) / FPS_BVH
+    J = zf.ZEGGS_NJOINTS
+    env_f = np.interp(tf, t, env)
+    # stroke profile: gaussian angular-velocity bump at each beat
+    stroke = np.zeros(T)
+    for bt in beat_times:
+        stroke += np.exp(-0.5 * ((tf - bt) / 0.09) ** 2)
+    stroke_phase = np.cumsum(stroke) / FPS_BVH * 2.0 * np.pi * tempo
+
+    base = rng.uniform(-12, 12, (J, 3)).astype(np.float32)
+    freqs = mfreq * rng.uniform(0.6, 1.4, (J, 3))
+    phases = rng.uniform(0, 2 * np.pi, (J, 3))
+    ampj = amp * rng.uniform(0.4, 1.0, (J, 3))
+    osc = np.sin(
+        2 * np.pi * freqs[None] * tf[:, None, None]
+        + phases[None]
+        + 0.6 * stroke_phase[:, None, None]
+    )
+    rot = base[None] + (ampj[None] * env_f[:, None, None]) * osc
+    # keep the root stable so root extraction is sane
+    rot[:, 0, :] *= 0.15
+
+    offsets = rng.uniform(-5, 5, (J, 3)).astype(np.float32)
+    positions = np.broadcast_to(offsets, (T, J, 3)).copy()
+    positions[:, 0, :] = np.array([0.0, 100.0, 0.0])
+    anim = {
+        "rotations": rot.astype(np.float32),
+        "positions": positions,
+        "offsets": offsets,
+        "parents": zf.ZEGGS_PARENTS,
+        "names": list(zf.ZEGGS_BONE_NAMES),
+        "order": "zyx",
+        "frametime": 1.0 / FPS_BVH,
+    }
+    return wav, anim
+
+
+def write_corpus(src_dir: str, eval_dir: str) -> None:
+    from scipy.io import wavfile
+
+    from diffusestylegesture_tpu.motion import bvh
+
+    os.makedirs(src_dir, exist_ok=True)
+    os.makedirs(eval_dir, exist_ok=True)
+    styles = list(STYLES)
+    for i in range(TRAIN_CLIPS):
+        style = styles[i % len(styles)]
+        name = f"{i:03d}_{style}_0_x_1_0"
+        wav, anim = synth_clip(style, seed=i, seconds=CLIP_SECONDS)
+        wavfile.write(os.path.join(src_dir, name + ".wav"), SR,
+                      (wav * 32767).astype(np.int16))
+        bvh.save(os.path.join(src_dir, name + ".bvh"), anim)
+    for i in range(EVAL_CLIPS):
+        style = styles[i % len(styles)]
+        name = f"9{i:02d}_{style}_0_x_1_0"
+        wav, anim = synth_clip(style, seed=1000 + i, seconds=EVAL_SECONDS)
+        wavfile.write(os.path.join(eval_dir, name + ".wav"), SR,
+                      (wav * 32767).astype(np.int16))
+        bvh.save(os.path.join(eval_dir, name + ".bvh"), anim)
+
+
+# ---------------------------------------------------------------------------
+# 2. pseudo-WavLM (deterministic spectral projection; jit-able)
+# ---------------------------------------------------------------------------
+
+
+def make_pseudo_wavlm():
+    """Stand-in for the frozen WavLM encoder (no released weights in this
+    image): hann-windowed rfft magnitudes at a 320-sample hop →
+    fixed-seed random projection to 1024 dims → tanh. Deterministic,
+    audio-informative, traceable under jit (used both to cache training
+    features and inside the compiled sampler)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusestylegesture_tpu.models.wavlm.adapters import interpolate_linear
+
+    frame, hop, out_dim = 640, 320, 1024
+    key = jax.random.PRNGKey(42)
+    proj = jax.random.normal(key, (frame // 2 + 1, out_dim)) / np.sqrt(frame // 2 + 1)
+    win = jnp.asarray(np.hanning(frame).astype(np.float32))
+
+    def features(params, windows):  # (W, S) → (W, N_POSES, 1024)
+        w = jnp.asarray(windows)
+        n = (w.shape[1] - frame) // hop + 1
+        idx = jnp.arange(frame)[None, :] + hop * jnp.arange(n)[:, None]
+        frames = w[:, idx] * win[None, None, :]
+        mag = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+        feats = jnp.tanh(jnp.log1p(mag) @ proj)
+        return interpolate_linear(feats, N_POSES)
+
+    def features_np(windows):  # numpy wrapper for the dataset cache
+        return np.asarray(features(None, np.asarray(windows, np.float32)))
+
+    return features, features_np
+
+
+# ---------------------------------------------------------------------------
+# 3–6. train → sample per mode → eval → manifest
+# ---------------------------------------------------------------------------
+
+
+def run(workdir: str) -> dict:
+    import yaml
+
+    import jax
+
+    from diffusestylegesture_tpu import diffusion as D
+    from diffusestylegesture_tpu.cli.eval import main as eval_main
+    from diffusestylegesture_tpu.cli.sample import load_orbax_params
+    from diffusestylegesture_tpu.cli.train import main as train_main
+    from diffusestylegesture_tpu.data import ZeggsWindowDataset, build_zeggs_dataset
+    from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig
+    from diffusestylegesture_tpu.motion import zeggs_features as zf
+    from diffusestylegesture_tpu.sample import ZeggsEngineConfig, ZeggsSampler
+    from diffusestylegesture_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    steps = int(os.environ.get("QH_STEPS", "3000"))
+    distill_stages = int(os.environ.get("QH_DISTILL_STAGES", "3"))
+    src = os.path.join(workdir, "src")
+    eval_src = os.path.join(workdir, "eval_src")
+    data_dir = os.path.join(workdir, "prepared")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    log_dir = os.path.join(workdir, "logs")
+    gen_root = os.path.join(workdir, "generated")
+    report: dict = {"train_steps": steps, "modes": {}}
+
+    # -- corpus + dataset build (cached by existence) --
+    if not os.path.exists(os.path.join(src, "000_Happy_0_x_1_0.wav")):
+        print("== synthesizing corpus ==")
+        write_corpus(src, eval_src)
+    if not os.path.exists(os.path.join(data_dir, "mean.npz")):
+        print("== building ZEGGS dataset (real featurizer) ==")
+        build_zeggs_dataset(src, data_dir, fps=FPS)
+
+    wavlm_jax, wavlm_np = make_pseudo_wavlm()
+    # cache pseudo-WavLM features into the window cache (precompute→train
+    # handoff, the reference's DataPreprocessor pattern)
+    ZeggsWindowDataset(os.path.join(data_dir, "train"), wavlm_np,
+                       n_poses=N_POSES, stride=10, fps=FPS)
+
+    mean = np.load(os.path.join(data_dir, "mean.npz"))["mean"]
+    std = np.load(os.path.join(data_dir, "std.npz"))["std"]
+
+    # -- train through the product CLI --
+    mcfg_kw = (dict(latent_dim=128, ff_size=128, num_layers=2) if SMALL
+               else dict(latent_dim=256, ff_size=1024, num_layers=8))
+    if not (os.environ.get("QH_SKIP_TRAIN") and os.path.isdir(ckpt_dir)):
+        print(f"== training MDM for {steps} steps (cli.train) ==")
+        cfg = dict(
+            dataset="ZEGGS", name="DiffuseStyleGesture", data_dir=data_dir,
+            n_poses=N_POSES, motion_resampling_framerate=FPS,
+            subdivision_stride=10, batch_size=48, n_seed=N_SEED, njoints=1141,
+            latent_dim=mcfg_kw["latent_dim"], ff_size=mcfg_kw["ff_size"],
+            num_layers=mcfg_kw["num_layers"], cond_mask_prob=0.1,
+            cond_mode="cross_local_attention3_style1", audio_feat="wavlm",
+            diffusion_steps=DIFFUSION_STEPS, noise_schedule="cosine",
+            lr=1e-4, log_interval=50, save_interval=0, num_steps=steps,
+            save_dir=ckpt_dir, log_dir=log_dir, log_formats=["stdout", "csv"],
+            wavlm_path=os.path.join(workdir, "no-wavlm.pt"),
+        )
+        cfg_path = os.path.join(workdir, "train_cfg.yml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        t0 = time.time()
+        train_main(["--config", cfg_path, "--device_cache"])
+        report["train_wall_s"] = round(time.time() - t0, 1)
+
+    params = load_orbax_params(ckpt_dir)
+
+    # -- loss curve summary from the CSV sink --
+    curve = []
+    csv_path = os.path.join(log_dir, "progress.csv")
+    if os.path.exists(csv_path):
+        import csv as _csv
+
+        with open(csv_path) as f:
+            rows = list(_csv.DictReader(f))
+        for r in rows:
+            if r.get("step") and r.get("loss"):
+                curve.append((int(float(r["step"])), float(r["loss"])))
+    report["loss_curve"] = curve
+
+    # -- build serving modes --
+    model = MDM(MDMConfig(n_seed=N_SEED, cond_mask_prob=0.1, **mcfg_kw))
+
+    def model_apply(p, x, t, cond, uncond=None):
+        return model.apply(p, x, t, cond, uncond=uncond)
+
+    betas = D.named_beta_schedule("cosine", DIFFUSION_STEPS)
+    full = D.Schedule.create(betas)
+    n_ddim = max(DIFFUSION_STEPS // 10, 2)   # 100 at the real schedule
+    n_dpmpp = max(DIFFUSION_STEPS // 50, 2)  # 20 at the real schedule
+    modes = {
+        f"ddpm{DIFFUSION_STEPS}": (model_apply, params, full, "ddpm"),
+        f"ddim{n_ddim}": (
+            model_apply, params,
+            D.spaced_schedule(betas, D.space_timesteps(DIFFUSION_STEPS, f"ddim{n_ddim}")),
+            "ddim"),
+        f"dpmpp{n_dpmpp}": (
+            model_apply, params,
+            D.spaced_schedule(betas, D.space_timesteps(DIFFUSION_STEPS, f"ddim{n_dpmpp}")),
+            "dpmpp"),
+    }
+    baseline_key = f"ddpm{DIFFUSION_STEPS}"
+
+    # -- progressive distillation: 1000 → 1000/2^stages DDIM student --
+    if distill_stages > 0:
+        print(f"== distilling {distill_stages} stages ==")
+        modes[f"distill{DIFFUSION_STEPS // (2 ** distill_stages)}"] = distill_student(
+            model_apply, params, full, data_dir, distill_stages, report)
+
+    # -- ground-truth eval features + audio --
+    ref_dir = os.path.join(workdir, "ref_feats")
+    os.makedirs(ref_dir, exist_ok=True)
+    eval_wavs = sorted(f for f in os.listdir(eval_src) if f.endswith(".wav"))
+    for f in eval_wavs:
+        stem = f[:-4]
+        out = os.path.join(ref_dir, stem + ".npy")
+        if not os.path.exists(out):
+            feats = zf.featurize_bvh_file(
+                os.path.join(eval_src, stem + ".bvh"), fps=FPS)["features"]
+            np.save(out, feats.astype(np.float32))
+
+    # -- generate + evaluate each mode --
+    from diffusestylegesture_tpu.data import load_wav_16k
+
+    for mode_name, (apply_fn, mparams, sched, sampler_name) in modes.items():
+        gen_dir = os.path.join(gen_root, mode_name)
+        os.makedirs(gen_dir, exist_ok=True)
+        sampler = ZeggsSampler(
+            apply_fn, wavlm_jax, sched,
+            ZeggsEngineConfig(sampler=sampler_name),
+        )
+        t0 = time.time()
+        frames = 0
+        for f in eval_wavs:
+            stem = f[:-4]
+            audio = load_wav_16k(os.path.join(eval_src, f))
+            style = zf.style_onehot(stem.split("_")[1])[None]
+            out = sampler.generate(
+                mparams, None, audio, style, jax.random.PRNGKey(123456),
+                mean=mean, std=std)
+            np.save(os.path.join(gen_dir, stem + ".npy"), out[0])
+            frames += out.shape[1]
+            if mode_name == baseline_key and "Happy" in stem:
+                zf.pose_features_to_bvh(
+                    out[0], os.path.join(workdir, "demo_ddpm1000.bvh"),
+                    smoothing=True)
+        wall = time.time() - t0
+        print(f"== mode {mode_name}: {frames} frames in {wall:.1f}s ==")
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eval_main([
+                "--generated", gen_dir, "--reference", ref_dir,
+                "--wav", eval_src, "--fps", str(FPS),
+                "--embedding", "autoencoder", "--ae_steps", "400",
+            ])
+        metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
+        metrics["gen_frames_per_sec"] = round(frames / wall, 1)
+        report["modes"][mode_name] = metrics
+        print(f"   {mode_name}: fgd={metrics['fgd']:.3f} "
+              f"beat={metrics.get('beat_alignment', float('nan')):.3f} "
+              f"fps={metrics['gen_frames_per_sec']}")
+
+    # -- verdicts: FGD ratio vs the DDPM-1000 baseline --
+    base_fgd = max(report["modes"][baseline_key]["fgd"], 1e-9)
+    manifest = {
+        "generated_by": "scripts/quality_harness.py",
+        "baseline": baseline_key,
+        "baseline_fgd": base_fgd,
+        "train_steps": steps,
+        "fgd_ratio_tolerance": FGD_RATIO_TOL,
+        "modes": {},
+    }
+    for mode_name, m in report["modes"].items():
+        if mode_name == baseline_key:
+            continue
+        ratio = m["fgd"] / base_fgd
+        manifest["modes"][mode_name] = {
+            "fgd": m["fgd"], "fgd_ratio": round(ratio, 3),
+            "beat_alignment": m.get("beat_alignment"),
+            "ok": bool(ratio <= FGD_RATIO_TOL),
+        }
+    report["manifest"] = manifest
+    return report
+
+
+def distill_student(model_apply, params, full_sched, data_dir, stages, report):
+    """Progressive distillation on the trained teacher; returns a mode
+    tuple (apply, params, schedule, sampler_name) for the student."""
+    import jax
+    import jax.numpy as jnp
+    import optax  # noqa: F401  (distill uses it internally)
+
+    from diffusestylegesture_tpu import diffusion as D
+    from diffusestylegesture_tpu.data import ZeggsWindowDataset
+    from diffusestylegesture_tpu.train.distill import make_distill_step, student_schedule
+    from diffusestylegesture_tpu.train.state import make_zeggs_cond_builder
+
+    ds = ZeggsWindowDataset(os.path.join(data_dir, "train"), None)
+    builder = make_zeggs_cond_builder(N_SEED)
+    batches = ds.batches(32)
+    steps_per_stage = int(os.environ.get("QH_DISTILL_STEPS", "400"))
+
+    sched_t = full_sched
+    teacher_params = params
+    student_params = params
+    for stage in range(stages):
+        def student_apply(p, x, t, cond):
+            return model_apply(p, x, t, cond)
+
+        def _make(tp, _sched=sched_t):
+            return make_distill_step(
+                lambda x, t, cond: model_apply(tp, x, t, cond),
+                student_apply, _sched, lr=1e-4, conditioned=True)
+
+        init_fn, _ = _make(teacher_params)
+
+        # teacher params as a jit ARG, not a closure constant (same
+        # pattern as cli/distill.py — avoids baking weights into the
+        # executable and a recompile per stage)
+        @jax.jit
+        def jstep(tp, p, opt_state, x0, key, cond):
+            return _make(tp)[1](p, opt_state, x0, key, cond)
+
+        student_params = jax.tree.map(jnp.copy, teacher_params)
+        opt = init_fn(student_params)
+        key = jax.random.PRNGKey(stage)
+        t0 = time.time()
+        for i, batch in zip(range(steps_per_stage), batches):
+            x0, cond, _ = builder({k: jnp.asarray(v) for k, v in batch.items()})
+            key, sub = jax.random.split(key)
+            student_params, opt, m = jstep(
+                teacher_params, student_params, opt, x0, sub, cond)
+        loss = float(m["loss"])
+        nt = sched_t.num_timesteps
+        print(f"   distill stage {stage + 1}/{stages}: {nt}→{nt // 2} steps, "
+              f"loss {loss:.4f} ({time.time() - t0:.0f}s)")
+        report.setdefault("distill", []).append(
+            {"stage": stage + 1, "teacher_steps": nt, "loss": loss})
+        sched_t = student_schedule(sched_t, D.named_beta_schedule("cosine", DIFFUSION_STEPS))
+        teacher_params = student_params
+
+    return (model_apply, student_params, sched_t, "ddim")
+
+
+def main():
+    workdir = os.environ.get("QH_WORKDIR", os.path.join(REPO, ".quality_harness"))
+    os.makedirs(workdir, exist_ok=True)
+    report = run(workdir)
+
+    out_path = os.path.join(REPO, "QUALITY_r03.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", out_path)
+
+    res_dir = os.path.join(REPO, "diffusestylegesture_tpu", "resources")
+    os.makedirs(res_dir, exist_ok=True)
+    gate_path = os.path.join(res_dir, "quality_gate.json")
+    with open(gate_path, "w") as f:
+        json.dump(report["manifest"], f, indent=1)
+    print("wrote", gate_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Quality-gate manifest semantics (sample/quality_gate.py) + CLI refusal."""
+import json
+
+import pytest
+
+from diffusestylegesture_tpu.sample import quality_gate as qg
+
+
+MANIFEST = {
+    "baseline": "ddpm1000",
+    "fgd_ratio_tolerance": 1.5,
+    "modes": {
+        "ddim100": {"fgd_ratio": 1.1, "ok": True},
+        "dpmpp20": {"fgd_ratio": 2.4, "ok": False},
+    },
+}
+
+
+def test_mode_key():
+    assert qg.mode_key("ddpm", 0, 1000) is None  # baseline
+    assert qg.mode_key("ddpm", 100, 1000) == "ddpm100"
+    assert qg.mode_key("ddim", 100, 1000) == "ddim100"
+    assert qg.mode_key("dpmpp", 0, 1000) == "dpmpp1000"
+
+
+def test_check_mode_statuses():
+    assert qg.check_mode("ddpm", 0, 1000, MANIFEST)[0] == "baseline"
+    assert qg.check_mode("ddim", 100, 1000, MANIFEST)[0] == "ok"
+    status, msg = qg.check_mode("dpmpp", 20, 1000, MANIFEST)
+    assert status == "degraded" and "2.4" in msg
+    assert qg.check_mode("plms", 50, 1000, MANIFEST)[0] == "unknown"
+
+
+def test_no_manifest_is_unknown(tmp_path, monkeypatch):
+    monkeypatch.setattr(qg, "MANIFEST_PATH", str(tmp_path / "missing.json"))
+    status, msg = qg.check_mode("ddim", 100, 1000, None)
+    assert status == "unknown" and "no quality manifest" in msg
+
+
+def test_load_manifest_roundtrip(tmp_path):
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps(MANIFEST))
+    loaded = qg.load_manifest(str(p))
+    assert loaded["modes"]["ddim100"]["ok"] is True
+
+
+def test_cli_refuses_degraded(tmp_path, monkeypatch):
+    """cli.sample must exit before any model work when the mode is
+    flagged degraded (and proceed to the next failure point — the absent
+    checkpoint — with --allow_degraded)."""
+    import yaml
+
+    from diffusestylegesture_tpu.cli import sample as sample_cli
+
+    manifest_path = tmp_path / "gate.json"
+    manifest_path.write_text(json.dumps(MANIFEST))
+    monkeypatch.setattr(qg, "MANIFEST_PATH", str(manifest_path))
+
+    cfg = dict(
+        dataset="ZEGGS", njoints=1141, latent_dim=64, n_seed=8,
+        cond_mode="cross_local_attention3_style1", cond_mask_prob=0.1,
+        audio_feat="wavlm", diffusion_steps=1000, n_poses=88,
+        motion_resampling_framerate=20, data_dir=str(tmp_path),
+        wavlm_path=str(tmp_path / "missing.pt"),
+    )
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    args = ["--config", str(cfg_path), "--model_path", str(tmp_path / "no.pt"),
+            "--audiowavlm_path", str(tmp_path / "no.wav"),
+            "--sampler", "dpmpp", "--respace", "20"]
+    with pytest.raises(SystemExit) as e:
+        sample_cli.main(args)
+    assert "REFUSED" in str(e.value)
+
+    # --allow_degraded gets past the gate (then fails on the missing ckpt)
+    with pytest.raises(Exception) as e2:
+        sample_cli.main(args + ["--allow_degraded"])
+    assert "REFUSED" not in str(e2.value)

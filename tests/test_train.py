@@ -477,3 +477,84 @@ class TestAdamWEquivalence:
         params = optax.apply_updates(params, updates)
         np.testing.assert_allclose(np.asarray(params), tp.detach().numpy(),
                                    atol=1e-7)
+
+
+class TestMixedPrecision:
+    """bf16 mixed-precision training (VERDICT r2 item 2): f32 master
+    weights + bf16 trunk compute, the TPU-native completion of the
+    reference `MixedPrecisionTrainer` (`main/diffusion/fp16_util.py:
+    148-232`)."""
+
+    def _setup(self, dtype):
+        cfg = MDMConfig(
+            njoints=NJ, latent_dim=128, ff_size=64, num_layers=1,
+            window_size=11, n_seed=4, cond_mask_prob=0.0, dropout=0.0,
+            dtype=dtype,
+        )
+        model = MDM(cfg)
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng)
+        x = jnp.zeros((B, NJ, 1, T))
+        cond = {
+            "seed": x[..., :4],
+            "style": jnp.asarray(batch["style"]),
+            "audio": jnp.asarray(batch["wavlm"]),
+            "mask_local": jnp.ones((B, T), bool),
+        }
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond)
+
+        def apply(params, x, t, cond, train=False, rngs=None, uncond=None):
+            return model.apply(params, x, t, cond, train=train, rngs=rngs, uncond=uncond)
+
+        return params, apply
+
+    def test_bf16_step_matches_f32_within_tolerance(self):
+        params, apply32 = self._setup(jnp.float32)
+        _, apply16 = self._setup(jnp.bfloat16)
+        batch = make_batch(np.random.default_rng(2))
+        rng = jax.random.PRNGKey(7)
+
+        cfg32 = TrainConfig(lr=1e-3)
+        cfg16 = TrainConfig(lr=1e-3, compute_dtype="bfloat16")
+        step32 = jax.jit(make_train_step(apply32, SCHED, cfg32, make_zeggs_cond_builder(4)))
+        step16 = jax.jit(make_train_step(apply16, SCHED, cfg16, make_zeggs_cond_builder(4)))
+        s32 = create_train_state(params, cfg32, SCHED.num_timesteps)
+        s16 = create_train_state(params, cfg16, SCHED.num_timesteps)
+        s32, m32 = step32(s32, batch, rng)
+        s16, m16 = step16(s16, batch, rng)
+
+        # same rng → same t/noise draw; only the trunk precision differs
+        l32, l16 = float(m32["loss"]), float(m16["loss"])
+        assert np.isfinite(l16)
+        assert abs(l16 - l32) / max(abs(l32), 1e-9) < 0.05
+        # gradient direction agrees
+        g32 = float(m32["grad_norm"]); g16 = float(m16["grad_norm"])
+        assert abs(g16 - g32) / max(g32, 1e-9) < 0.2
+
+    def test_master_weights_stay_f32(self):
+        params, apply16 = self._setup(jnp.bfloat16)
+        cfg = TrainConfig(lr=1e-3, compute_dtype="bfloat16", ema_rate=0.99)
+        step = jax.jit(make_train_step(apply16, SCHED, cfg, make_zeggs_cond_builder(4)))
+        state = create_train_state(params, cfg, SCHED.num_timesteps)
+        state, _ = step(state, make_batch(np.random.default_rng(3)), jax.random.PRNGKey(0))
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.ema_params):
+            assert leaf.dtype == jnp.float32
+        # adam moments too
+        for leaf in jax.tree.leaves(state.opt_state):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+
+    def test_bf16_loss_decreases(self):
+        params, apply16 = self._setup(jnp.bfloat16)
+        cfg = TrainConfig(lr=1e-3, compute_dtype="bfloat16")
+        step = jax.jit(make_train_step(apply16, SCHED, cfg, make_zeggs_cond_builder(4)))
+        state = create_train_state(params, cfg, SCHED.num_timesteps)
+        batch = make_batch(np.random.default_rng(4))
+        losses = []
+        for i in range(5):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
