@@ -44,6 +44,11 @@ class SamplerConfig:
     const_noise: bool = False
     eta: float = 0.0  # DDIM
     order: int = 2  # PLMS
+    # lax.scan unroll factor for the timestep loop: k denoiser steps per
+    # scan body. Probes whether per-iteration scan overhead (carry
+    # round-trip, loop bookkeeping) matters at batch-1 single-stream
+    # latency; measured by scripts/b1_latency_probe.py — see ROADMAP.
+    unroll: int = 1
 
 
 def _nonzero_mask(t: jax.Array, ndim: int) -> jax.Array:
@@ -132,7 +137,7 @@ def p_sample_loop(
         return (sample, key), (sample if return_trajectory else None)
 
     ts = jnp.arange(t0, -1, -1)
-    (img, _), traj = jax.lax.scan(step, (img, key), ts)
+    (img, _), traj = jax.lax.scan(step, (img, key), ts, unroll=cfg.unroll)
     if return_trajectory:
         return img, traj
     return img
@@ -177,7 +182,7 @@ def ddim_sample_loop(
         return (sample, key), None
 
     ts = jnp.arange(t0, -1, -1)
-    (img, _), _ = jax.lax.scan(step, (img, key), ts)
+    (img, _), _ = jax.lax.scan(step, (img, key), ts, unroll=cfg.unroll)
     return img
 
 
@@ -293,7 +298,7 @@ def plms_sample_loop(
 
     hist0 = jnp.zeros((4,) + tuple(shape), dtype=jnp.float32)
     ts = jnp.arange(t0, -1, -1)
-    (img, _, _), _ = jax.lax.scan(step, (img, hist0, jnp.int32(0)), ts)
+    (img, _, _), _ = jax.lax.scan(step, (img, hist0, jnp.int32(0)), ts, unroll=cfg.unroll)
     return img
 
 
@@ -348,7 +353,7 @@ def dpmpp2m_sample_loop(
     if t0 > 0:
         ts = jnp.arange(t0, 0, -1)
         carry0 = (img, jnp.zeros_like(img), jnp.ones(()), jnp.ones((), bool))
-        (img, _, _, _), _ = jax.lax.scan(step, carry0, ts)
+        (img, _, _, _), _ = jax.lax.scan(step, carry0, ts, unroll=cfg.unroll)
     # final step to σ=0: x = D, taken 1st-order for stability
     return x0_at(img, 0)
 

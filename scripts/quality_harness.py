@@ -359,7 +359,7 @@ def run(workdir: str) -> dict:
             frames += out.shape[1]
             if mode_name == baseline_key and "Happy" in stem:
                 zf.pose_features_to_bvh(
-                    out[0], os.path.join(workdir, "demo_ddpm1000.bvh"),
+                    out[0], os.path.join(workdir, f"demo_{mode_name}.bvh"),
                     smoothing=True)
         wall = time.time() - t0
         print(f"== mode {mode_name}: {frames} frames in {wall:.1f}s ==")
@@ -369,7 +369,8 @@ def run(workdir: str) -> dict:
             eval_main([
                 "--generated", gen_dir, "--reference", ref_dir,
                 "--wav", eval_src, "--fps", str(FPS),
-                "--embedding", "autoencoder", "--ae_steps", "400",
+                "--embedding", "autoencoder",
+                "--ae_steps", os.environ.get("QH_AE_STEPS", "400"),
             ])
         metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
         metrics["gen_frames_per_sec"] = round(frames / wall, 1)
@@ -476,6 +477,77 @@ def main():
     with open(gate_path, "w") as f:
         json.dump(report["manifest"], f, indent=1)
     print("wrote", gate_path)
+
+    write_demo_md(report, workdir)
+
+
+def write_demo_md(report: dict, workdir: str) -> None:
+    """Render the convergence + quality artifact (VERDICT r2 item 6)."""
+    import platform
+
+    lines = [
+        "# DEMO — full product loop, round 3",
+        "",
+        "Produced by `scripts/quality_harness.py` in one command: synthetic",
+        "audio-synchronized ZEGGS corpus → real featurizer → `cli.train`",
+        f"({report['train_steps']} on-chip steps, loss curve below) → orbax",
+        "checkpoint → compiled windowed sampler in every serving mode →",
+        "`cli.eval` (FGD on a trained autoencoder embedding, diversity,",
+        "beat alignment vs wav onsets) → serving quality gate",
+        "(`resources/quality_gate.json`, consumed by `cli.sample`).",
+        "",
+    ]
+    if report.get("train_wall_s"):
+        lines.append(f"Training wall time: {report['train_wall_s']} s "
+                     f"on {platform.node() or 'this host'} "
+                     f"(JAX backend: {_backend_name()}).")
+        lines.append("")
+    curve = report.get("loss_curve") or []
+    if curve:
+        lines += ["## Loss curve (from the CSV sink)", "", "| step | loss |", "|---|---|"]
+        keep = curve if len(curve) <= 16 else (
+            curve[:: max(1, len(curve) // 14)] + [curve[-1]])
+        for s, l in keep:
+            lines.append(f"| {s} | {l:.4f} |")
+        first, last = curve[0][1], curve[-1][1]
+        lines += ["", f"Loss fell {first:.4f} → {last:.4f} "
+                  f"({(1 - last / first) * 100:.1f}% reduction).", ""]
+    lines += ["## Serving modes vs ground truth", "",
+              "| mode | FGD (AE embedding) | diversity (gen/ref) | "
+              "beat align | gen fps |", "|---|---|---|---|---|"]
+    for name, m in report.get("modes", {}).items():
+        lines.append(
+            f"| {name} | {m['fgd']:.3f} | "
+            f"{m['diversity_generated']:.2f}/{m['diversity_reference']:.2f} | "
+            f"{m.get('beat_alignment', float('nan')):.3f} | "
+            f"{m.get('gen_frames_per_sec', 0)} |")
+    man = report.get("manifest", {})
+    lines += ["", f"Gate: baseline `{man.get('baseline')}`, FGD-ratio "
+              f"tolerance {man.get('fgd_ratio_tolerance')}."]
+    for name, v in man.get("modes", {}).items():
+        lines.append(f"- `{name}`: ratio {v['fgd_ratio']} → "
+                     f"{'OK' if v['ok'] else 'DEGRADED (refused by cli.sample)'}")
+    if report.get("distill"):
+        lines += ["", "Distillation stages: " + ", ".join(
+            f"{d['teacher_steps']}→{d['teacher_steps'] // 2} (loss {d['loss']:.4f})"
+            for d in report["distill"])]
+    lines += ["", f"A generated BVH from the baseline mode is kept at "
+              f"`{os.path.join(workdir, 'demo_' + str(man.get('baseline')) + '.bvh')}` "
+              "(regenerate with the harness).", ""]
+    path = os.path.join(REPO, "DEMO_r03.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print("wrote", path)
+
+
+def _backend_name() -> str:
+    try:
+        import jax
+
+        d = jax.devices()[0]
+        return getattr(d, "device_kind", d.platform)
+    except Exception:  # pragma: no cover
+        return "unknown"
 
 
 if __name__ == "__main__":
