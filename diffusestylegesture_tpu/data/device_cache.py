@@ -60,21 +60,31 @@ def make_device_data_train_step(
     batch_size: int,
     batch_sharding=None,
 ) -> Callable:
-    """Train step `(state, key) → (state, metrics)` with on-device batching.
+    """Train step `(state, key, arrays) → (state, metrics)` with on-device
+    batching.
 
     The batch gather fuses into the compiled step — zero host traffic per
     iteration. `batch_sharding` (a NamedSharding over the mesh's 'data'
     axis) constrains the sampled batch: without it GSPMD propagates the
     replicated cache through the whole step and every chip redundantly
     computes the identical full batch — data parallelism silently lost.
+
+    The cache arrays enter as an explicit jit ARGUMENT (`arrays` =
+    `cache.arrays`): closing over them would embed hundreds of MB of
+    dataset as literal constants in the serialized HLO — which breaks
+    remote-compile transports (HTTP 413 through the axon tunnel) and
+    bloats the compile either way. Passed as arguments, the already-
+    on-device buffers are just parameter bindings.
     """
     from ..train.state import make_train_step
 
     inner = make_train_step(model_apply, sched, train_cfg, cond_builder)
+    n = cache.n
 
-    def step(state, key):
+    def step(state, key, arrays):
         k_data, k_step = jax.random.split(key)
-        batch = cache.sample_batch(k_data, batch_size)
+        idx = jax.random.randint(k_data, (batch_size,), 0, n)
+        batch = {k: v[idx] for k, v in arrays.items()}
         if batch_sharding is not None:
             batch = jax.tree.map(
                 lambda a: jax.lax.with_sharding_constraint(a, batch_sharding),

@@ -88,6 +88,7 @@ class TrainLoop:
                 cond_builder, batch_size, batch_sharding=batch_sharding,
             )
             self.cached_step = jax.jit(cached, donate_argnums=(0,))
+            self._cache_arrays = device_cache.arrays
             self.train_step = None
         else:
             self.cached_step = None
@@ -172,7 +173,8 @@ class TrainLoop:
                 break
             self.rng, sub = jax.random.split(self.rng)
             if self.cached_step is not None:
-                self.state, metrics = self.cached_step(self.state, sub)
+                self.state, metrics = self.cached_step(
+                    self.state, sub, self._cache_arrays)
             else:
                 if self.mesh is not None:
                     batch = shard_batch(self.mesh, batch)

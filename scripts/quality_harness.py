@@ -172,6 +172,13 @@ def write_corpus(src_dir: str, eval_dir: str) -> None:
         bvh.save(os.path.join(eval_dir, name + ".bvh"), anim)
 
 
+def _featurize_worker(bvh_path: str) -> np.ndarray:
+    """Module-level (picklable) per-clip featurization for CPU workers."""
+    from diffusestylegesture_tpu.motion import zeggs_features as zf
+
+    return zf.featurize_bvh_file(bvh_path, fps=FPS)["features"].astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # 2. pseudo-WavLM (deterministic spectral projection; jit-able)
 # ---------------------------------------------------------------------------
@@ -202,8 +209,12 @@ def make_pseudo_wavlm():
         feats = jnp.tanh(jnp.log1p(mag) @ proj)
         return interpolate_linear(feats, N_POSES)
 
+    jitted = jax.jit(lambda w: features(None, w))
+
     def features_np(windows):  # numpy wrapper for the dataset cache
-        return np.asarray(features(None, np.asarray(windows, np.float32)))
+        # jitted: ONE dispatch per batch — eager ops through a remote
+        # (axon) backend pay a round trip each
+        return np.asarray(jitted(np.asarray(windows, np.float32)))
 
     return features, features_np
 
@@ -245,7 +256,9 @@ def run(workdir: str) -> dict:
         write_corpus(src, eval_src)
     if not os.path.exists(os.path.join(data_dir, "mean.npz")):
         print("== building ZEGGS dataset (real featurizer) ==")
-        build_zeggs_dataset(src, data_dir, fps=FPS)
+        # workers: CPU-pinned process pool — the serial path's math would
+        # otherwise dispatch eagerly through a remote-TPU (axon) backend
+        build_zeggs_dataset(src, data_dir, fps=FPS, workers=4)
 
     wavlm_jax, wavlm_np = make_pseudo_wavlm()
     # cache pseudo-WavLM features into the window cache (precompute→train
@@ -324,17 +337,28 @@ def run(workdir: str) -> dict:
         modes[f"distill{DIFFUSION_STEPS // (2 ** distill_stages)}"] = distill_student(
             model_apply, params, full, data_dir, distill_stages, report)
 
-    # -- ground-truth eval features + audio --
+    # -- ground-truth eval features + audio (CPU-pinned workers: the
+    # serial path would dispatch the quat/FK math eagerly through the
+    # remote-TPU backend, same issue `build_zeggs_dataset(workers=)`
+    # solves) --
     ref_dir = os.path.join(workdir, "ref_feats")
     os.makedirs(ref_dir, exist_ok=True)
     eval_wavs = sorted(f for f in os.listdir(eval_src) if f.endswith(".wav"))
-    for f in eval_wavs:
-        stem = f[:-4]
-        out = os.path.join(ref_dir, stem + ".npy")
-        if not os.path.exists(out):
-            feats = zf.featurize_bvh_file(
-                os.path.join(eval_src, stem + ".bvh"), fps=FPS)["features"]
-            np.save(out, feats.astype(np.float32))
+    todo = [f[:-4] for f in eval_wavs
+            if not os.path.exists(os.path.join(ref_dir, f[:-4] + ".npy"))]
+    if todo:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        from diffusestylegesture_tpu.data.zeggs import _worker_init
+
+        with ProcessPoolExecutor(
+            max_workers=min(4, len(todo)), mp_context=mp.get_context("spawn"),
+            initializer=_worker_init,
+        ) as ex:
+            paths = [os.path.join(eval_src, s + ".bvh") for s in todo]
+            for stem, feats in zip(todo, ex.map(_featurize_worker, paths)):
+                np.save(os.path.join(ref_dir, stem + ".npy"), feats)
 
     # -- generate + evaluate each mode --
     from diffusestylegesture_tpu.data import load_wav_16k

@@ -418,10 +418,17 @@ class TestDeviceCache:
         state = create_train_state(params, cfg, SCHED.num_timesteps)
         losses = []
         for i in range(3):
-            state, m = step(state, jax.random.PRNGKey(i))
+            state, m = step(state, jax.random.PRNGKey(i), cache.arrays)
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert int(state.step) == 3
+        # the compiled step must NOT embed the dataset as HLO constants
+        # (breaks remote-compile transports; r3 regression guard): the
+        # lowered text stays small and references the arrays as params
+        low = jax.jit(make_device_data_train_step(
+            apply, SCHED, cfg, cache, make_zeggs_cond_builder(4), batch_size=B,
+        )).lower(state, jax.random.PRNGKey(0), cache.arrays)
+        assert len(low.as_text()) < 20_000_000
 
 
 @requires_reference
