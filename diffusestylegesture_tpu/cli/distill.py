@@ -95,17 +95,14 @@ def main(argv=None):
     )
     sched_teacher = D.Schedule.create(base_betas)
 
-    rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
-    def sample_batch():
-        idx = rng.integers(0, len(data.poses), batch_size)
-        batch = {
-            "motion": jnp.asarray(data.poses[idx]),
-            "style": jnp.asarray(data.styles[idx]),
-            "wavlm": jnp.asarray(data.wavlm[idx]),
-        }
-        return builder(batch)
+    # device-resident windows with an in-jit gather (`data/device_cache`
+    # pattern): per-step host batches (~24 MB at batch 32) dominate wall
+    # time through tunneled/remote backends
+    from ..data.device_cache import DeviceWindowCache
+
+    cache = DeviceWindowCache.from_zeggs(data)
 
     import orbax.checkpoint as ocp
 
@@ -127,18 +124,21 @@ def main(argv=None):
 
         init_fn, _ = _make(teacher_params)
 
-        # teacher params enter the jit as an ARGUMENT — closing over them
-        # would bake the whole weight pytree into the executable as
-        # constants (compile bloat + a full recompile every stage)
+        # teacher params and the dataset arrays enter the jit as ARGUMENTS
+        # — closing over either would bake them into the executable as
+        # constants (compile bloat; remote-compile transports reject the
+        # oversized program)
         @jax.jit
-        def step_fn(tp, params, opt_state, x0, key, cond):
-            return _make(tp)[1](params, opt_state, x0, key, cond)
+        def step_fn(tp, params, opt_state, key, arrays):
+            k_data, k_step = jax.random.split(key)
+            idx = jax.random.randint(k_data, (batch_size,), 0, cache.n)
+            x0, cond, _mask = builder({k: v[idx] for k, v in arrays.items()})
+            return _make(tp)[1](params, opt_state, x0, k_step, cond)
         opt = init_fn(student_params)
         params = student_params
         for i in range(args.steps_per_stage):
-            x0, cond, _mask = sample_batch()
             key, sub = jax.random.split(key)
-            params, opt, m = step_fn(teacher_params, params, opt, x0, sub, cond)
+            params, opt, m = step_fn(teacher_params, params, opt, sub, cache.arrays)
             if i % max(1, args.steps_per_stage // 10) == 0:
                 print(f"  step {i}: loss {float(m['loss']):.5f}")
 
