@@ -565,3 +565,27 @@ class TestMixedPrecision:
             losses.append(float(metrics["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestLoopLogSinks:
+    def test_csv_sink_records_loss_curve(self, tmp_path):
+        """LoopConfig.log_dir/log_formats wire the KVLogger CSV sink into
+        the product loop (used by the quality harness's loss-curve
+        artifact)."""
+        import csv
+
+        _, params, apply = make_model_and_params()
+        log_dir = str(tmp_path / "logs")
+        loop = TrainLoop(
+            apply, SCHED, params, data_iter(4),
+            train_cfg=TrainConfig(lr=1e-3),
+            loop_cfg=LoopConfig(num_steps=3, log_interval=1, save_interval=0,
+                                log_dir=log_dir, log_formats=("csv",)),
+            cond_builder=make_zeggs_cond_builder(4),
+        )
+        loop.run()
+        with open(f"{log_dir}/progress.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) >= 3
+        assert all(float(r["loss"]) > 0 for r in rows if r.get("loss"))
+        assert {int(float(r["step"])) for r in rows} >= {0, 1, 2}
