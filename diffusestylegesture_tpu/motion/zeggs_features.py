@@ -190,7 +190,17 @@ def pose_features_to_bvh(
     names=None,
     parents: Optional[np.ndarray] = None,
 ) -> None:
-    """(T, 1141) features → .bvh file (parity: `pose2bvh:219-275`)."""
+    """(T, 1141) features → .bvh file (parity: `pose2bvh:219-275`).
+
+    Host-side export: the quat math here runs on the CPU backend even
+    when the default device is an accelerator — eager op-by-op dispatch
+    through a remote (axon) TPU client pays a round trip (and often a
+    remote compile) per op, turning a milliseconds export into minutes.
+    """
+    import contextlib
+
+    import jax
+
     from scipy.signal import savgol_filter
 
     length = poses.shape[0]
@@ -201,19 +211,27 @@ def pose_features_to_bvh(
     if smoothing:
         poses = savgol_filter(poses, 15, 2, axis=0)
 
-    root_pos = poses[:, 0:3]
-    root_rot = poses[:, 3:7]
-    lpos = poses[:, 13: 13 + njoints * 3].reshape(length, njoints, 3)
-    ltxy = poses[:, 13 + njoints * 3: 13 + njoints * 9].reshape(length, njoints, 2, 3)
-    lrot = np.asarray(quat.from_xform(txform.orthogonalize_from_xy(ltxy.astype(np.float32))))
+    try:
+        cpu_scope = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # no CPU backend registered
+        cpu_scope = contextlib.nullcontext()
 
-    # 20 → 60 fps frame repetition (ref `:262-267`)
-    root_pos = root_pos.repeat(fps_up, axis=0)
-    root_rot = root_rot.repeat(fps_up, axis=0)
-    lpos = lpos.repeat(fps_up, axis=0)
-    lrot = lrot.repeat(fps_up, axis=0)
+    with cpu_scope:
+        root_pos = poses[:, 0:3]
+        root_rot = poses[:, 3:7]
+        lpos = poses[:, 13: 13 + njoints * 3].reshape(length, njoints, 3)
+        ltxy = poses[:, 13 + njoints * 3: 13 + njoints * 9].reshape(length, njoints, 2, 3)
+        lrot = np.asarray(quat.from_xform(txform.orthogonalize_from_xy(ltxy.astype(np.float32))))
 
-    write_bvh(outpath, root_pos, root_rot, lpos, lrot, parents, names, "zyx", 1.0 / (20 * fps_up))
+        # 20 → 60 fps frame repetition (ref `:262-267`)
+        root_pos = root_pos.repeat(fps_up, axis=0)
+        root_rot = root_rot.repeat(fps_up, axis=0)
+        lpos = lpos.repeat(fps_up, axis=0)
+        lrot = lrot.repeat(fps_up, axis=0)
+
+        # write_bvh's quat.mul/mul_vec/to_euler stay on CPU too
+        write_bvh(outpath, root_pos, root_rot, lpos, lrot, parents, names,
+                  "zyx", 1.0 / (20 * fps_up))
 
 
 def write_bvh(filename, root_pos, root_rot, lpos, lrot, parents, names, order, dt):

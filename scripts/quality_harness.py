@@ -376,15 +376,20 @@ def run(workdir: str) -> dict:
             stem = f[:-4]
             audio = load_wav_16k(os.path.join(eval_src, f))
             style = zf.style_onehot(stem.split("_")[1])[None]
+            tc = time.time()
             out = sampler.generate(
                 mparams, None, audio, style, jax.random.PRNGKey(123456),
                 mean=mean, std=std)
             np.save(os.path.join(gen_dir, stem + ".npy"), out[0])
+            print(f"   clip {stem}: {out.shape[1]} frames {time.time() - tc:.1f}s",
+                  flush=True)
             frames += out.shape[1]
             if mode_name == baseline_key and "Happy" in stem:
+                tb = time.time()
                 zf.pose_features_to_bvh(
                     out[0], os.path.join(workdir, f"demo_{mode_name}.bvh"),
                     smoothing=True)
+                print(f"   demo BVH {time.time() - tb:.1f}s", flush=True)
         wall = time.time() - t0
         print(f"== mode {mode_name}: {frames} frames in {wall:.1f}s ==")
 
@@ -496,6 +501,11 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report):
 
 
 def main():
+    import faulthandler
+
+    # periodic all-thread stack dumps: long axon compiles/transfers look
+    # like hangs from outside; this shows exactly where the time goes
+    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
     workdir = os.environ.get("QH_WORKDIR", os.path.join(REPO, ".quality_harness"))
     os.makedirs(workdir, exist_ok=True)
     report = run(workdir)
