@@ -147,7 +147,11 @@ def main(argv=None):
     # init params from one batch
     batch = next(iter(batches))
     x0, cond, _ = builder({k: jnp.asarray(v) for k, v in batch.items()})
-    params = model.init(
+    # jit the init: one compiled program instead of thousands of eagerly
+    # dispatched ops — through a remote (axon) backend the eager chain
+    # queues ~minutes of round-trips that the first device sync then
+    # blocks on (same reason bench.py jits its inits)
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed), x0, jnp.zeros((x0.shape[0],), jnp.int32), cond
     )
 

@@ -370,9 +370,9 @@ def run(workdir: str) -> dict:
             apply_fn, wavlm_jax, sched,
             ZeggsEngineConfig(sampler=sampler_name),
         )
-        t0 = time.time()
         frames = 0
-        for f in eval_wavs:
+        warm_frames, warm_wall = 0, 0.0  # excluding the first (compiling) clip
+        for ci, f in enumerate(eval_wavs):
             stem = f[:-4]
             audio = load_wav_16k(os.path.join(eval_src, f))
             style = zf.style_onehot(stem.split("_")[1])[None]
@@ -380,18 +380,23 @@ def run(workdir: str) -> dict:
             out = sampler.generate(
                 mparams, None, audio, style, jax.random.PRNGKey(123456),
                 mean=mean, std=std)
+            clip_wall = time.time() - tc
             np.save(os.path.join(gen_dir, stem + ".npy"), out[0])
-            print(f"   clip {stem}: {out.shape[1]} frames {time.time() - tc:.1f}s",
+            print(f"   clip {stem}: {out.shape[1]} frames {clip_wall:.1f}s",
                   flush=True)
             frames += out.shape[1]
+            if ci > 0:  # clip 0 pays the engine compile
+                warm_frames += out.shape[1]
+                warm_wall += clip_wall
             if mode_name == baseline_key and "Happy" in stem:
                 tb = time.time()
                 zf.pose_features_to_bvh(
                     out[0], os.path.join(workdir, f"demo_{mode_name}.bvh"),
                     smoothing=True)
                 print(f"   demo BVH {time.time() - tb:.1f}s", flush=True)
-        wall = time.time() - t0
-        print(f"== mode {mode_name}: {frames} frames in {wall:.1f}s ==")
+        wall = warm_wall if warm_frames else 1.0
+        print(f"== mode {mode_name}: {frames} frames, warm "
+              f"{warm_frames / wall:.0f} fps ==")
 
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -402,7 +407,7 @@ def run(workdir: str) -> dict:
                 "--ae_steps", os.environ.get("QH_AE_STEPS", "400"),
             ])
         metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
-        metrics["gen_frames_per_sec"] = round(frames / wall, 1)
+        metrics["gen_frames_per_sec"] = round((warm_frames or frames) / wall, 1)
         report["modes"][mode_name] = metrics
         print(f"   {mode_name}: fgd={metrics['fgd']:.3f} "
               f"beat={metrics.get('beat_alignment', float('nan')):.3f} "
@@ -422,9 +427,14 @@ def run(workdir: str) -> dict:
         if mode_name == baseline_key:
             continue
         ratio = m["fgd"] / base_fgd
+        base_div = max(report["modes"][baseline_key]["diversity_generated"], 1e-9)
         manifest["modes"][mode_name] = {
             "fgd": m["fgd"], "fgd_ratio": round(ratio, 3),
             "beat_alignment": m.get("beat_alignment"),
+            # informational: few-step solvers tend to over-smooth; a
+            # collapse shows up here even when FGD stays in tolerance
+            "diversity_ratio_vs_baseline": round(
+                m["diversity_generated"] / base_div, 3),
             "ok": bool(ratio <= FGD_RATIO_TOL),
         }
     report["manifest"] = manifest
