@@ -100,8 +100,11 @@ class TorchEncoderLayer(nn.Module):
     activation: str = "gelu"
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+    def __call__(self, x: jax.Array, deterministic: bool = True,
                  attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        # `deterministic` is positional so nn.remat can mark it static
+        # (argnum 2 counting self) — as a traced kwarg it breaks
+        # rematerialized training (TracerBoolConversionError)
         act = _activation(self.activation)
         attn_out = TorchMultiheadAttention(
             self.d_model, self.nhead, self.dropout, name="self_attn"
@@ -194,7 +197,8 @@ class TorchTransformerEncoder(nn.Module):
                  attn_mask: Optional[jax.Array] = None) -> jax.Array:
         layer_cls = TorchEncoderLayer
         if self.remat:
-            layer_cls = nn.remat(TorchEncoderLayer, static_argnums=())
+            # static_argnums counts (self=0, x=1, deterministic=2)
+            layer_cls = nn.remat(TorchEncoderLayer, static_argnums=(2,))
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model,
@@ -203,5 +207,5 @@ class TorchTransformerEncoder(nn.Module):
                 self.dropout,
                 self.activation,
                 name=f"layers_{i}",
-            )(x, deterministic=deterministic, attn_mask=attn_mask)
+            )(x, deterministic, attn_mask=attn_mask)
         return x

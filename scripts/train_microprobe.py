@@ -1,0 +1,143 @@
+"""Train-step time decomposition + variant probe (round 3).
+
+BENCH_MODE=train measures 80 ms f32 / 70 ms bf16 per step at the
+reference configuration (batch 300 × (88,1141)) — 8.7%/9.9% MFU. This
+probe answers "where does the step go and is there a cheap win":
+
+  * fwd-only loss vs fwd+bwd vs full step (grad+Adam+EMA+metrics)
+  * remat (activation rematerialization) on/off
+  * batch 300 vs 600 (does amortization help at d=256?)
+  * bf16 for each
+
+Writes TRAIN_MICROPROBE.jsonl and prints a summary. Decisions land in
+ROADMAP.md like the int8/Pallas/unroll probes.
+
+Run: `timeout 1800 python scripts/train_microprobe.py`
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from diffusestylegesture_tpu import diffusion as D  # noqa: E402
+from diffusestylegesture_tpu.models.mdm import MDM, MDMConfig  # noqa: E402
+from diffusestylegesture_tpu.train import (  # noqa: E402
+    TrainConfig, create_train_state, make_train_step)
+from diffusestylegesture_tpu.train.state import make_zeggs_cond_builder  # noqa: E402
+from diffusestylegesture_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache)
+
+
+def timed(fn, *args, reps=8):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
+    return dt
+
+
+def main():
+    enable_persistent_cache()
+    T = 88
+    sched = D.Schedule.create(D.named_beta_schedule("cosine", 1000))
+    results = []
+
+    for B in (300, 600):
+        rng = np.random.default_rng(0)
+        batch = jax.device_put({
+            "motion": rng.standard_normal((B, T, 1141)).astype(np.float32),
+            "style": np.eye(6, dtype=np.float32)[rng.integers(0, 6, B)],
+            "wavlm": rng.standard_normal((B, T, 1024)).astype(np.float32),
+        })
+        jax.block_until_ready(batch)
+        builder = make_zeggs_cond_builder(8)
+
+        for dtype in ("float32", "bfloat16"):
+            for remat in (False, True):
+                mcfg = MDMConfig(dtype=jnp.dtype(dtype), remat=remat)
+                model = MDM(mcfg)
+
+                def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
+                    return model.apply(p, xx, tt, cc, train=train, rngs=rngs,
+                                       uncond=uncond)
+
+                if dtype == "float32" and not remat and B == 300:
+                    pass  # baseline
+                x0, cond, _ = builder(batch)
+                params = jax.jit(model.init)(
+                    jax.random.PRNGKey(0), x0,
+                    jnp.zeros((B,), jnp.int32), cond)
+                tcfg = TrainConfig(lr=3e-5, compute_dtype=dtype)
+                step = jax.jit(
+                    make_train_step(apply, sched, tcfg, builder),
+                    donate_argnums=(0,))
+
+                # fwd-only: loss value without grad
+                def fwd_only(p, b, key):
+                    from diffusestylegesture_tpu.diffusion import gaussian as G
+                    from diffusestylegesture_tpu.diffusion import resample
+
+                    xs, cc, mask = builder(b)
+                    t, w = resample.uniform_sample_t(key, B, 1000)
+                    noise = jax.random.normal(key, xs.shape, jnp.float32)
+
+                    def mf(x, tt):
+                        return apply(p, x, tt, cc, train=True,
+                                     rngs={"cond_mask": key, "dropout": key}
+                                     ).astype(jnp.float32)
+                    terms, _ = G.training_losses(sched, mf, xs, t, noise, mask)
+                    return jnp.mean(terms["loss"])
+
+                jfwd = jax.jit(fwd_only)
+
+                def cast(p):
+                    if dtype == "bfloat16":
+                        return jax.tree.map(
+                            lambda a: a.astype(jnp.bfloat16)
+                            if a.dtype == jnp.float32 else a, p)
+                    return p
+
+                dt_fwd = timed(jfwd, cast(params), batch, jax.random.PRNGKey(1))
+
+                state = create_train_state(jax.tree.map(jnp.copy, params), tcfg, 1000)
+
+                def run_step(s, b, k):
+                    return step(s, b, k)
+
+                # donated state: time manually
+                s, _ = step(state, batch, jax.random.PRNGKey(1))
+                jax.block_until_ready(s.params)
+                dt_step = float("inf")
+                for i in range(8):
+                    t0 = time.perf_counter()
+                    s, m = step(s, batch, jax.random.PRNGKey(2 + i))
+                    jax.block_until_ready(s.params)
+                    dt_step = min(dt_step, time.perf_counter() - t0)
+
+                row = {
+                    "batch": B, "dtype": dtype, "remat": remat,
+                    "fwd_ms": round(dt_fwd * 1e3, 1),
+                    "step_ms": round(dt_step * 1e3, 1),
+                }
+                results.append(row)
+                print(json.dumps(row), flush=True)
+
+    with open(os.path.join(REPO, "TRAIN_MICROPROBE.jsonl"), "w") as f:
+        for r in results:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -342,3 +342,49 @@ class TestGeluTanhServing:
         out_fast = fast.apply(params, x, t, cond)  # same params, new program
         err = float(jnp.abs(out - out_fast).max())
         assert 0 < err < 2e-3
+
+
+class TestRematTraining:
+    """remat=True must work under training (deterministic=False reaches
+    nn.remat as a STATIC argument — as a traced kwarg it raises
+    TracerBoolConversionError; r3 regression) and match the plain
+    forward exactly."""
+
+    def test_remat_train_step_and_forward_parity(self):
+        from diffusestylegesture_tpu import diffusion as D
+        from diffusestylegesture_tpu.train import (
+            TrainConfig, create_train_state, make_train_step)
+        from diffusestylegesture_tpu.train.state import make_zeggs_cond_builder
+
+        B, NJ, T = 4, 16, 22
+        kw = dict(njoints=NJ, latent_dim=128, ff_size=64, num_layers=2,
+                  window_size=11, n_seed=4)
+        model_r = MDM(MDMConfig(remat=True, **kw))
+        model_p = MDM(MDMConfig(remat=False, **kw))
+        rng = np.random.default_rng(0)
+        batch = {
+            "motion": rng.standard_normal((B, T, NJ)).astype(np.float32),
+            "style": rng.standard_normal((B, 6)).astype(np.float32),
+            "wavlm": rng.standard_normal((B, T, 1024)).astype(np.float32),
+        }
+        x = jnp.zeros((B, NJ, 1, T))
+        cond = {"seed": x[..., :4], "style": jnp.asarray(batch["style"]),
+                "audio": jnp.asarray(batch["wavlm"]),
+                "mask_local": jnp.ones((B, T), bool)}
+        params = model_p.init(jax.random.PRNGKey(0), x,
+                              jnp.zeros((B,), jnp.int32), cond)
+
+        o_r = model_r.apply(params, x, jnp.zeros((B,), jnp.int32), cond)
+        o_p = model_p.apply(params, x, jnp.zeros((B,), jnp.int32), cond)
+        np.testing.assert_allclose(np.asarray(o_r), np.asarray(o_p), atol=1e-6)
+
+        def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
+            return model_r.apply(p, xx, tt, cc, train=train, rngs=rngs,
+                                 uncond=uncond)
+
+        sched = D.Schedule.create(D.named_beta_schedule("cosine", 10))
+        cfg = TrainConfig(lr=1e-3)
+        step = jax.jit(make_train_step(apply, sched, cfg, make_zeggs_cond_builder(4)))
+        state = create_train_state(params, cfg, 10)
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
