@@ -36,16 +36,19 @@ from diffusestylegesture_tpu.utils.compile_cache import (  # noqa: E402
     enable_persistent_cache)
 
 
-def timed(fn, *args, reps=8):
-    out = fn(*args)
+def timed_chained(fn, key, *args, reps=8):
+    """Steady-state per-call time: chain each call on the previous
+    result (key fold-in) and sync ONCE at the end — a per-call
+    block_until_ready adds a host↔device round trip per step, which
+    through a remote tunnel inflates an 80 ms step to ~113 ms."""
+    out = fn(key, *args)
     jax.block_until_ready(out)
-    dt = float("inf")
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        dt = min(dt, time.perf_counter() - t0)
-    return dt
+        key = jax.random.fold_in(key, (out * 0).astype(jnp.int32))
+        out = fn(key, *args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
 
 
 def main():
@@ -100,7 +103,7 @@ def main():
                     terms, _ = G.training_losses(sched, mf, xs, t, noise, mask)
                     return jnp.mean(terms["loss"])
 
-                jfwd = jax.jit(fwd_only)
+                jfwd = jax.jit(lambda k, p, b: fwd_only(p, b, k))
 
                 def cast(p):
                     if dtype == "bfloat16":
@@ -109,22 +112,20 @@ def main():
                             if a.dtype == jnp.float32 else a, p)
                     return p
 
-                dt_fwd = timed(jfwd, cast(params), batch, jax.random.PRNGKey(1))
+                dt_fwd = timed_chained(jfwd, jax.random.PRNGKey(1), cast(params), batch)
 
                 state = create_train_state(jax.tree.map(jnp.copy, params), tcfg, 1000)
 
-                def run_step(s, b, k):
-                    return step(s, b, k)
-
-                # donated state: time manually
+                # donated state chains iterations naturally; sync once at
+                # the end (steady-state, same methodology as bench.py)
                 s, _ = step(state, batch, jax.random.PRNGKey(1))
                 jax.block_until_ready(s.params)
-                dt_step = float("inf")
-                for i in range(8):
-                    t0 = time.perf_counter()
+                n = 10
+                t0 = time.perf_counter()
+                for i in range(n):
                     s, m = step(s, batch, jax.random.PRNGKey(2 + i))
-                    jax.block_until_ready(s.params)
-                    dt_step = min(dt_step, time.perf_counter() - t0)
+                jax.block_until_ready(s.params)
+                dt_step = (time.perf_counter() - t0) / n
 
                 row = {
                     "batch": B, "dtype": dtype, "remat": remat,
