@@ -330,7 +330,12 @@ def main():
         for mode_name, entry in (manifest or {}).get("modes", {}).items():
             if not entry.get("ok"):
                 continue
-            for samp in ("ddim", "dpmpp"):
+            # distillN = a progressively distilled student serving an
+            # N-step DDIM chain — the student has the teacher's exact
+            # architecture, so an N-step DDIM chain on this model is the
+            # cycle-identical throughput proxy (only the weight VALUES
+            # differ between teacher and student)
+            for samp in ("ddim", "dpmpp", "distill"):
                 if mode_name.startswith(samp) and mode_name[len(samp):].isdigit():
                     n = int(mode_name[len(samp):])
                     if n < steps:
@@ -342,7 +347,7 @@ def main():
                 D.space_timesteps(steps, f"ddim{n}"))
             saved = sched, ecfg
             sched = fast_sched
-            ecfg = ZeggsEngineConfig(sampler=samp)
+            ecfg = ZeggsEngineConfig(sampler="ddim" if samp == "distill" else samp)
             try:
                 gated_fps, _, _, _, _ = run_config(
                     "bf16" if bf16_ok else "f32", big_batch, 200,

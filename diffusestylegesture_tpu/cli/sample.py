@@ -36,6 +36,11 @@ def load_orbax_params(model_path: str, use_ema: bool = False):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(model_path)
+    # cli.distill stage dir: params live under <stage>/params next to
+    # schedule.json (the student's halved DDIM grid)
+    if os.path.exists(os.path.join(path, "schedule.json")) and os.path.isdir(
+            os.path.join(path, "params")):
+        path = os.path.join(path, "params")
     steps = [int(d) for d in os.listdir(path) if d.isdigit()]
     if steps:
         mgr = ocp.CheckpointManager(path)
@@ -45,8 +50,16 @@ def load_orbax_params(model_path: str, use_ema: bool = False):
         tree = ocp.StandardCheckpointer().restore(path)
     if isinstance(tree, dict) and "opt_state" in tree:  # full TrainState
         if use_ema and tree.get("ema_params") is not None:
-            return tree["ema_params"]
-        return tree["params"]
+            tree = tree["ema_params"]
+        else:
+            tree = tree["params"]
+    # a --tp/--split_qkv training run writes split q/k/v attention
+    # kernels; the serving model uses the packed torch-parity layout, and
+    # the two are numerically interchangeable — merge on load
+    if "q_proj" in str(jax.tree_util.tree_structure(tree)):
+        from ..parallel import merge_qkv_params
+
+        tree = merge_qkv_params(tree)
     return tree
 
 
@@ -120,12 +133,35 @@ def main(argv=None):
     cfg = load_yaml_config(args.config)
     os.makedirs(args.save_dir, exist_ok=True)
 
+    # distilled-student checkpoint (cli.distill stage dir): serve on the
+    # student's EXACT halved DDIM grid from schedule.json — NOT a ddimN
+    # re-striding, which visits different timesteps than the student was
+    # trained to match — and gate under the harness's distillN key
+    distill_grid = None
+    if os.path.isdir(args.model_path) and os.path.exists(
+            os.path.join(args.model_path, "schedule.json")):
+        import json as _json
+
+        with open(os.path.join(args.model_path, "schedule.json")) as f:
+            distill_grid = _json.load(f)["use_timesteps"]
+        if args.sampler == "ddpm" and not args.respace:
+            print(f"note: distilled student checkpoint — serving its "
+                  f"{len(distill_grid)}-step DDIM grid")
+            args.sampler = "ddim"
+        if args.respace:
+            print("note: --respace ignored for a distilled student "
+                  "(schedule.json fixes the grid)")
+            args.respace = 0
+
     # motion-quality gate on fast serving modes (harness-measured FGD vs
     # DDPM-1000; `sample/quality_gate.py`) — checked BEFORE any model
     # loading/compilation so a refused mode costs nothing
-    from ..sample.quality_gate import check_mode
+    from ..sample.quality_gate import check_key, check_mode
 
-    status, message = check_mode(args.sampler, args.respace, cfg.diffusion_steps)
+    if distill_grid is not None:
+        status, message = check_key(f"distill{len(distill_grid)}")
+    else:
+        status, message = check_mode(args.sampler, args.respace, cfg.diffusion_steps)
     if status == "degraded" and not args.allow_degraded:
         raise SystemExit(f"REFUSED: {message}")
     if status != "baseline":
@@ -158,7 +194,9 @@ def main(argv=None):
     wavlm_fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
 
     betas = D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
-    if args.respace:
+    if distill_grid is not None:
+        sched = D.spaced_schedule(betas, distill_grid)
+    elif args.respace:
         sched = D.spaced_schedule(
             betas, D.space_timesteps(cfg.diffusion_steps, f"ddim{args.respace}"))
     else:

@@ -35,6 +35,7 @@ def build_zeggs(cfg):
         cond_mode=cfg.cond_mode,
         cond_mask_prob=cfg.cond_mask_prob,
         audio_feat=cfg.audio_feat,
+        split_qkv=cfg.get("split_qkv", False),
         dtype=jnp.dtype(cfg.get("compute_dtype", "float32")),
     )
     model = MDM(mcfg)
@@ -75,6 +76,7 @@ def build_beat_twh(cfg):
         source_audio_dim=cfg.audio_feature_dim,
         audio_feat_dim=cfg.audio_feat_dim_latent,
         style_dim_in=cfg.style_dim,
+        split_qkv=cfg.get("split_qkv", False),
         dtype=jnp.dtype(cfg.get("compute_dtype", "float32")),
     )
     model = MDMPlus(mcfg)
@@ -95,6 +97,12 @@ def main(argv=None):
     p.add_argument("--use_mesh", action="store_true")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel degree over the 'model' mesh axis")
+    p.add_argument("--split_qkv", action="store_true",
+                   help="store attention projections as separate q/k/v "
+                        "kernels instead of the torch-packed in_proj — "
+                        "head-aligned under --tp (parallel/tp.py); defaults "
+                        "on when --tp > 1. Checkpoints convert both ways "
+                        "with parallel.{split,merge}_qkv_params")
     p.add_argument("--device_cache", action="store_true",
                    help="ZEGGS: upload the whole window set to HBM once and "
                         "gather batches on device inside the step (zero host "
@@ -115,7 +123,14 @@ def main(argv=None):
         {k: getattr(args, k) for k in ("dataset", "name", "num_steps", "batch_size")},
     )
     if args.bf16:
-        cfg["compute_dtype"] = "bfloat16"
+        cfg.compute_dtype = "bfloat16"  # Config is attribute-style
+    if args.split_qkv or args.tp > 1:
+        # under TP the split layout is strictly better (head-aligned
+        # shards, no activation re-gather before attention); without TP
+        # it is numerically identical, so defaulting it on with --tp is
+        # safe for resumes too (orbax trees differ, but a fresh --tp run
+        # inits in the split layout from step 0)
+        cfg.split_qkv = True
 
     if cfg.dataset == "ZEGGS":
         model, mcfg, batches, builder, dataset = build_zeggs(cfg)

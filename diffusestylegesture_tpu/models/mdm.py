@@ -77,6 +77,11 @@ class MDMConfig:
     seq_mesh: Any = None  # jax.sharding.Mesh, required for seq_parallel
     seq_axis: str = "seq"
     remat: bool = False
+    # separate q/k/v projection kernels in the trunk instead of the
+    # torch-packed (D, 3D) in_proj — same math, but head-aligned under
+    # tensor parallelism (`parallel/tp.py`; convert checkpoints with
+    # `tp.split_qkv_params` / `tp.merge_qkv_params`)
+    split_qkv: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -200,6 +205,7 @@ class MDM(nn.Module):
                 dropout=cfg.dropout,
                 activation=cfg.activation,
                 remat=cfg.remat,
+                split_qkv=cfg.split_qkv,
                 name="seqTransEncoder",
             )(seq, deterministic=not train)
             return out[:, 1:]

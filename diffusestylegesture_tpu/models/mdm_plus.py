@@ -64,6 +64,9 @@ class MDMPlusConfig:
     seq_mesh: Any = None
     seq_axis: str = "seq"
     remat: bool = False
+    # separate q/k/v trunk projections instead of the torch-packed
+    # in_proj — head-aligned under tensor parallelism (see models/mdm.py)
+    split_qkv: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -171,6 +174,7 @@ class MDMPlus(nn.Module):
             dropout=cfg.dropout,
             activation=cfg.activation,
             remat=cfg.remat,
+            split_qkv=cfg.split_qkv,
             name="seqTransEncoder",
         )(seq, deterministic=not train)[:, 1:]
 

@@ -21,11 +21,21 @@ import jax.numpy as jnp
 
 
 class TorchMultiheadAttention(nn.Module):
-    """`nn.MultiheadAttention` parity: packed in-proj, out-proj."""
+    """`nn.MultiheadAttention` parity: packed in-proj, out-proj.
+
+    ``split_qkv=True`` stores the projection as three separate
+    ``q_proj``/``k_proj``/``v_proj`` (D, D) kernels instead of the packed
+    (D, 3D) ``in_proj`` — the SAME computation (convert checkpoints with
+    `parallel.tp.split_qkv_params` / `merge_qkv_params`), but each kernel
+    column-shards head-aligned under tensor parallelism, which the packed
+    layout cannot (a contiguous chunk of the 3D output dim straddles the
+    Q/K/V block boundaries, forcing GSPMD to re-gather activations before
+    attention)."""
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    split_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True,
@@ -36,13 +46,18 @@ class TorchMultiheadAttention(nn.Module):
         query input and k/v rows the key/value input)."""
         D, H = self.embed_dim, self.num_heads
         head_dim = D // H
-        in_proj = nn.Dense(3 * D, name="in_proj")
-        if kv is None:
+        if self.split_qkv:
+            q = nn.Dense(D, name="q_proj")(x)
+            k = nn.Dense(D, name="k_proj")(x if kv is None else kv)
+            v = nn.Dense(D, name="v_proj")(x if kv is None else kv)
+        elif kv is None:
+            in_proj = nn.Dense(3 * D, name="in_proj")
             q, k, v = jnp.split(in_proj(x), 3, axis=-1)
         else:
             # packed (3D, D) projection, but only the needed thirds are
             # computed: q rows on the query input, k/v rows on kv —
             # projecting both inputs fully would double the FLOPs
+            in_proj = nn.Dense(3 * D, name="in_proj")
             W = in_proj.variables["params"]["kernel"] if in_proj.has_variable(
                 "params", "kernel") else None
             if W is None:  # during init, materialize the params once
@@ -98,6 +113,7 @@ class TorchEncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     activation: str = "gelu"
+    split_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
@@ -107,7 +123,8 @@ class TorchEncoderLayer(nn.Module):
         # rematerialized training (TracerBoolConversionError)
         act = _activation(self.activation)
         attn_out = TorchMultiheadAttention(
-            self.d_model, self.nhead, self.dropout, name="self_attn"
+            self.d_model, self.nhead, self.dropout, self.split_qkv,
+            name="self_attn"
         )(x, deterministic=deterministic, attn_mask=attn_mask)
         x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
@@ -191,6 +208,7 @@ class TorchTransformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: str = "gelu"
     remat: bool = False
+    split_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True,
@@ -206,6 +224,7 @@ class TorchTransformerEncoder(nn.Module):
                 self.dim_feedforward,
                 self.dropout,
                 self.activation,
+                self.split_qkv,
                 name=f"layers_{i}",
             )(x, deterministic, attn_mask=attn_mask)
         return x

@@ -5,4 +5,10 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
-from .tp import mdm_param_specs, shard_params, shard_train_state  # noqa: F401
+from .tp import (  # noqa: F401
+    mdm_param_specs,
+    merge_qkv_params,
+    shard_params,
+    shard_train_state,
+    split_qkv_params,
+)

@@ -13,19 +13,31 @@ No module changes are needed: shardings are expressed as a PartitionSpec
 pytree over the existing parameter tree and applied with
 `jax.device_put` / jit constraints — GSPMD propagates the rest.
 
-NB: `in_proj` packs Q|K|V along the output dim, so output-sharding it
-splits each of Q, K, V only when num_heads % model_axis == 0 holds per
-packed block; with packed layout the per-shard blocks mix Q/K/V rows but
-the math stays correct because attention heads are data-local under
-GSPMD propagation (XLA re-shards as needed). For the small gesture
-denoisers TP is about demonstrated scale-out; DP remains the recommended
-layout at this parameter count.
+Two attention-projection layouts are supported:
+
+  * packed `in_proj` (the torch-parity default): output-sharding the
+    (D, 3D) kernel gives contiguous chunks that straddle the Q/K/V block
+    boundaries, so GSPMD must re-gather activations before attention —
+    correct, but communication-heavy. Kept for checkpoints converted
+    straight from torch.
+  * split `q_proj`/`k_proj`/`v_proj` (`MDMConfig.split_qkv=True`):
+    each (D, D) kernel column-shards HEAD-ALIGNED (requires
+    num_heads % model_axis_size == 0), attention computes per-head
+    local to its shard, and the row-parallel `out_proj` psum is the
+    only attention collective — the textbook Megatron pairing. Convert
+    existing packed params with `split_qkv_params` (inverse:
+    `merge_qkv_params`); forward outputs are bit-identical.
+
+For the small gesture denoisers TP remains about demonstrated
+scale-out; DP is still the recommended layout at this parameter count
+(measured batch-knee analysis in ROADMAP.md).
 """
 from __future__ import annotations
 
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -36,13 +48,91 @@ def mdm_param_specs(params: Any, model_axis: str = "model") -> Any:
         keys = [str(getattr(p, "key", "")) for p in path]
         joined = "/".join(keys)
         if "seqTransEncoder" in joined and leaf.ndim == 2:
-            if "in_proj" in joined or "linear1" in joined:
+            if ("in_proj" in joined or "linear1" in joined
+                    or "q_proj" in joined or "k_proj" in joined
+                    or "v_proj" in joined):
                 return P(None, model_axis)  # column parallel
             if "out_proj" in joined or "linear2" in joined:
                 return P(model_axis, None)  # row parallel
+        if "seqTransEncoder" in joined and leaf.ndim == 1 and (
+                "q_proj" in joined or "k_proj" in joined
+                or "v_proj" in joined or "linear1" in joined):
+            # column-parallel biases live on the sharded output dim
+            return P(model_axis)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def _convert_qkv(tree: Any, scope: str, to_split: bool) -> Any:
+    """Shared traversal for the qkv layout converters. Handles not just
+    param dicts but whole TrainStates: lists/tuples/namedtuples (optax
+    chain states) and dataclasses (TrainState, ScaleByAdamState) are
+    traversed too, so the AdamW moments — which mirror the param tree
+    elementwise, making the split/merge exact on them — and EMA convert
+    in one call."""
+    import dataclasses as _dc
+
+    def rec(node, in_scope):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                here = in_scope or scope in k
+                if (to_split and here and isinstance(v, dict)
+                        and isinstance(v.get("in_proj"), dict)):
+                    v = dict(v)
+                    ip = v.pop("in_proj")
+                    kern = jnp.split(ip["kernel"], 3, axis=-1)
+                    bias = jnp.split(ip["bias"], 3, axis=-1)
+                    for name, kk, bb in zip(
+                            ("q_proj", "k_proj", "v_proj"), kern, bias):
+                        v[name] = {"kernel": kk, "bias": bb}
+                    out[k] = {k2: rec(v2, True) for k2, v2 in v.items()}
+                elif (not to_split and here and isinstance(v, dict)
+                        and all(n in v for n in ("q_proj", "k_proj", "v_proj"))):
+                    v = dict(v)
+                    parts = [v.pop(n) for n in ("q_proj", "k_proj", "v_proj")]
+                    v["in_proj"] = {
+                        "kernel": jnp.concatenate(
+                            [p["kernel"] for p in parts], axis=-1),
+                        "bias": jnp.concatenate(
+                            [p["bias"] for p in parts], axis=-1),
+                    }
+                    out[k] = {k2: rec(v2, True) for k2, v2 in v.items()}
+                else:
+                    out[k] = rec(v, here)
+            return out
+        if isinstance(node, (list, tuple)):
+            vals = [rec(v, in_scope) for v in node]
+            if hasattr(node, "_fields"):  # namedtuple (optax states)
+                return type(node)(*vals)
+            return type(node)(vals)
+        if _dc.is_dataclass(node) and not isinstance(node, type):
+            return _dc.replace(node, **{
+                f.name: rec(getattr(node, f.name), in_scope)
+                for f in _dc.fields(node)
+            })
+        return node
+
+    return rec(tree, False)
+
+
+def split_qkv_params(params: Any, scope: str = "seqTransEncoder") -> Any:
+    """Packed-`in_proj` tree → split `q_proj`/`k_proj`/`v_proj` layout
+    (for `MDMConfig.split_qkv=True`). Only attention dicts under a module
+    whose name contains `scope` are converted — the local attention /
+    WavLM / decoder params are untouched. Pure tree op, no numerics: flax
+    Dense kernels are (in, out), so the packed (D, 3D) kernel splits into
+    three (D, D) kernels along the output dim. Accepts a bare param dict
+    OR a whole TrainState (optimizer moments and EMA convert too —
+    elementwise state, so the relayout is exact)."""
+    return _convert_qkv(params, scope, to_split=True)
+
+
+def merge_qkv_params(params: Any, scope: str = "seqTransEncoder") -> Any:
+    """Inverse of `split_qkv_params`: back to the torch-packed layout
+    (e.g. to save a checkpoint loadable by the parity converters)."""
+    return _convert_qkv(params, scope, to_split=False)
 
 
 def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:

@@ -55,6 +55,13 @@ def check_mode(
     key = mode_key(sampler, respace, diffusion_steps)
     if key is None:
         return "baseline", "full-schedule DDPM (reference configuration)"
+    return check_key(key, manifest)
+
+
+def check_key(key: str, manifest: Optional[dict] = None) -> Tuple[str, str]:
+    """Gate an explicit manifest key (e.g. ``distill15`` for a
+    progressively distilled student checkpoint, whose mode name is not
+    derivable from sampler/respace flags alone)."""
     manifest = manifest if manifest is not None else load_manifest()
     if manifest is None:
         return "unknown", (

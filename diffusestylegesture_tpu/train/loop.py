@@ -123,7 +123,28 @@ class TrainLoop:
         self.rng = jax.random.PRNGKey(seed)
         self.resume_step = 0
         if self.ckpt is not None and self.ckpt.latest_step() is not None:
-            restored = self.ckpt.restore(self.state)
+            try:
+                restored = self.ckpt.restore(self.state)
+            except ValueError:
+                # attention-layout mismatch: the checkpoint was written by
+                # a run with the other qkv layout (packed in_proj vs split
+                # q/k/v — e.g. resuming a --tp/--split_qkv run without the
+                # flag). The layouts are numerically interchangeable, so
+                # restore through a converted template and convert back.
+                from ..parallel import merge_qkv_params, split_qkv_params
+
+                restored = None
+                for conv, inv in ((split_qkv_params, merge_qkv_params),
+                                  (merge_qkv_params, split_qkv_params)):
+                    try:
+                        restored = inv(self.ckpt.restore(conv(self.state)))
+                        self.logger.log(
+                            "restored checkpoint via qkv layout conversion")
+                        break
+                    except ValueError:
+                        continue
+                if restored is None:
+                    raise
             if restored is not None:
                 self.state = restored
                 self.resume_step = int(np.asarray(self.state.step))

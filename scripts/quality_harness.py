@@ -27,8 +27,12 @@ quality gap on fast serving:
      refused), and the convergence artifact `DEMO_r03.md`.
 
 Env knobs: QH_STEPS (train steps, default 3000), QH_WORKDIR,
-QH_DISTILL_STAGES (default 3 → 125-step student), QH_SKIP_TRAIN=1 to
-reuse an existing checkpoint.
+QH_DISTILL_STAGES (default 3 → 125-step student; with more stages every
+student from the 3rd halving down becomes its own FGD-gated mode, so
+e.g. stages=6 gates 125/62/31/15-step serving — QH_DISTILL_EVAL=3,6
+narrows which stage indices are evaluated), QH_DISTILL_STEPS (distill
+steps per stage, default 400), QH_SKIP_TRAIN=1 to reuse an existing
+checkpoint.
 
 Run: `timeout 3600 python scripts/quality_harness.py`
 """
@@ -331,11 +335,23 @@ def run(workdir: str) -> dict:
     }
     baseline_key = f"ddpm{DIFFUSION_STEPS}"
 
-    # -- progressive distillation: 1000 → 1000/2^stages DDIM student --
+    # -- progressive distillation: 1000 → 1000/2^stages DDIM students.
+    # Every stage from the 3rd halving down (125-step at the real
+    # schedule) is kept as its own serving mode and FGD-gated — deeper
+    # students halve the serving cost again each stage, so the gate
+    # decides how few steps quality actually tolerates rather than
+    # assuming a fixed depth. QH_DISTILL_EVAL=1,3,6 overrides which
+    # stage indices are evaluated (default: 3..stages; with the default
+    # stages=3 that is exactly the single 125-step student). --
     if distill_stages > 0:
         print(f"== distilling {distill_stages} stages ==")
-        modes[f"distill{DIFFUSION_STEPS // (2 ** distill_stages)}"] = distill_student(
-            model_apply, params, full, data_dir, distill_stages, report)
+        depths_env = os.environ.get("QH_DISTILL_EVAL", "")
+        eval_stages = (
+            {int(x) for x in depths_env.split(",")} if depths_env
+            else set(range(min(3, distill_stages), distill_stages + 1)))
+        modes.update(distill_student(
+            model_apply, params, full, data_dir, distill_stages, report,
+            eval_stages))
 
     # -- ground-truth eval features + audio (CPU-pinned workers: the
     # serial path would dispatch the quat/FK math eagerly through the
@@ -441,9 +457,14 @@ def run(workdir: str) -> dict:
     return report
 
 
-def distill_student(model_apply, params, full_sched, data_dir, stages, report):
-    """Progressive distillation on the trained teacher; returns a mode
-    tuple (apply, params, schedule, sampler_name) for the student."""
+def distill_student(model_apply, params, full_sched, data_dir, stages, report,
+                    eval_stages=()):
+    """Progressive distillation on the trained teacher.
+
+    Returns {mode_name: (apply, params, schedule, sampler_name)} with one
+    entry per stage index in ``eval_stages`` (1-based; the final stage is
+    always included), named ``distill<num_timesteps>`` from the student's
+    actual halved grid."""
     import jax
     import jax.numpy as jnp
     import optax  # noqa: F401  (distill uses it internally)
@@ -467,6 +488,7 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report):
     sched_t = full_sched
     teacher_params = params
     student_params = params
+    out_modes = {}
     for stage in range(stages):
         def student_apply(p, x, t, cond):
             return model_apply(p, x, t, cond)
@@ -506,8 +528,11 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report):
             {"stage": stage + 1, "teacher_steps": nt, "loss": loss})
         sched_t = student_schedule(sched_t, D.named_beta_schedule("cosine", DIFFUSION_STEPS))
         teacher_params = student_params
+        if (stage + 1) in eval_stages or stage == stages - 1:
+            out_modes[f"distill{sched_t.num_timesteps}"] = (
+                model_apply, student_params, sched_t, "ddim")
 
-    return (model_apply, student_params, sched_t, "ddim")
+    return out_modes
 
 
 def main():
@@ -520,23 +545,27 @@ def main():
     os.makedirs(workdir, exist_ok=True)
     report = run(workdir)
 
-    out_path = os.path.join(REPO, "QUALITY_r03.json")
+    real = DIFFUSION_STEPS == 1000 and not SMALL
+    # smoke configurations must not clobber the committed round
+    # artifacts (QUALITY_r03.json / DEMO_r03.md) either
+    out_path = os.path.join(
+        REPO, "QUALITY_r03.json" if real else "QUALITY_smoke.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", out_path)
 
-    if DIFFUSION_STEPS == 1000 and not SMALL:
+    if real:
         res_dir = os.path.join(REPO, "diffusestylegesture_tpu", "resources")
         os.makedirs(res_dir, exist_ok=True)
         gate_path = os.path.join(res_dir, "quality_gate.json")
         with open(gate_path, "w") as f:
             json.dump(report["manifest"], f, indent=1)
         print("wrote", gate_path)
+        write_demo_md(report, workdir)
     else:
         print("smoke configuration — NOT writing the shipped quality gate "
-              "manifest (toy models must not gate real serving)")
-
-    write_demo_md(report, workdir)
+              "manifest or DEMO_r03.md (toy models must not gate real "
+              "serving)")
 
 
 def write_demo_md(report: dict, workdir: str) -> None:

@@ -246,10 +246,12 @@ class TestTrainCLI:
         assert os.path.isdir(tmp_path / "ckpt")
 
         # device-cache mode: same CLI with on-device batch gathers (resumes
-        # from the checkpoint the first run saved)
+        # from the checkpoint the first run saved); --bf16 covers the
+        # flag→Config override path (regression: Config is attribute-style,
+        # item assignment used to crash here)
         cfg["num_steps"] = 4
         cfg_path.write_text(yaml.safe_dump(cfg))
-        train_main(["--config", str(cfg_path), "--device_cache"])
+        train_main(["--config", str(cfg_path), "--device_cache", "--bf16"])
 
 
 class TestParallelPrep:

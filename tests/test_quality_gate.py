@@ -76,3 +76,61 @@ def test_cli_refuses_degraded(tmp_path, monkeypatch):
     with pytest.raises(Exception) as e2:
         sample_cli.main(args + ["--allow_degraded"])
     assert "REFUSED" not in str(e2.value)
+
+
+MANIFEST_D = {
+    "baseline": "ddpm1000",
+    "fgd_ratio_tolerance": 1.5,
+    "modes": {
+        "distill125": {"fgd_ratio": 1.0, "ok": True},
+        "distill15": {"fgd_ratio": 3.1, "ok": False},
+    },
+}
+
+
+def test_check_key_distill_entries():
+    assert qg.check_key("distill125", MANIFEST_D)[0] == "ok"
+    status, msg = qg.check_key("distill15", MANIFEST_D)
+    assert status == "degraded" and "3.1" in msg
+    assert qg.check_key("distill62", MANIFEST_D)[0] == "unknown"
+
+
+def test_cli_distilled_stage_gate(tmp_path, monkeypatch):
+    """A cli.distill stage dir (schedule.json) gates under its distillN
+    key — refused when the harness flagged that depth as degraded."""
+    import yaml
+
+    from diffusestylegesture_tpu.cli import sample as sample_cli
+
+    manifest_path = tmp_path / "gate.json"
+    manifest_path.write_text(json.dumps(MANIFEST_D))
+    monkeypatch.setattr(qg, "MANIFEST_PATH", str(manifest_path))
+
+    stage = tmp_path / "stage5_steps15"
+    stage.mkdir()
+    (stage / "schedule.json").write_text(json.dumps(
+        {"base_steps": 1000, "noise_schedule": "cosine",
+         "use_timesteps": list(range(0, 1000, 67))[:15]}))
+
+    cfg = dict(
+        dataset="ZEGGS", njoints=1141, latent_dim=64, n_seed=8,
+        cond_mode="cross_local_attention3_style1", cond_mask_prob=0.1,
+        audio_feat="wavlm", diffusion_steps=1000, n_poses=88,
+        motion_resampling_framerate=20, data_dir=str(tmp_path),
+        wavlm_path=str(tmp_path / "missing.pt"),
+    )
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    args = ["--config", str(cfg_path), "--model_path", str(stage),
+            "--audiowavlm_path", str(tmp_path / "no.wav")]
+    with pytest.raises(SystemExit) as e:
+        sample_cli.main(args)
+    assert "REFUSED" in str(e.value) and "distill15" in str(e.value)
+
+    # an ok depth passes the gate (then fails later on the missing params)
+    (stage / "schedule.json").write_text(json.dumps(
+        {"base_steps": 1000, "noise_schedule": "cosine",
+         "use_timesteps": list(range(0, 1000, 8))[:125]}))
+    with pytest.raises(Exception) as e2:
+        sample_cli.main(args)
+    assert "REFUSED" not in str(e2.value)
