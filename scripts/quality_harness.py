@@ -298,6 +298,12 @@ def run(workdir: str) -> dict:
         report["train_wall_s"] = round(time.time() - t0, 1)
 
     params = load_orbax_params(ckpt_dir)
+    # the report must label the checkpoint actually served, not QH_STEPS:
+    # under QH_SKIP_TRAIN the reused checkpoint can be from a longer run
+    # (load_orbax_params restores the LATEST step dir)
+    saved_steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    if saved_steps:
+        report["train_steps"] = max(saved_steps)
 
     # -- loss curve summary from the CSV sink --
     curve = []
@@ -435,7 +441,7 @@ def run(workdir: str) -> dict:
         "generated_by": "scripts/quality_harness.py",
         "baseline": baseline_key,
         "baseline_fgd": base_fgd,
-        "train_steps": steps,
+        "train_steps": report["train_steps"],
         "fgd_ratio_tolerance": FGD_RATIO_TOL,
         "modes": {},
     }
