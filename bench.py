@@ -341,20 +341,30 @@ def main():
                     if n < steps:
                         candidates.append((n, samp, mode_name))
         if candidates:
-            n, samp, mode_name = min(candidates)  # fewest steps = fastest
-            fast_sched = D.spaced_schedule(
-                D.named_beta_schedule("cosine", steps),
-                D.space_timesteps(steps, f"ddim{n}"))
+            # fewest steps per SAMPLER FAMILY, then take the best measured
+            # fps — at short chains the fixed per-window cost (WavLM,
+            # seed chaining) flattens the steps→fps curve enough that
+            # e.g. dpmpp-20 and ddim-15 trade places run to run, so
+            # measure both rather than assume fewest-NFE wins
+            best = {}
+            for n, samp, mode_name in sorted(candidates):
+                fam = "ddim" if samp == "distill" else samp
+                if fam not in best:
+                    best[fam] = (n, fam, mode_name)
             saved = sched, ecfg
-            sched = fast_sched
-            ecfg = ZeggsEngineConfig(sampler="ddim" if samp == "distill" else samp)
-            try:
-                gated_fps, _, _, _, _ = run_config(
-                    "bf16" if bf16_ok else "f32", big_batch, 200,
-                    activation=big_act)
-                gated_label = mode_name
-            finally:
-                sched, ecfg = saved
+            for n, fam, mode_name in best.values():
+                sched = D.spaced_schedule(
+                    D.named_beta_schedule("cosine", steps),
+                    D.space_timesteps(steps, f"ddim{n}"))
+                ecfg = ZeggsEngineConfig(sampler=fam)
+                try:
+                    fps_mode, _, _, _, _ = run_config(
+                        "bf16" if bf16_ok else "f32", big_batch, 200,
+                        activation=big_act)
+                finally:
+                    sched, ecfg = saved
+                if fps_mode > gated_fps:
+                    gated_fps, gated_label = fps_mode, mode_name
             if gated_fps > headline_fps:
                 headline_fps = gated_fps
 

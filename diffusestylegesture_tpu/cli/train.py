@@ -97,6 +97,10 @@ def main(argv=None):
     p.add_argument("--use_mesh", action="store_true")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel degree over the 'model' mesh axis")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params + optimizer moments + EMA "
+                        "along the 'data' mesh axis (parallel/fsdp.py); "
+                        "implies --use_mesh, composes with --tp")
     p.add_argument("--split_qkv", action="store_true",
                    help="store attention projections as separate q/k/v "
                         "kernels instead of the torch-packed in_proj — "
@@ -144,7 +148,7 @@ def main(argv=None):
         from ..data.device_cache import DeviceWindowCache
 
         sharding = None
-        if args.use_mesh:
+        if args.use_mesh or args.tp > 1 or args.fsdp:
             # replicate the cache across the mesh so the in-jit batch
             # gather runs on every device (committed-to-device-0 arrays
             # would funnel all gathers through one chip)
@@ -192,8 +196,9 @@ def main(argv=None):
             log_interval=cfg.get("log_interval", 50),
             save_interval=cfg.get("save_interval", 50000),
             checkpoint_dir=cfg.get("save_dir"),
-            use_mesh=args.use_mesh or args.tp > 1,
+            use_mesh=args.use_mesh or args.tp > 1 or args.fsdp,
             tensor_parallel=args.tp,
+            fsdp=args.fsdp,
             log_dir=cfg.get("log_dir"),
             log_formats=tuple(cfg.get("log_formats", ("stdout",))),
         ),

@@ -5,6 +5,7 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .fsdp import count_sharded, fsdp_param_specs  # noqa: F401
 from .tp import (  # noqa: F401
     mdm_param_specs,
     merge_qkv_params,

@@ -41,6 +41,10 @@ class LoopConfig:
     # Requires use_mesh; the trunk's matmuls shard Megatron-style via
     # `parallel.tp.mdm_param_specs` and GSPMD inserts the psums over ICI.
     tensor_parallel: int = 0
+    # ZeRO-3: shard params + AdamW moments + EMA along the 'data' axis
+    # (`parallel/fsdp.py`); XLA derives the all-gather/reduce-scatter
+    # schedule from the annotations. Composes with tensor_parallel.
+    fsdp: bool = False
 
 
 class TrainLoop:
@@ -98,7 +102,7 @@ class TrainLoop:
         self.state = create_train_state(params, train_cfg, schedule.num_timesteps)
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
-            if tp > 1:
+            if tp > 1 or loop_cfg.fsdp:
                 from ..parallel import mdm_param_specs, shard_train_state
 
                 # specs for the whole variables dict: TP specs for the
@@ -106,10 +110,21 @@ class TrainLoop:
                 from jax.sharding import PartitionSpec as _P
 
                 specs = {
-                    k: (mdm_param_specs(v) if k == "params"
+                    k: (mdm_param_specs(v) if k == "params" and tp > 1
                         else jax.tree.map(lambda _: _P(), v))
                     for k, v in self.state.params.items()
                 }
+                if loop_cfg.fsdp:
+                    # ZeRO-3 on top: shard the dims TP left free along
+                    # 'data' (`parallel/fsdp.py`)
+                    from ..parallel import fsdp_param_specs
+
+                    data_size = self.mesh.shape["data"]
+                    specs = {
+                        k: fsdp_param_specs(
+                            self.state.params[k], data_size, base_specs=v)
+                        for k, v in specs.items()
+                    }
                 # shard params AND the optimizer moments / EMA — otherwise
                 # opt_state stays replicated (2x param memory) and the
                 # donated step recompiles on the sharding mismatch
