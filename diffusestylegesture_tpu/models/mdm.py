@@ -76,6 +76,15 @@ class MDMConfig:
     attn_impl: str = "xla"
     seq_mesh: Any = None  # jax.sharding.Mesh, required for seq_parallel
     seq_axis: str = "seq"
+    # "loop" | "pipeline". pipeline shards the trunk's LAYER stack over
+    # `pipe_axis` of `pipe_mesh` and streams GPipe microbatches through a
+    # per-tick ppermute (`parallel/pipeline.py`) — layer parallelism the
+    # reference never had. Same params/checkpoints as the loop trunk
+    # (layers are stacked at apply time); composes with a 'data' axis.
+    trunk_impl: str = "loop"
+    pipe_mesh: Any = None  # jax.sharding.Mesh, required for pipeline
+    pipe_axis: str = "pipe"
+    pipe_microbatches: int = 0  # 0 → pipe axis size
     remat: bool = False
     # separate q/k/v projection kernels in the trunk instead of the
     # torch-packed (D, 3D) in_proj — same math, but head-aligned under
@@ -197,7 +206,7 @@ class MDM(nn.Module):
             hh = self._heads_split(seq, H)
             hh = self._rope(hh)
             seq = self._heads_merge(hh, B, H)
-            out = TorchTransformerEncoder(
+            enc = TorchTransformerEncoder(
                 num_layers=cfg.num_layers,
                 d_model=D,
                 nhead=cfg.num_heads,
@@ -207,7 +216,36 @@ class MDM(nn.Module):
                 remat=cfg.remat,
                 split_qkv=cfg.split_qkv,
                 name="seqTransEncoder",
-            )(seq, deterministic=not train)
+            )
+            if cfg.trunk_impl == "pipeline" and not self.is_initializing():
+                # GPipe trunk (`parallel/pipeline.py`): same named-layer
+                # params (stacked at apply time), layer stack sharded over
+                # cfg.pipe_axis, activations hop stages via ppermute.
+                # Init still runs the sequential encoder so the param
+                # tree/checkpoint layout is identical for both impls.
+                from ..parallel.pipeline import pipeline_apply, stack_layer_params
+                from .transformer import TorchEncoderLayer
+
+                enc_params = self.variables["params"]["seqTransEncoder"]
+                stacked = stack_layer_params(enc_params, cfg.num_layers)
+                layer = TorchEncoderLayer(
+                    D, cfg.num_heads, cfg.ff_size, cfg.dropout,
+                    cfg.activation, cfg.split_qkv)
+
+                def layer_fn(lp, h, key):
+                    rngs = None if key is None else {"dropout": key}
+                    return layer.apply({"params": lp}, h, key is None,
+                                       rngs=rngs)
+
+                rng = (self.make_rng("dropout")
+                       if train and cfg.dropout > 0 else None)
+                out = pipeline_apply(
+                    stacked, seq, layer_fn, cfg.pipe_mesh,
+                    axis=cfg.pipe_axis,
+                    num_microbatches=cfg.pipe_microbatches or None,
+                    rng=rng)
+            else:
+                out = enc(seq, deterministic=not train)
             return out[:, 1:]
 
         if "cross_local_attention3" in cfg.cond_mode:

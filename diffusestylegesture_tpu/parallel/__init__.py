@@ -6,6 +6,11 @@ from .mesh import (  # noqa: F401
     shard_batch,
 )
 from .fsdp import count_sharded, fsdp_param_specs  # noqa: F401
+from .pipeline import (  # noqa: F401
+    pipeline_apply,
+    stack_layer_params,
+    unstack_layer_params,
+)
 from .tp import (  # noqa: F401
     mdm_param_specs,
     merge_qkv_params,
