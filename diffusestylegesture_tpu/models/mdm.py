@@ -91,6 +91,12 @@ class MDMConfig:
     # tensor parallelism (`parallel/tp.py`; convert checkpoints with
     # `tp.split_qkv_params` / `tp.merge_qkv_params`)
     split_qkv: bool = False
+    # >0 swaps the trunk's dense FFN for a Switch-routed MoE with this
+    # many experts (`models/moe.py`) — beyond-parity scaling option;
+    # shard the expert stacks over an 'expert' mesh axis with
+    # `moe.moe_param_specs` for expert parallelism
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
     dtype: Any = jnp.float32
 
     @property
@@ -215,6 +221,8 @@ class MDM(nn.Module):
                 activation=cfg.activation,
                 remat=cfg.remat,
                 split_qkv=cfg.split_qkv,
+                moe_experts=cfg.moe_experts,
+                moe_capacity_factor=cfg.moe_capacity_factor,
                 name="seqTransEncoder",
             )
             if cfg.trunk_impl == "pipeline" and not self.is_initializing():
@@ -230,7 +238,8 @@ class MDM(nn.Module):
                 stacked = stack_layer_params(enc_params, cfg.num_layers)
                 layer = TorchEncoderLayer(
                     D, cfg.num_heads, cfg.ff_size, cfg.dropout,
-                    cfg.activation, cfg.split_qkv)
+                    cfg.activation, cfg.split_qkv, cfg.moe_experts,
+                    cfg.moe_capacity_factor)
 
                 def layer_fn(lp, h, key):
                     rngs = None if key is None else {"dropout": key}

@@ -1,0 +1,122 @@
+"""Mixture-of-Experts feed-forward with expert parallelism (GShard/Switch).
+
+The reference's denoiser trunk uses a dense FFN inside
+`nn.TransformerEncoderLayer` (`main/model/mdm.py:77-86`) and has no
+model scaling story at all (`SURVEY §2.4`). This module adds the
+TPU-native sparse-FFN alternative as beyond-parity scaling scaffolding:
+Switch-style top-1 routing expressed entirely as static-shape einsums
+(one-hot dispatch/combine tensors, fixed expert capacity) so the whole
+layer jits to MXU work, and the stacked expert weights `[E, ...]` shard
+over an `expert` mesh axis — GSPMD turns the dispatch einsums into the
+all-to-alls of the GShard schedule. No dynamic shapes, no host routing.
+
+Router follows Switch Transformer: top-1 expert, output scaled by the
+router probability (keeps the router differentiable), tokens over
+capacity dropped (they keep their residual-path value), load-balance
+auxiliary loss `E * Σ_e f_e · p_e` sown into the `losses` collection
+for the train step to pick up.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+class MoEFeedForward(nn.Module):
+    """Drop-in FFN block: (B, T, D) → (B, T, D) via E routed experts."""
+
+    d_model: int
+    d_ff: int
+    num_experts: int
+    capacity_factor: float = 2.0
+    activation: Any = None  # callable; default exact gelu
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        D, F, E = self.d_model, self.d_ff, self.num_experts
+        act = self.activation or (lambda h: nn.gelu(h, approximate=False))
+        B, T, _ = x.shape
+        G = B * T
+        # static capacity: tokens per expert the dispatch tensor can hold
+        C = max(1, int(math.ceil(G / E * self.capacity_factor)))
+
+        xf = x.reshape(G, D)
+        # routing in f32 regardless of trunk compute dtype
+        logits = nn.Dense(E, name="router")(xf.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)  # (G, E)
+        expert = jnp.argmax(probs, axis=-1)
+        gate = jnp.max(probs, axis=-1)  # top-1 prob, scales the output
+        mask = jax.nn.one_hot(expert, E, dtype=jnp.float32)  # (G, E)
+
+        # position of each token within its expert's buffer; over-capacity
+        # tokens are dropped (keep their residual value downstream)
+        pos = jnp.cumsum(mask, axis=0) * mask - mask  # (G, E), 0-based
+        keep = (pos < C).astype(jnp.float32) * mask
+        pos_cl = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
+        # dispatch: (G, E, C) one-hot over the capacity slot
+        dispatch = keep[:, :, None] * jax.nn.one_hot(pos_cl, C, dtype=jnp.float32)
+        combine = dispatch * gate[:, None, None]
+
+        # load-balance aux loss (Switch eq. 4): E · Σ_e f_e · p_e, minimized
+        # at uniform routing. Sown for the caller; harmless if unread.
+        f_e = jnp.mean(mask, axis=0)
+        p_e = jnp.mean(probs, axis=0)
+        self.sow("losses", "moe_aux", E * jnp.sum(f_e * p_e))
+
+        w1 = self.param(
+            "w1", nn.initializers.lecun_normal(), (E, D, F), jnp.float32)
+        b1 = self.param("b1", nn.initializers.zeros, (E, F), jnp.float32)
+        w2 = self.param(
+            "w2", nn.initializers.lecun_normal(), (E, F, D), jnp.float32)
+        b2 = self.param("b2", nn.initializers.zeros, (E, D), jnp.float32)
+
+        cdt = x.dtype
+        # (E, C, D) expert inputs — under an 'expert'-sharded mesh GSPMD
+        # lowers this einsum to the GShard all-to-all
+        xin = jnp.einsum("gec,gd->ecd", dispatch.astype(cdt), xf)
+        h = act(jnp.einsum(
+            "ecd,edf->ecf", xin, w1.astype(cdt),
+            preferred_element_type=jnp.float32).astype(cdt) + b1[:, None, :].astype(cdt))
+        y = jnp.einsum(
+            "ecf,efd->ecd", h, w2.astype(cdt),
+            preferred_element_type=jnp.float32).astype(cdt) + b2[:, None, :].astype(cdt)
+        out = jnp.einsum("gec,ecd->gd", combine.astype(cdt), y)
+        return out.reshape(B, T, D)
+
+
+def moe_param_specs(params: Any, axis: str = "expert") -> Any:
+    """PartitionSpecs sharding every MoE expert stack's leading E dim
+    over `axis`; router and non-MoE leaves replicated.
+
+    Apply to a param tree containing `MoEFeedForward` submodules (their
+    scope name contains 'moe'); compose with `fsdp_param_specs` /
+    `mdm_param_specs` via their `base_specs` hook.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    # an MoE module is recognized structurally: a subtree holding both a
+    # `router` child and the stacked expert leaves w1/b1/w2/b2
+    moe_parents = set()
+    for path, _ in flat:
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if len(keys) >= 2 and keys[-2] == "router":
+            moe_parents.add(tuple(keys[:-2]))
+    specs = {}
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", "")) for p in path]
+        expertish = (
+            keys[-1] in ("w1", "b1", "w2", "b2")
+            and tuple(keys[:-1]) in moe_parents
+        )
+        specs[tuple(keys)] = P(axis) if expertish else P()
+    # rebuild the tree shape
+    out = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [specs[tuple(str(getattr(p, "key", "")) for p in path)]
+         for path, _ in flat],
+    )
+    return out

@@ -106,7 +106,12 @@ def _activation(name: str) -> Callable:
 
 
 class TorchEncoderLayer(nn.Module):
-    """torch-1.9 `nn.TransformerEncoderLayer` (post-norm) parity."""
+    """torch-1.9 `nn.TransformerEncoderLayer` (post-norm) parity.
+
+    ``moe_experts > 0`` swaps the dense FFN for a Switch-routed
+    mixture-of-experts block (`models/moe.py`) — a beyond-parity scaling
+    option; checkpoints are layout-compatible only within the same
+    setting."""
 
     d_model: int
     nhead: int
@@ -114,6 +119,8 @@ class TorchEncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "gelu"
     split_qkv: bool = False
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
@@ -129,10 +136,17 @@ class TorchEncoderLayer(nn.Module):
         x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
 
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
-        h = act(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        if self.moe_experts > 0:
+            from .moe import MoEFeedForward
+
+            h = MoEFeedForward(
+                self.d_model, self.dim_feedforward, self.moe_experts,
+                self.moe_capacity_factor, act, name="moe")(x)
+        else:
+            h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+            h = act(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = nn.Dense(self.d_model, name="linear2")(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return x
@@ -209,6 +223,8 @@ class TorchTransformerEncoder(nn.Module):
     activation: str = "gelu"
     remat: bool = False
     split_qkv: bool = False
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True,
@@ -225,6 +241,8 @@ class TorchTransformerEncoder(nn.Module):
                 self.dropout,
                 self.activation,
                 self.split_qkv,
+                self.moe_experts,
+                self.moe_capacity_factor,
                 name=f"layers_{i}",
             )(x, deterministic, attn_mask=attn_mask)
         return x
