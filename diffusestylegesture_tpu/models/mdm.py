@@ -32,7 +32,7 @@ from .embeddings import (
     mask_cond,
 )
 from .local_attention import local_attention
-from .transformer import TorchTransformerEncoder
+from .transformer import TorchTransformerEncoder, encoder_trunk
 
 AUDIO_FEAT_DIMS = {"wav encoder": 32, "mfcc": 13, "wavlm": 64}
 
@@ -212,50 +212,9 @@ class MDM(nn.Module):
             hh = self._heads_split(seq, H)
             hh = self._rope(hh)
             seq = self._heads_merge(hh, B, H)
-            enc = TorchTransformerEncoder(
-                num_layers=cfg.num_layers,
-                d_model=D,
-                nhead=cfg.num_heads,
-                dim_feedforward=cfg.ff_size,
-                dropout=cfg.dropout,
-                activation=cfg.activation,
-                remat=cfg.remat,
-                split_qkv=cfg.split_qkv,
-                moe_experts=cfg.moe_experts,
-                moe_capacity_factor=cfg.moe_capacity_factor,
-                name="seqTransEncoder",
-            )
-            if cfg.trunk_impl == "pipeline" and not self.is_initializing():
-                # GPipe trunk (`parallel/pipeline.py`): same named-layer
-                # params (stacked at apply time), layer stack sharded over
-                # cfg.pipe_axis, activations hop stages via ppermute.
-                # Init still runs the sequential encoder so the param
-                # tree/checkpoint layout is identical for both impls.
-                from ..parallel.pipeline import pipeline_apply, stack_layer_params
-                from .transformer import TorchEncoderLayer
-
-                enc_params = self.variables["params"]["seqTransEncoder"]
-                stacked = stack_layer_params(enc_params, cfg.num_layers)
-                layer = TorchEncoderLayer(
-                    D, cfg.num_heads, cfg.ff_size, cfg.dropout,
-                    cfg.activation, cfg.split_qkv, cfg.moe_experts,
-                    cfg.moe_capacity_factor)
-
-                def layer_fn(lp, h, key):
-                    rngs = None if key is None else {"dropout": key}
-                    return layer.apply({"params": lp}, h, key is None,
-                                       rngs=rngs)
-
-                rng = (self.make_rng("dropout")
-                       if train and cfg.dropout > 0 else None)
-                out = pipeline_apply(
-                    stacked, seq, layer_fn, cfg.pipe_mesh,
-                    axis=cfg.pipe_axis,
-                    num_microbatches=cfg.pipe_microbatches or None,
-                    rng=rng)
-            else:
-                out = enc(seq, deterministic=not train)
-            return out[:, 1:]
+            # sequential loop or GPipe pipeline (`transformer.encoder_trunk`
+            # dispatches on cfg.trunk_impl; same params either way)
+            return encoder_trunk(self, cfg, seq, train)[:, 1:]
 
         if "cross_local_attention3" in cfg.cond_mode:
             h = local_block(x_)

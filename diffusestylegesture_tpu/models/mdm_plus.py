@@ -36,7 +36,7 @@ from .embeddings import (
     mask_cond,
 )
 from .local_attention import local_attention
-from .transformer import TorchTransformerEncoder
+from .transformer import encoder_trunk
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,10 +63,19 @@ class MDMPlusConfig:
     attn_impl: str = "xla"
     seq_mesh: Any = None
     seq_axis: str = "seq"
+    # "loop" | "pipeline" — GPipe-pipelined trunk over pipe_axis of
+    # pipe_mesh (`parallel/pipeline.py`; see models/mdm.py)
+    trunk_impl: str = "loop"
+    pipe_mesh: Any = None
+    pipe_axis: str = "pipe"
+    pipe_microbatches: int = 0
     remat: bool = False
     # separate q/k/v trunk projections instead of the torch-packed
     # in_proj — head-aligned under tensor parallelism (see models/mdm.py)
     split_qkv: bool = False
+    # >0 swaps the trunk FFN for a Switch-routed MoE (`models/moe.py`)
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
     dtype: Any = jnp.float32
 
     @property
@@ -166,17 +175,9 @@ class MDMPlus(nn.Module):
         seq = jnp.concatenate([token[:, None, :], h], axis=1)
         hh = self._rope(self._heads_split(seq, H))
         seq = self._heads_merge(hh, B, H)
-        out = TorchTransformerEncoder(
-            num_layers=cfg.num_layers,
-            d_model=D,
-            nhead=cfg.num_heads,
-            dim_feedforward=cfg.ff_size,
-            dropout=cfg.dropout,
-            activation=cfg.activation,
-            remat=cfg.remat,
-            split_qkv=cfg.split_qkv,
-            name="seqTransEncoder",
-        )(seq, deterministic=not train)[:, 1:]
+        # sequential loop or GPipe pipeline (`transformer.encoder_trunk`
+        # dispatches on cfg.trunk_impl; same params either way)
+        out = encoder_trunk(self, cfg, seq, train)[:, 1:]
 
         return OutputProcess(cfg.input_feats, njoints, nfeats,
                              name="output_process")(out.astype(jnp.float32))

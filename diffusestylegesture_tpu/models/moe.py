@@ -89,6 +89,31 @@ class MoEFeedForward(nn.Module):
         return out.reshape(B, T, D)
 
 
+def make_moe_apply(model) -> Any:
+    """Wrap `model.apply` to surface the sown MoE aux losses.
+
+    Returns an apply fn with the train-step signature whose TRAIN-mode
+    result is `(prediction, mean_aux)` — the tuple convention
+    `train.state.make_train_step` recognizes when
+    `TrainConfig.moe_aux_weight > 0`. Eval-mode calls return the bare
+    prediction (samplers/engines are unchanged).
+    """
+    import jax.numpy as jnp
+
+    def apply(params, x, t, cond, train=False, rngs=None, uncond=None):
+        if not train:
+            return model.apply(params, x, t, cond, train=train, rngs=rngs,
+                               uncond=uncond)
+        out, mut = model.apply(params, x, t, cond, train=train, rngs=rngs,
+                               uncond=uncond, mutable=["losses"])
+        leaves = jax.tree.leaves(mut)
+        aux = (sum(jnp.asarray(l).mean() for l in leaves) / len(leaves)
+               if leaves else jnp.zeros(()))
+        return out, aux
+
+    return apply
+
+
 def moe_param_specs(params: Any, axis: str = "expert") -> Any:
     """PartitionSpecs sharding every MoE expert stack's leading E dim
     over `axis`; router and non-MoE leaves replicated.

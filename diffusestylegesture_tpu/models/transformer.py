@@ -212,6 +212,54 @@ class TorchTransformerDecoder(nn.Module):
         return x
 
 
+def encoder_trunk(parent: nn.Module, cfg, seq: jax.Array, train: bool,
+                  name: str = "seqTransEncoder") -> jax.Array:
+    """Build/apply the MDM/MDMPlus trunk, dispatching on cfg.trunk_impl.
+
+    "loop" runs the sequential `TorchTransformerEncoder`; "pipeline"
+    routes the SAME named-layer params through the GPipe schedule
+    (`parallel/pipeline.py` — layers stacked at apply time, sharded over
+    cfg.pipe_axis of cfg.pipe_mesh). Init always runs the sequential
+    encoder so the param tree / checkpoint layout is impl-independent.
+    Called from inside the parent's @nn.compact __call__ (submodules
+    register with the parent). NB under the pipelined trunk the MoE aux
+    loss is not sown (layers apply outside the parent's scope).
+    """
+    enc = TorchTransformerEncoder(
+        num_layers=cfg.num_layers,
+        d_model=cfg.latent_dim,
+        nhead=cfg.num_heads,
+        dim_feedforward=cfg.ff_size,
+        dropout=cfg.dropout,
+        activation=cfg.activation,
+        remat=cfg.remat,
+        split_qkv=cfg.split_qkv,
+        moe_experts=cfg.moe_experts,
+        moe_capacity_factor=cfg.moe_capacity_factor,
+        name=name,
+    )
+    if cfg.trunk_impl == "pipeline" and not parent.is_initializing():
+        from ..parallel.pipeline import pipeline_apply, stack_layer_params
+
+        enc_params = parent.variables["params"][name]
+        stacked = stack_layer_params(enc_params, cfg.num_layers)
+        layer = TorchEncoderLayer(
+            cfg.latent_dim, cfg.num_heads, cfg.ff_size, cfg.dropout,
+            cfg.activation, cfg.split_qkv, cfg.moe_experts,
+            cfg.moe_capacity_factor)
+
+        def layer_fn(lp, h, key):
+            rngs = None if key is None else {"dropout": key}
+            return layer.apply({"params": lp}, h, key is None, rngs=rngs)
+
+        rng = (parent.make_rng("dropout")
+               if train and cfg.dropout > 0 else None)
+        return pipeline_apply(
+            stacked, seq, layer_fn, cfg.pipe_mesh, axis=cfg.pipe_axis,
+            num_microbatches=cfg.pipe_microbatches or None, rng=rng)
+    return enc(seq, deterministic=not train)
+
+
 class TorchTransformerEncoder(nn.Module):
     """Stack of `TorchEncoderLayer`s (no final norm, matching the ref)."""
 

@@ -63,6 +63,10 @@ class TrainConfig:
     # (`MDMConfig(dtype=jnp.bfloat16)`) so activations cast too; the
     # param cast alone would be promoted back to f32 by flax.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Weight on the MoE load-balance auxiliary loss (`models/moe.py`;
+    # Switch Transformer uses 0.01). Takes effect when `model_apply`
+    # returns (prediction, aux) — build one with `moe.make_moe_apply`.
+    moe_aux_weight: float = 0.0
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -137,11 +141,17 @@ def make_train_step(
 
         noise = jax.random.normal(rng_noise, x_start.shape, jnp.float32)
 
+        aux_acc = []
+
         def model_fn(x, tt):
             out = model_apply(
                 params, x, tt, cond, train=True,
                 rngs={"cond_mask": rng_cm, "dropout": rng_do},
             )
+            if isinstance(out, tuple):
+                # (prediction, moe_aux) convention — `moe.make_moe_apply`
+                out, aux = out
+                aux_acc.append(aux)
             # diffusion loss math always in f32, whatever the trunk dtype
             return out.astype(jnp.float32)
 
@@ -151,6 +161,11 @@ def make_train_step(
             loss_kind=cfg.loss_kind, lambda_vel=cfg.lambda_vel,
         )
         loss = jnp.mean(terms["loss"] * weights)
+        terms = dict(terms)
+        if aux_acc and cfg.moe_aux_weight:
+            aux_mean = sum(aux_acc) / len(aux_acc)
+            loss = loss + cfg.moe_aux_weight * aux_mean
+            terms["moe_aux"] = aux_mean
         return loss, (terms, t)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):

@@ -148,16 +148,18 @@ class TestMDMMoE:
             "wavlm": rng.standard_normal((B, 22, 1024)).astype(np.float32),
         }
         sched = Df.Schedule.create(Df.named_beta_schedule("cosine", 10))
-        tcfg = TrainConfig(lr=1e-3)
+        # Switch load-balance aux loss wired through the train step via
+        # the (prediction, aux) tuple convention
+        from diffusestylegesture_tpu.models.moe import make_moe_apply
 
-        def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
-            return model.apply(p, xx, tt, cc, train=train, rngs=rngs,
-                               uncond=uncond)
-
+        tcfg = TrainConfig(lr=1e-3, moe_aux_weight=0.01)
+        apply = make_moe_apply(model)
         step = make_train_step(apply, sched, tcfg, make_zeggs_cond_builder(4))
         state = create_train_state(params, tcfg, sched.num_timesteps)
         state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
+        # aux reported and ≥ 1 (Switch lower bound at uniform routing)
+        assert float(metrics["moe_aux"]) >= 1.0 - 1e-5
 
     def test_moe_pipeline_trunk_matches_loop(self):
         """pp × ep composition sanity: the pipelined MoE trunk equals the

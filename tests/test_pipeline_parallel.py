@@ -181,6 +181,39 @@ class TestMDMPipelineTrunk:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_mdmplus_pipeline_matches_loop(self):
+        """Same dispatch for the BEAT/TWH family (`mdm_plus.py` routes
+        through `transformer.encoder_trunk` too)."""
+        from diffusestylegesture_tpu.models.mdm_plus import MDMPlus, MDMPlusConfig
+
+        def cfgp(**kw):
+            base = dict(
+                njoints=24, latent_dim=128, ff_size=96, num_layers=2,
+                source_audio_dim=40, audio_feat_dim=32, style_dim_in=4,
+                n_seed=5, cond_mode="cross_local_attention4_style1",
+                window_size=15, cond_mask_prob=0.0, dropout=0.0)
+            base.update(kw)
+            return MDMPlusConfig(**base)
+
+        rng = np.random.default_rng(9)
+        Tp = 30
+        x = jnp.asarray(rng.standard_normal((B, 24, 1, Tp)).astype(np.float32))
+        cond = {
+            "style": jnp.asarray(rng.standard_normal((B, 4)).astype(np.float32)),
+            "seed": x[..., :5],
+            "audio": jnp.asarray(
+                rng.standard_normal((B, Tp - 5, 40)).astype(np.float32)),
+            "mask_local": jnp.ones((B, Tp), bool),
+        }
+        t = jnp.zeros((B,), jnp.int32)
+        base = MDMPlus(cfgp())
+        params = base.init(jax.random.PRNGKey(0), x, t, cond)
+        ref = base.apply(params, x, t, cond)
+        mesh = make_mesh(axes=("pipe",), shape=(2,), devices=jax.devices()[:2])
+        pp = MDMPlus(cfgp(trunk_impl="pipeline", pipe_mesh=mesh))
+        out = pp.apply(params, x, t, cond)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
     def test_train_dropout_runs(self):
         """With dropout on, pipelined training still runs (per-layer ×
         per-microbatch folded keys); only finiteness is asserted — the
