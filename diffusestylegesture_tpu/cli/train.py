@@ -23,7 +23,7 @@ from ..train import LoopConfig, TrainConfig, TrainLoop
 from ..train.state import make_beat_cond_builder, make_zeggs_cond_builder
 
 
-def build_zeggs(cfg):
+def build_zeggs(cfg, mcfg_extra=None):
     from ..data import ZeggsWindowDataset
 
     mcfg = MDMConfig(
@@ -37,6 +37,7 @@ def build_zeggs(cfg):
         audio_feat=cfg.audio_feat,
         split_qkv=cfg.get("split_qkv", False),
         dtype=jnp.dtype(cfg.get("compute_dtype", "float32")),
+        **(mcfg_extra or {}),
     )
     model = MDM(mcfg)
 
@@ -63,7 +64,7 @@ def build_zeggs(cfg):
     return model, mcfg, data.batches(cfg.batch_size), builder, data
 
 
-def build_beat_twh(cfg):
+def build_beat_twh(cfg, mcfg_extra=None):
     from ..data import SpeechGestureDataset, gesture_statistics
 
     cfg = apply_beat_twh_derivations(cfg)
@@ -78,6 +79,7 @@ def build_beat_twh(cfg):
         style_dim_in=cfg.style_dim,
         split_qkv=cfg.get("split_qkv", False),
         dtype=jnp.dtype(cfg.get("compute_dtype", "float32")),
+        **(mcfg_extra or {}),
     )
     model = MDMPlus(mcfg)
     mean, std = gesture_statistics(cfg.h5file)
@@ -101,6 +103,23 @@ def main(argv=None):
                    help="ZeRO-3: shard params + optimizer moments + EMA "
                         "along the 'data' mesh axis (parallel/fsdp.py); "
                         "implies --use_mesh, composes with --tp")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline-parallel degree: shard the trunk's layer "
+                        "stack over a 'pipe' mesh axis and stream GPipe "
+                        "microbatches (parallel/pipeline.py); implies a "
+                        "mesh, composes with --sp on remaining devices")
+    p.add_argument("--sp", type=int, default=0,
+                   help="sequence-parallel degree: shard the local "
+                        "attention's TIME axis over a 'seq' mesh axis with "
+                        "a one-window ppermute halo "
+                        "(parallel/seq_parallel.py); n_poses must divide "
+                        "into sp shards of whole windows")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="swap the trunk FFN for a Switch-routed MoE with "
+                        "this many experts (models/moe.py); the "
+                        "load-balance aux loss is added with weight "
+                        "--moe_aux_weight")
+    p.add_argument("--moe_aux_weight", type=float, default=0.01)
     p.add_argument("--split_qkv", action="store_true",
                    help="store attention projections as separate q/k/v "
                         "kernels instead of the torch-packed in_proj — "
@@ -136,10 +155,40 @@ def main(argv=None):
         # inits in the split layout from step 0)
         cfg.split_qkv = True
 
+    # model-parallel axes the MODEL needs at construction time: build ONE
+    # mesh shared by model and loop (data × [model] × [seq] × [pipe])
+    mesh = None
+    mcfg_extra = {}
+    pp, sp = max(0, args.pp), max(0, args.sp)
+    if pp > 1 or sp > 1:
+        from ..parallel import make_mesh
+
+        axes, shape = ["data"], [len(jax.devices())]
+        for deg, name in ((args.tp, "model"), (sp, "seq"), (pp, "pipe")):
+            if deg > 1:
+                if shape[0] % deg:
+                    raise SystemExit(
+                        f"{name} degree {deg} does not divide "
+                        f"{shape[0]} remaining devices")
+                axes.append(name)
+                shape.append(deg)
+                shape[0] //= deg
+        mesh = make_mesh(axes=tuple(axes), shape=tuple(shape))
+        if sp > 1:
+            mcfg_extra.update(attn_impl="seq_parallel", seq_mesh=mesh)
+        if pp > 1:
+            mcfg_extra.update(trunk_impl="pipeline", pipe_mesh=mesh)
+    if args.moe_experts > 0:
+        if pp > 1:
+            raise SystemExit(
+                "--moe_experts with --pp is unsupported in the CLI: the "
+                "pipelined trunk cannot sow the MoE aux loss")
+        mcfg_extra.update(moe_experts=args.moe_experts)
+
     if cfg.dataset == "ZEGGS":
-        model, mcfg, batches, builder, dataset = build_zeggs(cfg)
+        model, mcfg, batches, builder, dataset = build_zeggs(cfg, mcfg_extra)
     else:
-        model, mcfg, batches, builder, dataset = build_beat_twh(cfg)
+        model, mcfg, batches, builder, dataset = build_beat_twh(cfg, mcfg_extra)
 
     device_cache = None
     if args.device_cache:
@@ -148,7 +197,7 @@ def main(argv=None):
         from ..data.device_cache import DeviceWindowCache
 
         sharding = None
-        if args.use_mesh or args.tp > 1 or args.fsdp:
+        if args.use_mesh or args.tp > 1 or args.fsdp or mesh is not None:
             # replicate the cache across the mesh so the in-jit batch
             # gather runs on every device (committed-to-device-0 arrays
             # would funnel all gathers through one chip)
@@ -156,7 +205,8 @@ def main(argv=None):
 
             from ..parallel import make_mesh
 
-            sharding = NamedSharding(make_mesh(), P())
+            sharding = NamedSharding(
+                mesh if mesh is not None else make_mesh(), P())
         device_cache = DeviceWindowCache.from_zeggs(dataset, sharding=sharding)
 
     sched = D.Schedule.create(
@@ -174,8 +224,14 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed), x0, jnp.zeros((x0.shape[0],), jnp.int32), cond
     )
 
-    def apply(params, x, t, cond, train=False, rngs=None, uncond=None):
-        return model.apply(params, x, t, cond, train=train, rngs=rngs, uncond=uncond)
+    if args.moe_experts > 0 and args.moe_aux_weight > 0:
+        from ..models.moe import make_moe_apply
+
+        apply = make_moe_apply(model)
+    else:
+        def apply(params, x, t, cond, train=False, rngs=None, uncond=None):
+            return model.apply(params, x, t, cond, train=train, rngs=rngs,
+                               uncond=uncond)
 
     import itertools
 
@@ -190,15 +246,19 @@ def main(argv=None):
             lr_anneal_steps=cfg.get("lr_anneal_steps", 0),
             schedule_sampler=cfg.get("schedule_sampler", "uniform"),
             compute_dtype=cfg.get("compute_dtype", "float32"),
+            moe_aux_weight=(args.moe_aux_weight
+                            if args.moe_experts > 0 else 0.0),
         ),
         loop_cfg=LoopConfig(
             num_steps=cfg.get("num_steps", 100000),
             log_interval=cfg.get("log_interval", 50),
             save_interval=cfg.get("save_interval", 50000),
             checkpoint_dir=cfg.get("save_dir"),
-            use_mesh=args.use_mesh or args.tp > 1 or args.fsdp,
+            use_mesh=args.use_mesh or args.tp > 1 or args.fsdp
+            or mesh is not None,
             tensor_parallel=args.tp,
             fsdp=args.fsdp,
+            mesh=mesh,
             log_dir=cfg.get("log_dir"),
             log_formats=tuple(cfg.get("log_formats", ("stdout",))),
         ),

@@ -45,6 +45,12 @@ class LoopConfig:
     # (`parallel/fsdp.py`); XLA derives the all-gather/reduce-scatter
     # schedule from the annotations. Composes with tensor_parallel.
     fsdp: bool = False
+    # Externally built Mesh (must contain a 'data' axis). Used when the
+    # model itself needs the mesh at construction time (seq-parallel
+    # attention / pipelined trunk — `cli.train --sp/--pp` builds one mesh
+    # shared by model and loop). Overrides the internally built mesh;
+    # tensor_parallel>1 then expects a 'model' axis to be present.
+    mesh: Any = None
 
 
 class TrainLoop:
@@ -66,9 +72,17 @@ class TrainLoop:
         self.data = data
         self.logger = KVLogger(loop_cfg.log_dir, loop_cfg.log_formats)
         tp = max(1, loop_cfg.tensor_parallel)
-        if tp > 1 and not loop_cfg.use_mesh:
+        if tp > 1 and not (loop_cfg.use_mesh or loop_cfg.mesh is not None):
             raise ValueError("tensor_parallel > 1 requires use_mesh=True")
-        if loop_cfg.use_mesh and tp > 1:
+        if loop_cfg.mesh is not None:
+            if "data" not in loop_cfg.mesh.axis_names:
+                raise ValueError("external mesh must have a 'data' axis")
+            if tp > 1 and "model" not in loop_cfg.mesh.axis_names:
+                raise ValueError(
+                    "tensor_parallel > 1 with an external mesh needs a "
+                    "'model' axis")
+            self.mesh = loop_cfg.mesh
+        elif loop_cfg.use_mesh and tp > 1:
             n = len(jax.devices())
             if n % tp:
                 raise ValueError(f"tensor_parallel={tp} does not divide {n} devices")
