@@ -12,6 +12,7 @@ from .pipeline import (  # noqa: F401
     unstack_layer_params,
 )
 from .tp import (  # noqa: F401
+    wavlm_param_specs,
     mdm_param_specs,
     merge_qkv_params,
     shard_params,

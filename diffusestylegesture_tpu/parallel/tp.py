@@ -64,6 +64,41 @@ def mdm_param_specs(params: Any, model_axis: str = "model") -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def wavlm_param_specs(params: Any, model_axis: str = "model") -> Any:
+    """Megatron specs for the WavLM encoder (`models/wavlm/model.py`).
+
+    Unlike the gesture denoisers, WavLM is where TP actually pays: the
+    317 M-param Large encoder runs d=1024/4096 matmuls whose shards stay
+    MXU-efficient. Its attention is already split q/k/v, so the classic
+    pairing applies directly — q/k/v + fc1 column-parallel, out_proj +
+    fc2 row-parallel (psum over ICI at their outputs). The per-head
+    gated-rel-pos state (bias table (buckets, H), `grep_a` (1, H, 1, 1))
+    shards on the HEAD dim so the bias math stays local to each head
+    shard; requires encoder_attention_heads % tp == 0. Conv extractor,
+    positional conv and norms replicate.
+    """
+
+    def spec_for(path, leaf):
+        joined = "/".join(str(getattr(p, "key", "")) for p in path)
+        if "layers_" not in joined:
+            return P()
+        if leaf.ndim == 2:
+            if any(s in joined for s in ("q_proj", "k_proj", "v_proj", "fc1")):
+                return P(None, model_axis)  # column parallel
+            if "out_proj" in joined or "fc2" in joined:
+                return P(model_axis, None)  # row parallel
+            if "relative_attention_bias" in joined:
+                return P(None, model_axis)  # (buckets, H) — head shard
+        if leaf.ndim == 1 and any(
+                s in joined for s in ("q_proj", "k_proj", "v_proj", "fc1")):
+            return P(model_axis)
+        if "grep_a" in joined and leaf.ndim == 4:
+            return P(None, model_axis, None, None)  # (1, H, 1, 1)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def _convert_qkv(tree: Any, scope: str, to_split: bool) -> Any:
     """Shared traversal for the qkv layout converters. Handles not just
     param dicts but whole TrainStates: lists/tuples/namedtuples (optax
