@@ -12,6 +12,7 @@ the gradient all-reduce rides ICI.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import time
@@ -51,6 +52,60 @@ class LoopConfig:
     # shared by model and loop). Overrides the internally built mesh;
     # tensor_parallel>1 then expects a 'model' axis to be present.
     mesh: Any = None
+    # Preemption safety: catch SIGTERM during `run()` and, instead of
+    # dying mid-step, flush metrics, write a checkpoint and return — the
+    # tested orbax resume then continues from that step. The reference has
+    # no notion of this (its resume machinery is commented out,
+    # `main/train/training_loop.py:109-131`); on TPU pods preemption is a
+    # normal lifecycle event, so the loop treats it as a clean stop.
+    # Ignored when no checkpoint_dir is configured (nothing to save).
+    save_on_preemption: bool = True
+
+
+class _PreemptionGuard:
+    """Converts SIGTERM into a checked flag for the step loop.
+
+    Installed only for the duration of `TrainLoop.run()`; the previous
+    handler is restored on exit and re-invoked after the clean shutdown
+    completes if the signal arrived (so process supervisors still see
+    their handler run). Signal handlers can only be installed from the
+    main thread — anywhere else the guard degrades to a no-op flag, which
+    keeps threaded test harnesses working.
+    """
+
+    def __init__(self, signals=(None,)):
+        import signal as _signal
+
+        self._signal = _signal
+        self._signals = [s for s in signals if s is not None] or [
+            _signal.SIGTERM]
+        self._prev: dict = {}
+        self.requested: Optional[int] = None  # signum once seen
+
+    def _handler(self, signum, frame):
+        self.requested = signum
+
+    def __enter__(self):
+        for s in self._signals:
+            try:
+                self._prev[s] = self._signal.signal(s, self._handler)
+            except ValueError:  # not the main thread
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        if self.requested is not None:
+            # chain a caller-installed Python handler (a supervisor hook)
+            # so it still observes the signal after the clean shutdown;
+            # SIG_DFL is NOT re-delivered — run() returning the saved
+            # state IS the clean preemption exit, and supervisors that
+            # insist escalate to SIGKILL on their own schedule
+            prev = self._prev.get(self.requested)
+            if callable(prev):
+                prev(self.requested, None)
+        return False
 
 
 class TrainLoop:
@@ -218,37 +273,48 @@ class TrainLoop:
         step = self.resume_step
         t0 = time.time()
         pending = []
-        for batch in self._batches():
-            if step >= cfg.num_steps:
-                break
-            self.rng, sub = jax.random.split(self.rng)
-            if self.cached_step is not None:
-                self.state, metrics = self.cached_step(
-                    self.state, sub, self._cache_arrays)
-            else:
-                if self.mesh is not None:
-                    batch = shard_batch(self.mesh, batch)
-                self.state, metrics = self.train_step(self.state, batch, sub)
-
-            pending.append(metrics)
-
-            if step % cfg.log_interval == 0:
-                self._flush_metrics(pending)
-                self.logger.logkv("step", step)
-                self.logger.logkv(
-                    "steps_per_sec",
-                    (step - self.resume_step + 1) / (time.time() - t0))
-                self.logger.dumpkvs()
-
-            if cfg.save_interval and step and step % cfg.save_interval == 0:
-                self._flush_metrics(pending)
-                self.save(step)
-                if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+        guard_wanted = cfg.save_on_preemption and self.ckpt is not None
+        guard = _PreemptionGuard()
+        with guard if guard_wanted else contextlib.nullcontext(guard):
+            for batch in self._batches():
+                if step >= cfg.num_steps:
+                    break
+                if guard.requested is not None:
+                    self._flush_metrics(pending)
+                    self.save(step)
+                    self.logger.log(
+                        f"preemption (signal {guard.requested}): checkpoint "
+                        f"written at step {step}, stopping cleanly")
                     return self.state
-            step += 1
-        self._flush_metrics(pending)
-        if self.ckpt is not None:
-            self.save(step)
+                self.rng, sub = jax.random.split(self.rng)
+                if self.cached_step is not None:
+                    self.state, metrics = self.cached_step(
+                        self.state, sub, self._cache_arrays)
+                else:
+                    if self.mesh is not None:
+                        batch = shard_batch(self.mesh, batch)
+                    self.state, metrics = self.train_step(
+                        self.state, batch, sub)
+
+                pending.append(metrics)
+
+                if step % cfg.log_interval == 0:
+                    self._flush_metrics(pending)
+                    self.logger.logkv("step", step)
+                    self.logger.logkv(
+                        "steps_per_sec",
+                        (step - self.resume_step + 1) / (time.time() - t0))
+                    self.logger.dumpkvs()
+
+                if cfg.save_interval and step and step % cfg.save_interval == 0:
+                    self._flush_metrics(pending)
+                    self.save(step)
+                    if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+                        return self.state
+                step += 1
+            self._flush_metrics(pending)
+            if self.ckpt is not None:
+                self.save(step)
         return self.state
 
     def save(self, step: int) -> None:

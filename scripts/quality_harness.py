@@ -32,7 +32,10 @@ student from the 3rd halving down becomes its own FGD-gated mode, so
 e.g. stages=6 gates 125/62/31/15-step serving — QH_DISTILL_EVAL=3,6
 narrows which stage indices are evaluated), QH_DISTILL_STEPS (distill
 steps per stage, default 400), QH_SKIP_TRAIN=1 to reuse an existing
-checkpoint.
+checkpoint, QH_EXTRA_MODES (comma-separated additional teacher-weight
+modes like "dpmpp10,ddim25" — each is an FGD-gated candidate, letting
+the gate, not an assumption, decide how few solver steps quality
+tolerates).
 
 Run: `timeout 3600 python scripts/quality_harness.py`
 """
@@ -340,6 +343,26 @@ def run(workdir: str) -> dict:
             "dpmpp"),
     }
     baseline_key = f"ddpm{DIFFUSION_STEPS}"
+
+    # extra teacher-weight modes (QH_EXTRA_MODES="dpmpp10,ddim25"): push
+    # the gated frontier below the defaults without assuming the answer —
+    # a mode that degrades FGD past tolerance is written ok=false and
+    # bench.py/cli.sample will not use it
+    for extra in filter(None, os.environ.get("QH_EXTRA_MODES", "").split(",")):
+        extra = extra.strip()
+        for samp in ("dpmpp", "ddim"):
+            if extra.startswith(samp) and extra[len(samp):].isdigit():
+                n = int(extra[len(samp):])
+                if extra not in modes and 2 <= n < DIFFUSION_STEPS:
+                    modes[extra] = (
+                        model_apply, params,
+                        D.spaced_schedule(
+                            betas,
+                            D.space_timesteps(DIFFUSION_STEPS, f"ddim{n}")),
+                        samp)
+                break
+        else:
+            raise SystemExit(f"QH_EXTRA_MODES: unrecognized mode {extra!r}")
 
     # -- progressive distillation: 1000 → 1000/2^stages DDIM students.
     # Every stage from the 3rd halving down (125-step at the real

@@ -155,6 +155,46 @@ class TestLoopAndCheckpoint:
         state2 = loop2.run()
         assert int(np.asarray(state2.step)) == 8
 
+    def test_sigterm_saves_checkpoint_and_resumes(self, tmp_path):
+        """Preemption safety (LoopConfig.save_on_preemption): a SIGTERM
+        mid-run makes the loop checkpoint the current step and return
+        cleanly, and a fresh loop resumes from exactly that step."""
+        import signal
+
+        _, params, apply = make_model_and_params()
+        ckpt_dir = str(tmp_path / "ckpts")
+
+        def preempting_iter():
+            rng = np.random.default_rng(1)
+            for i in range(50):
+                if i == 3:  # delivered in the main thread before yield 3
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield make_batch(rng)
+
+        loop = TrainLoop(
+            apply, SCHED, params, preempting_iter(),
+            train_cfg=TrainConfig(lr=1e-3),
+            loop_cfg=LoopConfig(num_steps=50, log_interval=100,
+                                save_interval=0, checkpoint_dir=ckpt_dir),
+            cond_builder=make_zeggs_cond_builder(4),
+        )
+        state = loop.run()
+        stopped = int(np.asarray(state.step))
+        assert 0 < stopped < 50  # stopped early, after a whole step
+        # the previous handler is restored after run()
+        assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+        loop2 = TrainLoop(
+            apply, SCHED, params, data_iter(50),
+            train_cfg=TrainConfig(lr=1e-3),
+            loop_cfg=LoopConfig(num_steps=stopped + 2, log_interval=100,
+                                save_interval=0, checkpoint_dir=ckpt_dir),
+            cond_builder=make_zeggs_cond_builder(4),
+        )
+        assert loop2.resume_step == stopped
+        state2 = loop2.run()
+        assert int(np.asarray(state2.step)) == stopped + 2
+
     def test_smoke_env(self, tmp_path):
         _, params, apply = make_model_and_params()
         os.environ["DIFFUSION_TRAINING_TEST"] = "1"
