@@ -167,18 +167,33 @@ def main(argv=None):
     if status != "baseline":
         print(("note: " if status == "unknown" else "") + message)
 
+    import dataclasses as _dc
+
     mcfg = MDMConfig(
         njoints=cfg.njoints, latent_dim=cfg.latent_dim,
         ff_size=cfg.get("ff_size", 1024), num_layers=cfg.get("num_layers", 8),
         n_seed=cfg.n_seed, cond_mode=cfg.cond_mode,
         cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
+        moe_experts=cfg.get("moe_experts", 0),
     )
     if args.serve_fast:
-        import dataclasses as _dc
-
         mcfg = _dc.replace(mcfg, dtype=jnp.bfloat16, activation="gelu_tanh")
     model = MDM(mcfg)
     params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
+    # MoE-trained checkpoints (`cli.train --moe_experts`): the expert FFN
+    # stacks live under a per-layer 'moe' scope with w1 of shape (E,D,F);
+    # infer E from the params so a checkpoint serves correctly even when
+    # the sampling yaml doesn't carry the training flag
+    moe_e = next(
+        (int(leaf.shape[0])
+         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+         if [str(getattr(p, "key", "")) for p in path][-2:] == ["moe", "w1"]),
+        0)
+    if moe_e and mcfg.moe_experts != moe_e:
+        print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
+              f"overriding config")
+        mcfg = _dc.replace(mcfg, moe_experts=moe_e)
+        model = MDM(mcfg)
     if args.serve_fast:
         params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)

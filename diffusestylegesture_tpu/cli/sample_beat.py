@@ -67,15 +67,16 @@ def main(argv=None):
     cfg = apply_beat_twh_derivations(cfg)
     os.makedirs(args.save_dir, exist_ok=True)
 
+    import dataclasses as _dc
+
     mcfg = MDMPlusConfig(
         njoints=cfg.njoints, latent_dim=cfg.latent_dim, n_seed=cfg.n_seed,
         cond_mode=cfg.cond_mode, cond_mask_prob=cfg.cond_mask_prob,
         source_audio_dim=cfg.audio_feature_dim,
         audio_feat_dim=cfg.audio_feat_dim_latent, style_dim_in=cfg.style_dim,
+        moe_experts=cfg.get("moe_experts", 0),
     )
     if args.serve_fast:
-        import dataclasses as _dc
-
         import jax.numpy as _jnp
 
         mcfg = _dc.replace(mcfg, dtype=_jnp.bfloat16, activation="gelu_tanh")
@@ -87,6 +88,19 @@ def main(argv=None):
         from .sample import load_orbax_params
 
         params = load_orbax_params(args.model_path)
+    # MoE-trained checkpoints: infer the expert count from the 'moe/w1'
+    # stacks when the yaml doesn't carry the training flag (same logic as
+    # cli.sample)
+    moe_e = next(
+        (int(leaf.shape[0])
+         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+         if [str(getattr(p, "key", "")) for p in path][-2:] == ["moe", "w1"]),
+        0)
+    if moe_e and mcfg.moe_experts != moe_e:
+        print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
+              f"overriding config")
+        mcfg = _dc.replace(mcfg, moe_experts=moe_e)
+        model = MDMPlus(mcfg)
 
     if args.serve_fast:
         import jax.numpy as _jnp

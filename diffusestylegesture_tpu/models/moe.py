@@ -123,25 +123,25 @@ def moe_param_specs(params: Any, axis: str = "expert") -> Any:
     `mdm_param_specs` via their `base_specs` hook.
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_keys(path):
+        # keystr-quality identity per entry: DictKey/GetAttrKey have .key/
+        # .name, SequenceKey has .idx — getattr(p, 'key', '') alone would
+        # stringify every list index to '' and collapse distinct paths
+        return tuple(
+            str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p))))
+            for p in path)
+
     # an MoE module is recognized structurally: a subtree holding both a
     # `router` child and the stacked expert leaves w1/b1/w2/b2
-    moe_parents = set()
+    moe_parents = {
+        path_keys(path)[:-2] for path, _ in flat
+        if len(path) >= 2 and path_keys(path)[-2] == "router"
+    }
+    leaves = []
     for path, _ in flat:
-        keys = [str(getattr(p, "key", "")) for p in path]
-        if len(keys) >= 2 and keys[-2] == "router":
-            moe_parents.add(tuple(keys[:-2]))
-    specs = {}
-    for path, leaf in flat:
-        keys = [str(getattr(p, "key", "")) for p in path]
-        expertish = (
-            keys[-1] in ("w1", "b1", "w2", "b2")
-            and tuple(keys[:-1]) in moe_parents
-        )
-        specs[tuple(keys)] = P(axis) if expertish else P()
-    # rebuild the tree shape
-    out = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(params),
-        [specs[tuple(str(getattr(p, "key", "")) for p in path)]
-         for path, _ in flat],
-    )
-    return out
+        keys = path_keys(path)
+        expertish = keys[-1] in ("w1", "b1", "w2", "b2") and keys[:-1] in moe_parents
+        leaves.append(P(axis) if expertish else P())
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), leaves)

@@ -55,8 +55,9 @@ def mdm_param_specs(params: Any, model_axis: str = "model") -> Any:
             if "out_proj" in joined or "linear2" in joined:
                 return P(model_axis, None)  # row parallel
         if "seqTransEncoder" in joined and leaf.ndim == 1 and (
-                "q_proj" in joined or "k_proj" in joined
-                or "v_proj" in joined or "linear1" in joined):
+                "in_proj" in joined or "q_proj" in joined
+                or "k_proj" in joined or "v_proj" in joined
+                or "linear1" in joined):
             # column-parallel biases live on the sharded output dim
             return P(model_axis)
         return P()
@@ -188,9 +189,7 @@ def shard_train_state(mesh: Mesh, state: Any, specs: Any) -> Any:
     params_struct = jax.tree.structure(state.params)
 
     def shard_like_params(tree):
-        return jax.tree.map(
-            lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), tree, specs
-        )
+        return shard_params(mesh, tree, specs)
 
     def rec(node):
         try:

@@ -13,9 +13,12 @@ beat alignment against ground truth, with DDPM-1000 as the baseline.
 
 The harness writes its verdicts to `resources/quality_gate.json`; the
 sampling CLI consults it and refuses a mode whose FGD degraded beyond
-tolerance in the harness (override with --allow_degraded). Modes the
-harness never measured pass with a note — the gate protects against
-*measured* regressions, it does not guess.
+tolerance — or whose sample diversity collapsed below the retention
+floor; FGD alone cannot see mode collapse (measured: a 7-step distilled
+student at FGD ratio 1.09 with 0.8% of baseline diversity) — in the
+harness (override with --allow_degraded). Modes the harness never
+measured pass with a note — the gate protects against *measured*
+regressions, it does not guess.
 """
 from __future__ import annotations
 
@@ -77,8 +80,20 @@ def check_key(key: str, manifest: Optional[dict] = None) -> Tuple[str, str]:
             f"quality gate OK for {key}: FGD ratio vs DDPM-1000 "
             f"{entry.get('fgd_ratio', float('nan')):.2f} "
             f"(tolerance {manifest.get('fgd_ratio_tolerance')})")
+    reasons = []
+    fgd_tol = manifest.get("fgd_ratio_tolerance")
+    fgd_ratio = entry.get("fgd_ratio")
+    if fgd_tol is not None and fgd_ratio is not None and fgd_ratio > fgd_tol:
+        reasons.append(
+            f"FGD ratio vs DDPM-1000 {fgd_ratio:.2f} > tolerance {fgd_tol}")
+    div_min = manifest.get("diversity_ratio_min")
+    div_ratio = entry.get("diversity_ratio_vs_baseline")
+    if div_min is not None and div_ratio is not None and div_ratio < div_min:
+        reasons.append(
+            f"sample diversity collapsed to {div_ratio:.3f}× the DDPM-1000 "
+            f"baseline (floor {div_min})")
+    detail = "; ".join(reasons) or (
+        f"FGD ratio vs DDPM-1000 {fgd_ratio}")  # legacy manifest fallback
     return "degraded", (
         f"serving mode {key} DEGRADED motion quality in the harness: "
-        f"FGD ratio vs DDPM-1000 {entry.get('fgd_ratio', float('nan')):.2f} "
-        f"> tolerance {manifest.get('fgd_ratio_tolerance')} "
-        "(pass --allow_degraded to serve anyway)")
+        f"{detail} (pass --allow_degraded to serve anyway)")

@@ -129,6 +129,10 @@ class TrainLoop:
         tp = max(1, loop_cfg.tensor_parallel)
         if tp > 1 and not (loop_cfg.use_mesh or loop_cfg.mesh is not None):
             raise ValueError("tensor_parallel > 1 requires use_mesh=True")
+        if loop_cfg.fsdp and not (loop_cfg.use_mesh or loop_cfg.mesh is not None):
+            # without a mesh the sharding block below is skipped entirely;
+            # silently training replicated would defeat the point of ZeRO-3
+            raise ValueError("fsdp=True requires use_mesh=True or mesh=")
         if loop_cfg.mesh is not None:
             if "data" not in loop_cfg.mesh.axis_names:
                 raise ValueError("external mesh must have a 'data' axis")
@@ -297,27 +301,38 @@ class TrainLoop:
                         self.state, batch, sub)
 
                 pending.append(metrics)
+                # `step` now counts COMPLETED steps and equals state.step,
+                # so checkpoint directory labels match their contents (a
+                # periodic save at step N holds state.step == N, same
+                # convention as the preemption and final saves)
+                step += 1
 
                 if step % cfg.log_interval == 0:
                     self._flush_metrics(pending)
                     self.logger.logkv("step", step)
                     self.logger.logkv(
                         "steps_per_sec",
-                        (step - self.resume_step + 1) / (time.time() - t0))
+                        (step - self.resume_step) / (time.time() - t0))
                     self.logger.dumpkvs()
 
-                if cfg.save_interval and step and step % cfg.save_interval == 0:
+                if cfg.save_interval and step % cfg.save_interval == 0:
                     self._flush_metrics(pending)
                     self.save(step)
                     if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                         return self.state
-                step += 1
             self._flush_metrics(pending)
             if self.ckpt is not None:
                 self.save(step)
         return self.state
 
     def save(self, step: int) -> None:
-        if self.ckpt is not None:
-            self.ckpt.save(step, jax.device_get(self.state), wait=True)
-            self.logger.log(f"saved checkpoint at step {step}")
+        if self.ckpt is None:
+            return
+        if self.ckpt.latest_step() == step:
+            # already on disk — a relaunch after a completed run (or a
+            # SIGTERM right after a periodic save) would otherwise crash
+            # with orbax's StepAlreadyExistsError instead of no-oping
+            self.logger.log(f"checkpoint for step {step} already exists")
+            return
+        self.ckpt.save(step, jax.device_get(self.state), wait=True)
+        self.logger.log(f"saved checkpoint at step {step}")

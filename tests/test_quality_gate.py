@@ -9,9 +9,13 @@ from diffusestylegesture_tpu.sample import quality_gate as qg
 MANIFEST = {
     "baseline": "ddpm1000",
     "fgd_ratio_tolerance": 1.5,
+    "diversity_ratio_min": 0.25,
     "modes": {
         "ddim100": {"fgd_ratio": 1.1, "ok": True},
         "dpmpp20": {"fgd_ratio": 2.4, "ok": False},
+        # FGD in tolerance but mode-collapsed (the distill7 signature)
+        "ddim7": {"fgd_ratio": 1.09,
+                  "diversity_ratio_vs_baseline": 0.008, "ok": False},
     },
 }
 
@@ -29,6 +33,10 @@ def test_check_mode_statuses():
     status, msg = qg.check_mode("dpmpp", 20, 1000, MANIFEST)
     assert status == "degraded" and "2.4" in msg
     assert qg.check_mode("plms", 50, 1000, MANIFEST)[0] == "unknown"
+    # diversity collapse alone degrades, and the message names it
+    status, msg = qg.check_mode("ddim", 7, 1000, MANIFEST)
+    assert status == "degraded" and "diversity collapsed" in msg
+    assert "FGD ratio" not in msg  # FGD was fine; don't blame it
 
 
 def test_no_manifest_is_unknown(tmp_path, monkeypatch):

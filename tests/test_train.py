@@ -155,6 +155,51 @@ class TestLoopAndCheckpoint:
         state2 = loop2.run()
         assert int(np.asarray(state2.step)) == 8
 
+    def test_relaunch_after_completion_is_noop(self, tmp_path):
+        """Restarting a COMPLETED run must not crash on the final re-save
+        (orbax raises StepAlreadyExistsError without the guard)."""
+        _, params, apply = make_model_and_params()
+        ckpt_dir = str(tmp_path / "ckpts")
+        for _ in range(2):  # second pass resumes at num_steps and exits
+            loop = TrainLoop(
+                apply, SCHED, params, data_iter(6),
+                train_cfg=TrainConfig(lr=1e-3),
+                loop_cfg=LoopConfig(num_steps=4, log_interval=100,
+                                    save_interval=0, checkpoint_dir=ckpt_dir),
+                cond_builder=make_zeggs_cond_builder(4),
+            )
+            state = loop.run()
+            assert int(np.asarray(state.step)) == 4
+
+    def test_periodic_checkpoint_label_matches_contents(self, tmp_path):
+        """A periodic save labeled N holds state.step == N (was N+1)."""
+        from diffusestylegesture_tpu.train.checkpoint import CheckpointManager
+
+        _, params, apply = make_model_and_params()
+        ckpt_dir = str(tmp_path / "ckpts")
+        loop = TrainLoop(
+            apply, SCHED, params, data_iter(6),
+            train_cfg=TrainConfig(lr=1e-3),
+            loop_cfg=LoopConfig(num_steps=5, log_interval=100,
+                                save_interval=3, checkpoint_dir=ckpt_dir),
+            cond_builder=make_zeggs_cond_builder(4),
+        )
+        loop.run()
+        mgr = CheckpointManager(ckpt_dir)
+        assert mgr.latest_step() == 5
+        restored = mgr.restore(loop.state, step=3)
+        assert int(np.asarray(restored.step)) == 3
+
+    def test_fsdp_without_mesh_raises(self):
+        _, params, apply = make_model_and_params()
+        with pytest.raises(ValueError, match="fsdp"):
+            TrainLoop(
+                apply, SCHED, params, data_iter(2),
+                train_cfg=TrainConfig(lr=1e-3),
+                loop_cfg=LoopConfig(num_steps=2, fsdp=True),
+                cond_builder=make_zeggs_cond_builder(4),
+            )
+
     def test_sigterm_saves_checkpoint_and_resumes(self, tmp_path):
         """Preemption safety (LoopConfig.save_on_preemption): a SIGTERM
         mid-run makes the loop checkpoint the current step and return
