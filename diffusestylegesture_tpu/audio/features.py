@@ -60,8 +60,10 @@ def stft_power(y: np.ndarray, n_fft: int, hop_length: int) -> np.ndarray:
     pad = n_fft // 2
     y = np.pad(y, pad, mode="reflect")
     n_frames = 1 + (len(y) - n_fft) // hop_length
-    idx = np.arange(n_fft)[None, :] + hop_length * np.arange(n_frames)[:, None]
-    frames = y[idx] * _hann_periodic(n_fft)[None, :]
+    # strided view, no index-matrix materialization (an (n_frames, n_fft)
+    # int64 gather would cost ~2x the frames themselves on long clips)
+    view = np.lib.stride_tricks.sliding_window_view(y, n_fft)[::hop_length]
+    frames = view[:n_frames] * _hann_periodic(n_fft)[None, :]
     spec = np.fft.rfft(frames, axis=1)
     return (spec.real**2 + spec.imag**2).T.astype(np.float32)
 
@@ -238,8 +240,8 @@ def hfc_odf(y: np.ndarray, sr: int = 16000, frame: int = 1024, hop: int = 512) -
     if n == 0:
         return np.zeros(0, np.float64)
     padded = np.pad(y, (half, frame))  # right pad ≥ frame covers the tail
-    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
-    frames = padded[idx] * _hann_symmetric(frame)[None, :]
+    view = np.lib.stride_tricks.sliding_window_view(padded, frame)[::hop]
+    frames = view[:n] * _hann_symmetric(frame)[None, :]
     spec = np.fft.rfft(frames, axis=1)
     mag2 = spec.real**2 + spec.imag**2
     freqs = np.arange(mag2.shape[1]) * (sr / frame)

@@ -78,6 +78,17 @@ def main(argv=None):
     gf = windowed_features(gen, args.window, args.stride)
     rf = windowed_features(ref, args.window, args.stride)
 
+    if args.embedding == "raw" and rf.shape[1] > 8192:
+        # raw windows of real gesture features (e.g. 40×1141 = 45,640-d)
+        # exceed what covariance-based FGD can handle (`frechet_distance`
+        # guard); train the embedding instead of dying on the default args
+        import sys
+
+        print(f"note: raw {rf.shape[1]}-d windows exceed the covariance-FGD "
+              "limit — switching to --embedding autoencoder",
+              file=sys.stderr)
+        args.embedding = "autoencoder"
+
     if args.embedding == "autoencoder":
         from ..eval.embedding import AEConfig, embed_windows, train_autoencoder
 

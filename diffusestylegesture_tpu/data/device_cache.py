@@ -38,10 +38,18 @@ class DeviceWindowCache:
             assert arr.shape[0] == n, f"{k} length mismatch"
         self.n = n or 0
 
-    def sample_batch(self, key: jax.Array, batch_size: int) -> Dict[str, jax.Array]:
-        """Uniform with-replacement batch gather (jit-compatible)."""
-        idx = jax.random.randint(key, (batch_size,), 0, self.n)
-        return {k: v[idx] for k, v in self.arrays.items()}
+    @staticmethod
+    def sample_batch(arrays: Dict[str, jax.Array], key: jax.Array,
+                     batch_size: int) -> Dict[str, jax.Array]:
+        """Uniform with-replacement batch gather.
+
+        Takes the array dict EXPLICITLY so jitted callers pass it as an
+        argument — a method closing over `self.arrays` inside a jit would
+        bake the whole dataset into the HLO as literal constants (the
+        failure mode documented below in `make_device_data_train_step`)."""
+        n = next(iter(arrays.values())).shape[0]
+        idx = jax.random.randint(key, (batch_size,), 0, n)
+        return {k: v[idx] for k, v in arrays.items()}
 
     @classmethod
     def from_zeggs(cls, dataset, sharding=None) -> "DeviceWindowCache":
@@ -79,12 +87,10 @@ def make_device_data_train_step(
     from ..train.state import make_train_step
 
     inner = make_train_step(model_apply, sched, train_cfg, cond_builder)
-    n = cache.n
 
     def step(state, key, arrays):
         k_data, k_step = jax.random.split(key)
-        idx = jax.random.randint(k_data, (batch_size,), 0, n)
-        batch = {k: v[idx] for k, v in arrays.items()}
+        batch = DeviceWindowCache.sample_batch(arrays, k_data, batch_size)
         if batch_sharding is not None:
             batch = jax.tree.map(
                 lambda a: jax.lax.with_sharding_constraint(a, batch_sharding),

@@ -20,6 +20,7 @@ scan-of-steps program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Tuple
 
 import flax.linen as nn
@@ -94,10 +95,14 @@ def train_autoencoder(
     params = model.init(key, x0)
     tx = optax.adam(lr)
     opt = tx.init(params)
+    # the dataset enters the jitted step as an ARGUMENT — a closure
+    # capture would bake it into the HLO as a literal constant (compile
+    # bloat, transient 2× HBM, HTTP 413 on remote-compile transports —
+    # the exact failure data/device_cache.py documents)
     data = jnp.asarray(windows)
 
     @jax.jit
-    def step(params, opt, k):
+    def step(params, opt, k, data):
         idx = jax.random.randint(k, (batch_size,), 0, data.shape[0])
         batch = data[idx]
 
@@ -112,14 +117,20 @@ def train_autoencoder(
     loss = np.inf
     for i in range(num_steps):
         key, sub = jax.random.split(key)
-        params, opt, loss = step(params, opt, sub)
+        params, opt, loss = step(params, opt, sub, data)
     return params, float(loss)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _encode_jit(cfg: AEConfig, params, x):
+    # one compiled encoder per AEConfig (hashable dataclass): repeated
+    # embed_windows calls (generated set, then reference set) reuse it
+    return encode_fn(cfg, params, x)
 
 
 def embed_windows(params, cfg: AEConfig, windows: np.ndarray, batch: int = 256) -> np.ndarray:
     """(N, W, D) → (N, latent) embedding features."""
-    enc = jax.jit(lambda x: encode_fn(cfg, params, x))
     out = []
     for s in range(0, len(windows), batch):
-        out.append(np.asarray(enc(jnp.asarray(windows[s : s + batch]))))
+        out.append(np.asarray(_encode_jit(cfg, params, jnp.asarray(windows[s : s + batch]))))
     return np.concatenate(out, 0)

@@ -56,6 +56,16 @@ def frechet_distance(feats1: np.ndarray, feats2: np.ndarray, eps: float = 1e-6) 
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = sqrtm((sigma1 + offset).dot(sigma2 + offset))
     if np.iscomplexobj(covmean):
+        # reference guard (`main/eval/a2m/action2motion/fid.py:53-57`,
+        # same in stgcn/fid.py and humanml utils/metrics.py:137-141):
+        # non-trivial imaginary parts on the sqrtm diagonal mean the
+        # covariance pair is too ill-conditioned to trust — taking .real
+        # silently would report a wrong-but-plausible FGD
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                "FGD covariance sqrtm has imaginary component "
+                f"{np.max(np.abs(covmean.imag)):.2e} (ill-conditioned "
+                "covariances — too few windows?)")
         covmean = covmean.real
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
 

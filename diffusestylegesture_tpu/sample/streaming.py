@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import ZeggsSampler, crossfade_weights
+from .engine import ZeggsSampler, crossfade_weights, unnormalize_poses
 from .engine_beat import BeatTwhSampler
 
 
@@ -136,10 +136,7 @@ class ZeggsStreamSampler:
             seq = np.asarray(chunk)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
             if self._window_index == 0:
                 seq = seq[:, self.cfg.n_seed:]  # ref `sample.py:296`
-            if self.std is not None:
-                seq = seq * np.clip(self.std, 0.01, None)
-            if self.mean is not None:
-                seq = seq + self.mean
+            seq = unnormalize_poses(seq, self.mean, self.std)
             self._window_index += 1
             out.append(seq)
         return out
@@ -264,6 +261,10 @@ class BeatTwhStreamSampler:
         generated window (the batch engine keeps the last window whole)."""
         cfg = self.cfg
         out = []
+        if self._frames_in == 0 and self._window_index == 0:
+            # nothing was ever pushed: don't burn a full diffusion window
+            # on all-zero features just to emit an empty chunk
+            return out
         if len(self._buffer) > 0 or self._window_index == 0:
             pad = cfg.stride - len(self._buffer)
             main = np.concatenate(

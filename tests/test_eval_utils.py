@@ -112,6 +112,29 @@ class TestEvalCLI:
         assert out["beat_alignment_clips"] == 3
         assert 0 <= out["beat_alignment"] <= 1
 
+    def test_raw_mode_autoswitches_on_huge_windows(self, tmp_path, capsys):
+        """Default --embedding raw with window·D beyond the covariance-FGD
+        limit must fall back to the autoencoder embedding instead of
+        crashing (regression: ValueError on the docstring's own default
+        invocation over 1141-d features)."""
+        from diffusestylegesture_tpu.cli.eval import main
+
+        rng = np.random.default_rng(1)
+        gen_dir, ref_dir = tmp_path / "g3", tmp_path / "r3"
+        gen_dir.mkdir(), ref_dir.mkdir()
+        for i in range(2):
+            np.save(gen_dir / f"c{i}.npy",
+                    rng.standard_normal((90, 300)).astype(np.float32))
+            np.save(ref_dir / f"c{i}.npy",
+                    rng.standard_normal((90, 300)).astype(np.float32))
+        out = main([
+            "--generated", str(gen_dir), "--reference", str(ref_dir),
+            "--window", "40", "--stride", "20",  # 40·300 = 12,000-d raw
+            "--ae_steps", "10", "--ae_latent", "8",
+        ])
+        assert out["embedding"] == "autoencoder"
+        assert np.isfinite(out["fgd"])
+
     def test_kid_precision_recall_flag(self, tmp_path):
         from diffusestylegesture_tpu.cli.eval import main
 

@@ -673,4 +673,6 @@ class TestLoopLogSinks:
             rows = list(csv.DictReader(f))
         assert len(rows) >= 3
         assert all(float(r["loss"]) > 0 for r in rows if r.get("loss"))
-        assert {int(float(r["step"])) for r in rows} >= {0, 1, 2}
+        # steps count COMPLETED steps (1-based) since the checkpoint-label
+        # fix — row "1" is the state after the first optimizer update
+        assert {int(float(r["step"])) for r in rows} >= {1, 2, 3}
