@@ -126,6 +126,14 @@ class TestBeatStreamEqualsBatch:
         s2 = BeatTwhStreamSampler(eng, {}, seed, style, jax.random.PRNGKey(2), mean, std)
         assert s1._step is s2._step
 
+    def test_flush_without_push_is_empty(self):
+        """flush() on a fresh stream returns [] without running a full
+        diffusion window on all-zero features."""
+        eng, cfg, seed, style, mean, std = self._setup("attention4")
+        stream = BeatTwhStreamSampler(
+            eng, {}, seed, style, jax.random.PRNGKey(3), mean, std)
+        assert stream.flush() == []
+
 
 class TestHostFeatsStreaming:
     def test_mfcc_mode_equals_batch(self):
