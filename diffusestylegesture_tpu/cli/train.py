@@ -223,6 +223,11 @@ def main(argv=None):
     params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed), x0, jnp.zeros((x0.shape[0],), jnp.int32), cond
     )
+    # keep only the trainable collection: an MoE init also returns the
+    # sown 'losses' scalar, which must not enter the TrainState (it would
+    # be checkpointed and optimized as if it were a parameter)
+    if isinstance(params, dict) and "params" in params:
+        params = {"params": params["params"]}
 
     if args.moe_experts > 0 and args.moe_aux_weight > 0:
         from ..models.moe import make_moe_apply

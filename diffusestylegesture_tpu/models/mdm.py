@@ -32,7 +32,7 @@ from .embeddings import (
     mask_cond,
 )
 from .local_attention import local_attention
-from .transformer import TorchTransformerEncoder, encoder_trunk
+from .transformer import encoder_trunk
 
 AUDIO_FEAT_DIMS = {"wav encoder": 32, "mfcc": 13, "wavlm": 64}
 
@@ -249,6 +249,14 @@ class MDM(nn.Module):
             h = nn.Dense(D, name="input_process_plain")(seq_in)
             pe = jnp.asarray(sinusoidal_pe(5000, D))
 
+            if cfg.arch in ("trans_dec", "gru") and (
+                    cfg.split_qkv or cfg.moe_experts
+                    or cfg.trunk_impl != "loop"):
+                # these arches have no encoder trunk; failing beats
+                # silently dropping the flags the user asked for
+                raise ValueError(
+                    f"arch={cfg.arch!r} supports neither split_qkv, "
+                    "moe_experts nor a pipelined trunk")
             if cfg.arch in ("trans_enc", "mytrans_enc"):
                 seq = jnp.concatenate([token[:, None, :], h], axis=1)
                 if cfg.arch == "mytrans_enc":
@@ -257,16 +265,11 @@ class MDM(nn.Module):
                     seq = self._rope(seq)
                 else:
                     seq = seq + pe[None, : T + 1]
-                output = TorchTransformerEncoder(
-                    num_layers=cfg.num_layers,
-                    d_model=D,
-                    nhead=cfg.num_heads,
-                    dim_feedforward=cfg.ff_size,
-                    dropout=cfg.dropout,
-                    activation=cfg.activation,
-                    remat=cfg.remat,
-                    name="seqTransEncoder",
-                )(seq, deterministic=not train)[:, 1:]
+                # same dispatcher as the cross-local path: split_qkv /
+                # MoE FFN / pipelined trunk apply here too (directly
+                # instantiating TorchTransformerEncoder would silently
+                # drop those cfg flags)
+                output = encoder_trunk(self, cfg, seq, train)[:, 1:]
             elif cfg.arch == "trans_dec":
                 # ref `:331-339`, emb_trans_dec=False: tgt = frames, memory =
                 # the 1-token conditioning embedding; all frames returned.

@@ -101,6 +101,13 @@ def make_moe_apply(model) -> Any:
     import jax.numpy as jnp
 
     def apply(params, x, t, cond, train=False, rngs=None, uncond=None):
+        if isinstance(params, dict) and "params" in params:
+            # drop any sown collections captured at init (model.init
+            # returns a stale 'losses' entry): passing it back through
+            # apply(mutable=['losses']) would seed the fresh sow with the
+            # stale scalar — a differentiable input the optimizer then
+            # drives down, contaminating the aux loss and its metric
+            params = {"params": params["params"]}
         if not train:
             return model.apply(params, x, t, cond, train=train, rngs=rngs,
                                uncond=uncond)

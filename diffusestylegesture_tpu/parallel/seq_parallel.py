@@ -12,6 +12,14 @@ chips with one neighbor exchange per layer.
 
 Constraints: T % (n_shards · window) == 0 (every shard holds whole
 windows), matching the reference's own seqlen-divisibility requirement.
+Rows whose every key is masked (a fully-False window in `mask_local`)
+are undefined here: the all-NEG_INF softmax degrades to uniform weights
+over whatever values are resident, which on shard 0 includes the
+wrap-around halo — numerically diverging from the XLA/Pallas kernels'
+equally-arbitrary constant-pad convention. Every shipped cond builder
+passes all-True masks; if real padding masks are introduced, zero those
+rows (or their gradient) explicitly before relying on cross-impl
+equality.
 """
 from __future__ import annotations
 
@@ -32,7 +40,7 @@ except ImportError:  # pragma: no cover
 from ..models.local_attention import NEG_INF
 
 
-def _local_attn_shard(q, k, v, mask, k_halo, v_halo, m_halo, pos0, window, heads):
+def _local_attn_shard(q, k, v, mask, k_halo, v_halo, m_halo, pos0, window):
     """Per-shard windowed attention with an explicit left halo window.
 
     q/k/v: (BH, Ts, D) local shard; *_halo: (BH, window, D) from the left
@@ -130,7 +138,7 @@ def sequence_parallel_local_attention(
         m_halo = jax.lax.ppermute(m_s[:, -w:], axis, perm)
         # shard 0's halo is the (invalid) wrap-around — mask it out
         m_halo = jnp.where(idx == 0, jnp.zeros_like(m_halo), m_halo)
-        return _local_attn_shard(q_s, k_s, v_s, m_s, k_halo, v_halo, m_halo, pos0, w, heads)
+        return _local_attn_shard(q_s, k_s, v_s, m_s, k_halo, v_halo, m_halo, pos0, w)
 
     fn = shard_map(
         shard_fn,

@@ -253,6 +253,21 @@ class TestTrainCLI:
         cfg_path.write_text(yaml.safe_dump(cfg))
         train_main(["--config", str(cfg_path), "--device_cache", "--bf16"])
 
+        # MoE trunk through the product CLI: the checkpoint must contain
+        # ONLY trainables (regression: init's sown 'losses' scalar entered
+        # the TrainState, was optimized and checkpointed)
+        import orbax.checkpoint as ocp
+
+        cfg["num_steps"] = 2
+        cfg["save_dir"] = str(tmp_path / "ckpt_moe")
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        train_main(["--config", str(cfg_path), "--moe_experts", "2"])
+        mgr = ocp.CheckpointManager(cfg["save_dir"])
+        tree = mgr.restore(mgr.latest_step())
+        mgr.close()
+        assert set(tree["params"].keys()) == {"params"}
+        assert "moe" in tree["params"]["params"]["seqTransEncoder"]["layers_0"]
+
 
 class TestParallelPrep:
     def test_workers_output_identical(self, tmp_path):

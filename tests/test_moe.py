@@ -161,6 +161,30 @@ class TestMDMMoE:
         # aux reported and ≥ 1 (Switch lower bound at uniform routing)
         assert float(metrics["moe_aux"]) >= 1.0 - 1e-5
 
+    def test_stale_losses_collection_is_ignored(self):
+        """model.init returns the sown 'losses' collection alongside
+        'params'; passing it back through the train apply must NOT seed
+        the aux loss with the stale scalar (regression: the stale leaf
+        became a differentiable input that AdamW drove down every step,
+        halving the effective aux weight and corrupting the metric)."""
+        from diffusestylegesture_tpu.models.mdm import MDM
+        from diffusestylegesture_tpu.models.moe import make_moe_apply
+
+        x, t, cond = self._inputs()
+        model = MDM(self._cfg())
+        variables = model.init(jax.random.PRNGKey(0), x, t, cond)
+        assert "losses" in variables  # the hazard exists at init
+        apply = make_moe_apply(model)
+
+        clean = {"params": variables["params"]}
+        poisoned = dict(clean, losses=jax.tree.map(
+            lambda a: a * 0 + 123.0, variables["losses"]))
+        out_c, aux_c = apply(clean, x, t, cond, train=True)
+        out_p, aux_p = apply(poisoned, x, t, cond, train=True)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_c))
+        np.testing.assert_allclose(float(aux_p), float(aux_c))
+        assert float(aux_c) < 100.0  # not the poison value
+
     def test_moe_pipeline_trunk_matches_loop(self):
         """pp × ep composition sanity: the pipelined MoE trunk equals the
         sequential MoE trunk (ample capacity so microbatching can't
