@@ -71,6 +71,20 @@ def load_denoiser_params(model_path: str, num_layers: int = 8, use_ema: bool = F
     return load_orbax_params(model_path, use_ema=use_ema)
 
 
+def infer_moe_experts(params) -> int:
+    """Expert count of an MoE-trained checkpoint, 0 for dense.
+
+    `cli.train --moe_experts` stores the expert FFN stacks under a
+    per-layer 'moe' scope with w1 of shape (E, D, F); every serving-side
+    CLI (sample, sample_beat, serve, distill) infers E from the params so
+    a checkpoint loads correctly even when the yaml lacks the flag."""
+    return next(
+        (int(leaf.shape[0])
+         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+         if [str(getattr(p, "key", "")) for p in path][-2:] == ["moe", "w1"]),
+        0)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="DiffuseStyleGesture-TPU sampling")
     p.add_argument("--config", required=True)
@@ -180,15 +194,7 @@ def main(argv=None):
         mcfg = _dc.replace(mcfg, dtype=jnp.bfloat16, activation="gelu_tanh")
     model = MDM(mcfg)
     params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
-    # MoE-trained checkpoints (`cli.train --moe_experts`): the expert FFN
-    # stacks live under a per-layer 'moe' scope with w1 of shape (E,D,F);
-    # infer E from the params so a checkpoint serves correctly even when
-    # the sampling yaml doesn't carry the training flag
-    moe_e = next(
-        (int(leaf.shape[0])
-         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
-         if [str(getattr(p, "key", "")) for p in path][-2:] == ["moe", "w1"]),
-        0)
+    moe_e = infer_moe_experts(params)
     if moe_e and mcfg.moe_experts != moe_e:
         print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
               f"overriding config")

@@ -88,14 +88,9 @@ def main(argv=None):
         from .sample import load_orbax_params
 
         params = load_orbax_params(args.model_path)
-    # MoE-trained checkpoints: infer the expert count from the 'moe/w1'
-    # stacks when the yaml doesn't carry the training flag (same logic as
-    # cli.sample)
-    moe_e = next(
-        (int(leaf.shape[0])
-         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
-         if [str(getattr(p, "key", "")) for p in path][-2:] == ["moe", "w1"]),
-        0)
+    from .sample import infer_moe_experts
+
+    moe_e = infer_moe_experts(params)
     if moe_e and mcfg.moe_experts != moe_e:
         print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
               f"overriding config")

@@ -52,21 +52,29 @@ def main(argv=None):
     enable_persistent_cache()
     cfg = load_yaml_config(args.config)
 
+    import dataclasses as _dc
+
     mcfg = MDMConfig(
         njoints=cfg.njoints, latent_dim=cfg.latent_dim,
         ff_size=cfg.get("ff_size", 1024), num_layers=cfg.get("num_layers", 8),
         n_seed=cfg.n_seed, cond_mode=cfg.cond_mode,
         cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
+        moe_experts=cfg.get("moe_experts", 0),
     )
     if args.serve_fast:
-        import dataclasses as _dc
-
         import jax
         import jax.numpy as jnp
 
         mcfg = _dc.replace(mcfg, dtype=jnp.bfloat16, activation="gelu_tanh")
-    model = MDM(mcfg)
     params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
+    from .sample import infer_moe_experts
+
+    moe_e = infer_moe_experts(params)
+    if moe_e and mcfg.moe_experts != moe_e:
+        print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
+              f"overriding config", file=sys.stderr)
+        mcfg = _dc.replace(mcfg, moe_experts=moe_e)
+    model = MDM(mcfg)
     wcfg, wparams = load_wavlm_checkpoint(cfg.wavlm_path)
     if args.serve_fast:
         cast = lambda t: jax.tree.map(
@@ -119,6 +127,24 @@ def main(argv=None):
 
     src = open(args.requests) if args.requests else sys.stdin
     pending = []
+
+    def emit(req, out_path, fut):
+        try:
+            poses = fut.result()
+            zf.pose_features_to_bvh(poses, out_path, smoothing=True)
+            print(json.dumps({"wav": req["wav"], "out": out_path,
+                              "frames": int(poses.shape[0])}), flush=True)
+        except Exception as e:
+            print(json.dumps({"wav": req["wav"], "error": str(e)}), flush=True)
+
+    def drain_done():
+        # emit completed batches while still reading input (in submit
+        # order) — long-running producers get results as they finish and
+        # host memory stays bounded instead of accumulating every pose
+        # array until EOF
+        while pending and pending[0][2].done():
+            emit(*pending.pop(0))
+
     try:
         for line in src:
             line = line.strip()
@@ -138,15 +164,10 @@ def main(argv=None):
                 pending.append((req, out_path, fut))
             except Exception as e:
                 print(json.dumps({"wav": wav_path, "error": str(e)}), flush=True)
+            drain_done()
 
-        for req, out_path, fut in pending:
-            try:
-                poses = fut.result()
-                zf.pose_features_to_bvh(poses, out_path, smoothing=True)
-                print(json.dumps({"wav": req["wav"], "out": out_path,
-                                  "frames": int(poses.shape[0])}), flush=True)
-            except Exception as e:
-                print(json.dumps({"wav": req["wav"], "error": str(e)}), flush=True)
+        while pending:
+            emit(*pending.pop(0))
     finally:
         if args.requests:
             src.close()

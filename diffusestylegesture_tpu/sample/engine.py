@@ -154,6 +154,15 @@ class ZeggsSampler:
         model_apply closure is outside the snapshot identity otherwise."""
         self.program_tag = program_tag
         self.model_apply = model_apply
+        # device-side audio encoders get one jit wrapper here: callers
+        # that run the encoder OUTSIDE the compiled sampler (multi-clip
+        # path, server, streaming) would otherwise dispatch the whole
+        # WavLM conv+transformer stack eagerly op-by-op per batch.
+        # Host-side fns (mfcc mode, `host_side=True`) stay as-is.
+        if not getattr(wavlm_apply, "host_side", False):
+            jitted = jax.jit(wavlm_apply)
+            jitted.host_side = False
+            wavlm_apply = jitted
         self.wavlm_apply = wavlm_apply
         self.schedule = schedule
         self.cfg = cfg
@@ -424,8 +433,21 @@ def generate_multi_clip(
 
 
 def _generate_multi(sampler, params, feats, styles, key, w_max, noise_windows=None):
-    cfg = sampler.cfg
     B = styles.shape[0]
+    # one jitted runner per (sampler, batch) — rebuilding the jit wrapper
+    # per call would retrace the whole window scan on EVERY served batch
+    # (and fully recompile without the persistent cache)
+    cache = getattr(sampler, "_multi_runners", None)
+    if cache is None:
+        cache = sampler._multi_runners = {}
+    run = cache.get(B)
+    if run is None:
+        run = cache[B] = _build_multi_runner(sampler, B)
+    return run(params, feats, styles, key, noise_windows, num_windows=w_max)
+
+
+def _build_multi_runner(sampler, B):
+    cfg = sampler.cfg
     n_seed, n_poses = cfg.n_seed, cfg.n_poses
 
     wa, wb = crossfade_weights(sampler.cfg.n_seed, B, cfg.crossfade_n)
@@ -486,7 +508,7 @@ def _generate_multi(sampler, params, feats, styles, key, w_max, noise_windows=No
         )
         return out[..., n_seed:]
 
-    return run(params, feats, styles, key, noise_windows, num_windows=w_max)
+    return run
 
 
 def make_mfcc_window_fn(n_poses: int = 88, fps: int = 20):
