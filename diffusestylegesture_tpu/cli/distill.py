@@ -131,8 +131,8 @@ def main(argv=None):
         @jax.jit
         def step_fn(tp, params, opt_state, key, arrays):
             k_data, k_step = jax.random.split(key)
-            idx = jax.random.randint(k_data, (batch_size,), 0, cache.n)
-            x0, cond, _mask = builder({k: v[idx] for k, v in arrays.items()})
+            batch = DeviceWindowCache.sample_batch(arrays, k_data, batch_size)
+            x0, cond, _mask = builder(batch)
             return _make(tp)[1](params, opt_state, x0, k_step, cond)
         opt = init_fn(student_params)
         params = student_params

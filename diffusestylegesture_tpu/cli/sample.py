@@ -173,7 +173,8 @@ def main(argv=None):
     from ..sample.quality_gate import check_key, check_mode
 
     if distill_grid is not None:
-        status, message = check_key(f"distill{len(distill_grid)}")
+        status, message = check_key(f"distill{len(distill_grid)}",
+                                    diffusion_steps=cfg.diffusion_steps)
     else:
         status, message = check_mode(args.sampler, args.respace, cfg.diffusion_steps)
     if status == "degraded" and not args.allow_degraded:

@@ -4,11 +4,14 @@ The reference's denoiser trunk uses a dense FFN inside
 `nn.TransformerEncoderLayer` (`main/model/mdm.py:77-86`) and has no
 model scaling story at all (`SURVEY §2.4`). This module adds the
 TPU-native sparse-FFN alternative as beyond-parity scaling scaffolding:
-Switch-style top-1 routing expressed entirely as static-shape einsums
-(one-hot dispatch/combine tensors, fixed expert capacity) so the whole
-layer jits to MXU work, and the stacked expert weights `[E, ...]` shard
-over an `expert` mesh axis — GSPMD turns the dispatch einsums into the
-all-to-alls of the GShard schedule. No dynamic shapes, no host routing.
+Switch-style top-1 routing with fixed expert capacity and fully static
+shapes — tokens scatter into `(E, C, D)` expert buffers and gather back
+by `(expert, slot)` index, so dispatch memory is `O(E·C·D + G·E)`, NOT
+the `O(G·E·C) = O(G²)` of the one-hot dispatch-einsum formulation
+(which at the flagship train batch of G=26 400 tokens would materialize
+~5.6 GB per layer). The expert compute stays stacked einsums over
+`[E, ...]` weights sharded on an `expert` mesh axis; GSPMD partitions
+the scatter/gather. No dynamic shapes, no host routing.
 
 Router follows Switch Transformer: top-1 expert, output scaled by the
 router probability (keeps the router differentiable), tokens over
@@ -35,9 +38,10 @@ class MoEFeedForward(nn.Module):
     num_experts: int
     capacity_factor: float = 2.0
     activation: Any = None  # callable; default exact gelu
+    dropout: float = 0.0  # FFN-internal, mirrors the dense act→Dropout→Dense
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         D, F, E = self.d_model, self.d_ff, self.num_experts
         act = self.activation or (lambda h: nn.gelu(h, approximate=False))
         B, T, _ = x.shape
@@ -56,11 +60,9 @@ class MoEFeedForward(nn.Module):
         # position of each token within its expert's buffer; over-capacity
         # tokens are dropped (keep their residual value downstream)
         pos = jnp.cumsum(mask, axis=0) * mask - mask  # (G, E), 0-based
-        keep = (pos < C).astype(jnp.float32) * mask
-        pos_cl = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
-        # dispatch: (G, E, C) one-hot over the capacity slot
-        dispatch = keep[:, :, None] * jax.nn.one_hot(pos_cl, C, dtype=jnp.float32)
-        combine = dispatch * gate[:, None, None]
+        slot = jnp.sum(pos * mask, axis=-1).astype(jnp.int32)  # (G,)
+        keep = (slot < C).astype(jnp.float32)  # (G,)
+        slot = jnp.clip(slot, 0, C - 1)
 
         # load-balance aux loss (Switch eq. 4): E · Σ_e f_e · p_e, minimized
         # at uniform routing. Sown for the caller; harmless if unread.
@@ -76,16 +78,22 @@ class MoEFeedForward(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (E, D), jnp.float32)
 
         cdt = x.dtype
-        # (E, C, D) expert inputs — under an 'expert'-sharded mesh GSPMD
-        # lowers this einsum to the GShard all-to-all
-        xin = jnp.einsum("gec,gd->ecd", dispatch.astype(cdt), xf)
+        # dispatch: scatter tokens into (E, C, D) expert buffers. Each
+        # (e, c) slot receives at most one token (slot is a per-expert
+        # running count), so scatter-add is exact, and its gradient is the
+        # gather used below (and vice versa) — fully differentiable.
+        xin = jnp.zeros((E, C, D), cdt).at[expert, slot].add(
+            xf.astype(cdt) * keep[:, None].astype(cdt))
         h = act(jnp.einsum(
             "ecd,edf->ecf", xin, w1.astype(cdt),
             preferred_element_type=jnp.float32).astype(cdt) + b1[:, None, :].astype(cdt))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         y = jnp.einsum(
             "ecf,efd->ecd", h, w2.astype(cdt),
             preferred_element_type=jnp.float32).astype(cdt) + b2[:, None, :].astype(cdt)
-        out = jnp.einsum("gec,ecd->gd", combine.astype(cdt), y)
+        # combine: gather each token's expert output, scaled by its router
+        # probability; dropped tokens contribute zero (residual passthrough)
+        out = y[expert, slot] * (gate * keep)[:, None].astype(cdt)
         return out.reshape(B, T, D)
 
 

@@ -141,7 +141,8 @@ class TorchEncoderLayer(nn.Module):
 
             h = MoEFeedForward(
                 self.d_model, self.dim_feedforward, self.moe_experts,
-                self.moe_capacity_factor, act, name="moe")(x)
+                self.moe_capacity_factor, act, self.dropout,
+                name="moe")(x, deterministic=deterministic)
         else:
             h = nn.Dense(self.dim_feedforward, name="linear1")(x)
             h = act(h)
@@ -249,8 +250,19 @@ def encoder_trunk(parent: nn.Module, cfg, seq: jax.Array, train: bool,
             cfg.moe_capacity_factor)
 
         def layer_fn(lp, h, key):
-            rngs = None if key is None else {"dropout": key}
-            return layer.apply({"params": lp}, h, key is None, rngs=rngs)
+            det = key is None
+
+            def body(lp_, h_, key_):
+                rngs = None if key_ is None else {"dropout": key_}
+                return layer.apply({"params": lp_}, h_, det, rngs=rngs)
+
+            if cfg.remat:
+                # honor cfg.remat on the pipelined trunk too (the loop
+                # trunk uses nn.remat) — without this, enabling --pp
+                # silently disabled rematerialization exactly where
+                # activation memory matters most
+                body = jax.checkpoint(body)
+            return body(lp, h, key)
 
         rng = (parent.make_rng("dropout")
                if train and cfg.dropout > 0 else None)

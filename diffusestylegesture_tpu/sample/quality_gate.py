@@ -58,18 +58,34 @@ def check_mode(
     key = mode_key(sampler, respace, diffusion_steps)
     if key is None:
         return "baseline", "full-schedule DDPM (reference configuration)"
-    return check_key(key, manifest)
+    return check_key(key, manifest, diffusion_steps=diffusion_steps)
 
 
-def check_key(key: str, manifest: Optional[dict] = None) -> Tuple[str, str]:
+def check_key(key: str, manifest: Optional[dict] = None, *,
+              diffusion_steps: Optional[int] = None) -> Tuple[str, str]:
     """Gate an explicit manifest key (e.g. ``distill15`` for a
     progressively distilled student checkpoint, whose mode name is not
-    derivable from sampler/respace flags alone)."""
+    derivable from sampler/respace flags alone).
+
+    ``diffusion_steps`` (when known) must match the base schedule the
+    manifest was measured against: mode keys like ``ddim100`` collide
+    across base schedules (full-schedule DDIM on a 100-step config vs
+    the 1000→100 respacing the harness measured), so a mismatched
+    baseline means no verdict, not a borrowed one — the same guard
+    bench.py applies before letting a gated mode carry the headline."""
     manifest = manifest if manifest is not None else load_manifest()
     if manifest is None:
         return "unknown", (
             f"serving mode {key!r} has no quality manifest "
             "(run scripts/quality_harness.py to generate one)")
+    base = manifest.get("baseline")
+    if (diffusion_steps is not None and base is not None
+            and base != f"ddpm{diffusion_steps}"):
+        return "unknown", (
+            f"quality manifest was measured against {base}, not this "
+            f"config's ddpm{diffusion_steps} base schedule — mode "
+            f"{key!r} has no applicable verdict (re-run "
+            "scripts/quality_harness.py at this schedule)")
     entry = manifest.get("modes", {}).get(key)
     if entry is None:
         return "unknown", (

@@ -558,8 +558,7 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report,
         @jax.jit
         def jstep(tp, p, opt_state, key, arrays):
             k_data, k_step = jax.random.split(key)
-            idx = jax.random.randint(k_data, (batch_size,), 0, cache.n)
-            batch = {k: v[idx] for k, v in arrays.items()}
+            batch = DeviceWindowCache.sample_batch(arrays, k_data, batch_size)
             x0, cond, _ = builder(batch)
             return _make(tp)[1](p, opt_state, x0, k_step, cond)
 

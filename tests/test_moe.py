@@ -70,6 +70,42 @@ class TestRouting:
         zero_rows = (np.abs(out) < 1e-12).all(axis=1).sum()
         assert zero_rows >= B * T - E  # all but ≤E tokens dropped
 
+    def test_ffn_dropout_applied_in_train_mode(self):
+        """The expert FFN applies the dense path's internal
+        act→Dropout→w2 dropout (round-3 review fix: the MoE branch
+        silently skipped it, leaving MoE runs under-regularized vs their
+        dense counterpart at the same dropout config)."""
+        x = _x(5)
+        mod = MoEFeedForward(D, F, E, capacity_factor=float(E), dropout=0.5)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        det = mod.apply(variables, x, True)
+        tr = mod.apply(variables, x, False,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.abs(np.asarray(det) - np.asarray(tr)).max() > 1e-3
+        # rate 0.0: train mode equals deterministic (no hidden rng effect)
+        mod0 = MoEFeedForward(D, F, E, capacity_factor=float(E), dropout=0.0)
+        v0 = mod0.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(mod0.apply(v0, x, True)),
+            np.asarray(mod0.apply(v0, x, False,
+                                  rngs={"dropout": jax.random.PRNGKey(1)})))
+
+    def test_dispatch_memory_is_not_quadratic(self):
+        """No (G, E, C) dispatch tensor is materialized (round-3 review
+        fix: the one-hot dispatch/combine einsums were O(G²·cap/E) — at
+        the flagship train batch G=26 400 that is ~5.6 GB per layer,
+        an instant OOM on a 16 GB chip)."""
+        G, d = 4096, 8
+        mod = MoEFeedForward(d, d, E, capacity_factor=2.0)
+        x = jnp.zeros((1, G, d))
+        shapes = jax.eval_shape(mod.init, jax.random.PRNGKey(0), x)
+        variables = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        hlo = jax.jit(
+            lambda v, xx: mod.apply(v, xx)).lower(variables, x).as_text()
+        C = int(np.ceil(G / E * 2.0))
+        assert f"f32[{G},{E},{C}]" not in hlo
+
     def test_grads_flow_to_router_and_experts(self):
         x = _x(3)
         mod = _moe()

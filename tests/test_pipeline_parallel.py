@@ -214,6 +214,28 @@ class TestMDMPipelineTrunk:
         out = pp.apply(params, x, t, cond)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_remat_pipeline_matches_loop(self):
+        """cfg.remat is honored by the pipelined trunk (jax.checkpoint
+        around the stage body; round-3 review fix: --pp silently dropped
+        rematerialization) — numerically identical, grads finite."""
+        x, t, cond = self._inputs()
+        base = MDM(self._cfg())
+        params = base.init(jax.random.PRNGKey(0), x, t, cond)
+        ref = base.apply(params, x, t, cond)
+        mesh = make_mesh(axes=("pipe",), shape=(2,), devices=jax.devices()[:2])
+        pp = MDM(self._cfg(remat=True, trunk_impl="pipeline",
+                           pipe_mesh=mesh))
+        out = pp.apply(params, x, t, cond)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+        def loss(p):
+            return jnp.sum(pp.apply(p, x, t, cond) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(g))
+
     def test_train_dropout_runs(self):
         """With dropout on, pipelined training still runs (per-layer ×
         per-microbatch folded keys); only finiteness is asserted — the

@@ -39,6 +39,21 @@ def test_check_mode_statuses():
     assert "FGD ratio" not in msg  # FGD was fine; don't blame it
 
 
+def test_baseline_mismatch_is_unknown():
+    """Mode keys collide across base schedules (full-schedule DDIM on a
+    100-step config is 'ddim100', same key as the measured 1000→100
+    respacing) — a manifest measured against a different baseline gives
+    no verdict, matching bench.py's guard."""
+    status, msg = qg.check_mode("ddim", 0, 100, MANIFEST)
+    assert status == "unknown" and "ddpm100" in msg
+    # same guard on explicit keys (distilled-student gating)
+    assert qg.check_key("ddim100", MANIFEST, diffusion_steps=100)[0] == "unknown"
+    # matching baseline still gates normally
+    assert qg.check_key("ddim100", MANIFEST, diffusion_steps=1000)[0] == "ok"
+    # unknown schedule (legacy caller) keeps the old behavior
+    assert qg.check_key("ddim100", MANIFEST)[0] == "ok"
+
+
 def test_no_manifest_is_unknown(tmp_path, monkeypatch):
     monkeypatch.setattr(qg, "MANIFEST_PATH", str(tmp_path / "missing.json"))
     status, msg = qg.check_mode("ddim", 100, 1000, None)
