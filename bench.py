@@ -89,7 +89,11 @@ def bench_train():
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "300"))
     T = 88
     rng = np.random.default_rng(0)
-    mcfg = MDMConfig()
+    # BENCH_TRAIN_MOE=E: measure the Switch-MoE trunk (E experts) at the
+    # same reference batch — feasible on one 16 GB chip only because the
+    # dispatch is scatter/gather O(E·C·D), not the one-hot-einsum O(G²)
+    moe_e = int(os.environ.get("BENCH_TRAIN_MOE", "0"))
+    mcfg = MDMConfig(moe_experts=moe_e)
     batch = {
         "motion": rng.standard_normal((B, T, mcfg.njoints)).astype(np.float32),
         "style": np.eye(6, dtype=np.float32)[rng.integers(0, 6, B)],
@@ -105,6 +109,10 @@ def bench_train():
     params = jax.jit(MDM(mcfg).init)(
         jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond
     )
+    if moe_e:
+        # trainables only: MoE init also returns the sown 'losses' scalar,
+        # which must not enter the TrainState (cli.train strips it too)
+        params = {"params": params["params"]}
 
     # device-resident batch: steady-state training streams windows from the
     # on-device cache (`data/device_cache.py`), so the steady-state step must
@@ -118,12 +126,18 @@ def bench_train():
     peak = _chip_peak_flops(dev)
 
     def run_precision(compute_dtype):
-        model = MDM(MDMConfig(dtype=jnp.dtype(compute_dtype)))
+        model = MDM(MDMConfig(dtype=jnp.dtype(compute_dtype), moe_experts=moe_e))
+        if moe_e:
+            from diffusestylegesture_tpu.models.moe import make_moe_apply
 
-        def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
-            return model.apply(p, xx, tt, cc, train=train, rngs=rngs, uncond=uncond)
+            apply = make_moe_apply(model)
+        else:
+            def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
+                return model.apply(p, xx, tt, cc, train=train, rngs=rngs,
+                                   uncond=uncond)
 
-        tcfg = TrainConfig(lr=3e-5, compute_dtype=compute_dtype)
+        tcfg = TrainConfig(lr=3e-5, compute_dtype=compute_dtype,
+                           moe_aux_weight=0.01 if moe_e else 0.0)
         step = jax.jit(
             make_train_step(apply, sched, tcfg, make_zeggs_cond_builder(mcfg.n_seed)),
             donate_argnums=(0,),
@@ -162,12 +176,15 @@ def bench_train():
             {
                 "metric": "zeggs_train_steps_per_sec_per_chip",
                 "value": round(sps, 3),
-                "unit": "steps/s (batch %d x (88,1141) full MDM+AdamW on %s; "
-                "%s %.0f ms/step; f32 %.0f ms/step %.1f TFLOP/step MFU %.1f%%; "
-                "bf16 %.0f ms/step %.1f TFLOP/step MFU %.1f%% "
-                "loss/gnorm rel-dev %.3g/%.3g%s; 450k-step schedule = %.1f h)"
+                "unit": (
+                    "steps/s (batch %d x (88,1141) full MDM%s+AdamW on %s; "
+                    "%s %.0f ms/step; f32 %.0f ms/step %.1f TFLOP/step MFU %.1f%%; "
+                    "bf16 %.0f ms/step %.1f TFLOP/step MFU %.1f%% "
+                    "loss/gnorm rel-dev %.3g/%.3g%s; 450k-step schedule = %.1f h)"
+                )
                 % (
-                    B, getattr(dev, "device_kind", dev.platform),
+                    B, f"+MoE-{moe_e}experts" if moe_e else "",
+                    getattr(dev, "device_kind", dev.platform),
                     "bf16" if bf16_ok else "f32", dt * 1e3,
                     dt32 * 1e3, flops32 / 1e12, mfu32 * 100.0,
                     dt16 * 1e3, flops16 / 1e12, mfu16 * 100.0,
