@@ -74,9 +74,13 @@ def main(argv=None):
         ff_size=cfg.get("ff_size", 1024), num_layers=cfg.get("num_layers", 8),
         n_seed=cfg.n_seed, cond_mode=cfg.cond_mode,
         cond_mask_prob=cfg.cond_mask_prob, audio_feat=cfg.audio_feat,
+        moe_experts=cfg.get("moe_experts", 0),
     )
-    model = MDM(mcfg)
     teacher_params = load_denoiser_params(args.teacher, mcfg.num_layers)
+    from .sample import resolve_moe_config
+
+    mcfg = resolve_moe_config(mcfg, teacher_params)
+    model = MDM(mcfg)
 
     data = ZeggsWindowDataset(
         f"{cfg.data_dir}/train", None,

@@ -85,6 +85,26 @@ def infer_moe_experts(params) -> int:
         0)
 
 
+def resolve_moe_config(mcfg, params, out=None):
+    """Model config with ``moe_experts`` matching the loaded checkpoint.
+
+    One shared override for every serving-side CLI (sample, sample_beat,
+    serve, distill): when the params carry MoE expert stacks but the yaml
+    lacks the flag (or disagrees), the checkpoint wins — the alternative
+    is a flax missing-parameter error at the first apply. Works for any
+    dataclass config with a ``moe_experts`` field (MDMConfig,
+    MDMPlusConfig)."""
+    import dataclasses
+    import sys
+
+    moe_e = infer_moe_experts(params)
+    if moe_e and mcfg.moe_experts != moe_e:
+        print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
+              f"overriding config", file=out or sys.stdout)
+        mcfg = dataclasses.replace(mcfg, moe_experts=moe_e)
+    return mcfg
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="DiffuseStyleGesture-TPU sampling")
     p.add_argument("--config", required=True)
@@ -152,12 +172,14 @@ def main(argv=None):
     # re-striding, which visits different timesteps than the student was
     # trained to match — and gate under the harness's distillN key
     distill_grid = None
+    distill_meta = None
     if os.path.isdir(args.model_path) and os.path.exists(
             os.path.join(args.model_path, "schedule.json")):
         import json as _json
 
         with open(os.path.join(args.model_path, "schedule.json")) as f:
-            distill_grid = _json.load(f)["use_timesteps"]
+            distill_meta = _json.load(f)
+        distill_grid = distill_meta["use_timesteps"]
         if args.sampler == "ddpm" and not args.respace:
             print(f"note: distilled student checkpoint — serving its "
                   f"{len(distill_grid)}-step DDIM grid")
@@ -173,8 +195,12 @@ def main(argv=None):
     from ..sample.quality_gate import check_key, check_mode
 
     if distill_grid is not None:
-        status, message = check_key(f"distill{len(distill_grid)}",
-                                    diffusion_steps=cfg.diffusion_steps)
+        # gate against the base schedule the student was DISTILLED from
+        # (schedule.json), not the serving yaml — the two can disagree
+        status, message = check_key(
+            f"distill{len(distill_grid)}",
+            diffusion_steps=int(
+                distill_meta.get("base_steps", cfg.diffusion_steps)))
     else:
         status, message = check_mode(args.sampler, args.respace, cfg.diffusion_steps)
     if status == "degraded" and not args.allow_degraded:
@@ -193,14 +219,9 @@ def main(argv=None):
     )
     if args.serve_fast:
         mcfg = _dc.replace(mcfg, dtype=jnp.bfloat16, activation="gelu_tanh")
-    model = MDM(mcfg)
     params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
-    moe_e = infer_moe_experts(params)
-    if moe_e and mcfg.moe_experts != moe_e:
-        print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
-              f"overriding config")
-        mcfg = _dc.replace(mcfg, moe_experts=moe_e)
-        model = MDM(mcfg)
+    mcfg = resolve_moe_config(mcfg, params)
+    model = MDM(mcfg)
     if args.serve_fast:
         params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
@@ -217,7 +238,22 @@ def main(argv=None):
 
     betas = D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)
     if distill_grid is not None:
-        sched = D.spaced_schedule(betas, distill_grid)
+        # the student's grid indexes its TEACHER's base schedule: build
+        # betas from schedule.json's recorded base_steps/noise_schedule,
+        # not the serving yaml — a shorter yaml schedule would silently
+        # drop out-of-range grid entries (space_timesteps keeps only
+        # `i in use_timesteps`) and index the wrong alphas_cumprod
+        base_steps = int(distill_meta.get("base_steps", cfg.diffusion_steps))
+        base_name = distill_meta.get(
+            "noise_schedule", cfg.get("noise_schedule", "cosine"))
+        if (base_steps != cfg.diffusion_steps
+                or base_name != cfg.get("noise_schedule", "cosine")):
+            print(f"note: distilled student records a {base_name}-"
+                  f"{base_steps} base schedule; using it over the yaml's "
+                  f"{cfg.get('noise_schedule', 'cosine')}-"
+                  f"{cfg.diffusion_steps}")
+        sched = D.spaced_schedule(
+            D.named_beta_schedule(base_name, base_steps), distill_grid)
     elif args.respace:
         sched = D.spaced_schedule(
             betas, D.space_timesteps(cfg.diffusion_steps, f"ddim{args.respace}"))

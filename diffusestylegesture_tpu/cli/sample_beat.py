@@ -80,7 +80,6 @@ def main(argv=None):
         import jax.numpy as _jnp
 
         mcfg = _dc.replace(mcfg, dtype=_jnp.bfloat16, activation="gelu_tanh")
-    model = MDMPlus(mcfg)
     if args.model_path.endswith(".pt"):
         sd = convert.load_torch_checkpoint(args.model_path)
         params = {"params": convert.convert_mdm_beat_twh(sd)}
@@ -88,14 +87,10 @@ def main(argv=None):
         from .sample import load_orbax_params
 
         params = load_orbax_params(args.model_path)
-    from .sample import infer_moe_experts
+    from .sample import resolve_moe_config
 
-    moe_e = infer_moe_experts(params)
-    if moe_e and mcfg.moe_experts != moe_e:
-        print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
-              f"overriding config")
-        mcfg = _dc.replace(mcfg, moe_experts=moe_e)
-        model = MDMPlus(mcfg)
+    mcfg = resolve_moe_config(mcfg, params)
+    model = MDMPlus(mcfg)
 
     if args.serve_fast:
         import jax.numpy as _jnp

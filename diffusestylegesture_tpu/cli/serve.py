@@ -67,13 +67,10 @@ def main(argv=None):
 
         mcfg = _dc.replace(mcfg, dtype=jnp.bfloat16, activation="gelu_tanh")
     params = load_denoiser_params(args.model_path, mcfg.num_layers, use_ema=args.use_ema)
-    from .sample import infer_moe_experts
+    from .sample import resolve_moe_config
 
-    moe_e = infer_moe_experts(params)
-    if moe_e and mcfg.moe_experts != moe_e:
-        print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
-              f"overriding config", file=sys.stderr)
-        mcfg = _dc.replace(mcfg, moe_experts=moe_e)
+    # notes go to stderr: stdout is the JSONL result stream
+    mcfg = resolve_moe_config(mcfg, params, out=sys.stderr)
     model = MDM(mcfg)
     wcfg, wparams = load_wavlm_checkpoint(cfg.wavlm_path)
     if args.serve_fast:
@@ -126,25 +123,49 @@ def main(argv=None):
         return onehot
 
     src = open(args.requests) if args.requests else sys.stdin
-    pending = []
+
+    import threading
+    from collections import deque
+
+    pending = deque()
+    plock = threading.Condition()
+    out_lock = threading.Lock()
+    done_reading = False
+
+    def say(obj):
+        # one result line per request; emitter thread and main thread
+        # both print, so serialize the writes
+        with out_lock:
+            print(json.dumps(obj), flush=True)
 
     def emit(req, out_path, fut):
         try:
             poses = fut.result()
             zf.pose_features_to_bvh(poses, out_path, smoothing=True)
-            print(json.dumps({"wav": req["wav"], "out": out_path,
-                              "frames": int(poses.shape[0])}), flush=True)
+            say({"wav": req["wav"], "out": out_path,
+                 "frames": int(poses.shape[0])})
         except Exception as e:
-            print(json.dumps({"wav": req["wav"], "error": str(e)}), flush=True)
+            say({"wav": req["wav"], "error": str(e)})
 
-    def drain_done():
-        # emit completed batches while still reading input (in submit
-        # order) — long-running producers get results as they finish and
-        # host memory stays bounded instead of accumulating every pose
-        # array until EOF
-        while pending and pending[0][2].done():
-            emit(*pending.pop(0))
+    def emitter():
+        # dedicated consumer: results print in submit order the moment
+        # each future resolves, independent of the input stream. A drain
+        # hook on the read loop is NOT enough — an interactive
+        # request/response client (write one line, block reading the
+        # result) would deadlock with the reader, and a bursty producer
+        # that goes idle would leave every finished pose array pinned
+        # until EOF.
+        while True:
+            with plock:
+                while not pending and not done_reading:
+                    plock.wait()
+                if not pending:
+                    return
+                item = pending.popleft()
+            emit(*item)  # blocks on the future in this thread only
 
+    emit_thread = threading.Thread(target=emitter, daemon=True)
+    emit_thread.start()
     try:
         for line in src:
             line = line.strip()
@@ -155,25 +176,27 @@ def main(argv=None):
                 wav_path = req["wav"]
             except Exception as e:
                 # one malformed line must not abandon the whole run
-                print(json.dumps({"line": line[:200], "error": str(e)}), flush=True)
+                say({"line": line[:200], "error": str(e)})
                 continue
             out_path = req.get("out") or (os.path.splitext(wav_path)[0] + "_gen.bvh")
             try:
                 style = parse_style(req.get("style"), wav_path)
                 fut = server.submit(load_wav_16k(wav_path), style)
-                pending.append((req, out_path, fut))
+                with plock:
+                    pending.append((req, out_path, fut))
+                    plock.notify()
             except Exception as e:
-                print(json.dumps({"wav": wav_path, "error": str(e)}), flush=True)
-            drain_done()
-
-        while pending:
-            emit(*pending.pop(0))
+                say({"wav": wav_path, "error": str(e)})
     finally:
+        with plock:
+            done_reading = True
+            plock.notify()
+        emit_thread.join()
         if args.requests:
             src.close()
         server.stop()
-    print(json.dumps({"served": server.requests_served,
-                      "batches": server.batches_served}), flush=True)
+    say({"served": server.requests_served,
+         "batches": server.batches_served})
 
 
 if __name__ == "__main__":

@@ -157,3 +157,15 @@ def test_cli_distilled_stage_gate(tmp_path, monkeypatch):
     with pytest.raises(Exception) as e2:
         sample_cli.main(args)
     assert "REFUSED" not in str(e2.value)
+
+    # the gate validates against schedule.json's RECORDED base schedule,
+    # not the serving yaml: a 15-step student distilled from a 100-step
+    # base must not borrow the ddpm1000 manifest's 'distill15 degraded'
+    # verdict (it measured a different model family) — status becomes
+    # unknown and serving proceeds
+    (stage / "schedule.json").write_text(json.dumps(
+        {"base_steps": 100, "noise_schedule": "cosine",
+         "use_timesteps": list(range(0, 100, 7))[:15]}))
+    with pytest.raises(Exception) as e3:
+        sample_cli.main(args)
+    assert "REFUSED" not in str(e3.value)

@@ -1,5 +1,6 @@
 """Serving CLI integration: JSONL requests → batched generation → BVH files."""
 import json
+import threading
 
 import pytest
 import os
@@ -12,13 +13,11 @@ from conftest import requires_reference
 from test_ref_e2e_parity import MDM_KW, NJOINTS, _build_reference_models
 
 
-@requires_reference
-@pytest.mark.parametrize("serve_fast", [False, True], ids=["f32", "fast"])
-def test_serve_cli_batches_requests(tmp_path, capsys, serve_fast):
+def _serve_setup(tmp_path):
+    """Converted-weight MDM+WavLM checkpoints, stats dir, wavs, yaml —
+    the full serving stack on tiny shapes (shared by the batch and
+    interactive tests)."""
     import torch
-
-    from diffusestylegesture_tpu.cli import serve as serve_cli
-    from diffusestylegesture_tpu.motion import bvh
 
     _, ref_mdm, ref_wavlm, jcfg = _build_reference_models()
     mdm_pt = str(tmp_path / "model.pt")
@@ -68,6 +67,16 @@ def test_serve_cli_batches_requests(tmp_path, capsys, serve_fast):
     cfg_path = str(tmp_path / "cfg.yml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
+    return mdm_pt, cfg_path, wavs
+
+
+@requires_reference
+@pytest.mark.parametrize("serve_fast", [False, True], ids=["f32", "fast"])
+def test_serve_cli_batches_requests(tmp_path, capsys, serve_fast):
+    from diffusestylegesture_tpu.cli import serve as serve_cli
+    from diffusestylegesture_tpu.motion import bvh
+
+    mdm_pt, cfg_path, wavs = _serve_setup(tmp_path)
 
     reqs = str(tmp_path / "reqs.jsonl")
     with open(reqs, "w") as f:
@@ -103,3 +112,54 @@ def test_serve_cli_batches_requests(tmp_path, capsys, serve_fast):
         loaded = bvh.load(l["out"])
         assert np.isfinite(loaded["rotations"]).all()
     assert os.path.exists(tmp_path / "explicit.bvh")
+
+
+@requires_reference
+def test_serve_cli_interactive_request_response(tmp_path, capsys, monkeypatch):
+    """A request/response client (write one request, block until its
+    result arrives, then continue) must not deadlock: results are emitted
+    by a dedicated consumer thread the moment each future resolves, not
+    on the next input line / EOF (regression: the drain hook only ran
+    inside the read loop, so a blocked reader withheld finished results
+    forever)."""
+    import sys
+
+    import diffusestylegesture_tpu.motion.zeggs_features as zf_mod
+    from diffusestylegesture_tpu.cli import serve as serve_cli
+
+    mdm_pt, cfg_path, wavs = _serve_setup(tmp_path)
+
+    first_result = threading.Event()
+    real_to_bvh = zf_mod.pose_features_to_bvh
+
+    def spy(*a, **kw):
+        r = real_to_bvh(*a, **kw)
+        first_result.set()
+        return r
+
+    monkeypatch.setattr(zf_mod, "pose_features_to_bvh", spy)
+
+    class InteractiveStdin:
+        """Yields request 1, then blocks like a client waiting for its
+        result before sending request 2."""
+
+        def __iter__(self):
+            yield json.dumps({"wav": wavs[0]}) + "\n"
+            assert first_result.wait(300), (
+                "no result emitted while the client waits for it before "
+                "sending more input — interactive serve deadlock")
+            yield json.dumps({"wav": wavs[1]}) + "\n"
+
+    monkeypatch.setattr(sys, "stdin", InteractiveStdin())
+    serve_cli.main(["--config", cfg_path, "--model_path", mdm_pt,
+                    "--max_delay_ms", "50"])
+
+    lines = []
+    for l in capsys.readouterr().out.strip().splitlines():
+        try:
+            lines.append(json.loads(l))
+        except json.JSONDecodeError:
+            pass
+    ok = [l for l in lines if "out" in l]
+    assert len(ok) == 2 and all(os.path.exists(l["out"]) for l in ok)
+    assert [l for l in lines if "served" in l][0]["served"] == 2
