@@ -18,6 +18,7 @@ import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "dp"  # dp | tp_lss
 
 flags = os.environ.get("XLA_FLAGS", "")
 os.environ["XLA_FLAGS"] = (
@@ -45,7 +46,15 @@ from diffusestylegesture_tpu.train.state import make_zeggs_cond_builder  # noqa:
 assert jax.process_count() == nproc, jax.process_count()
 assert len(jax.devices()) == 4 * nproc, len(jax.devices())
 
-mesh = multihost.global_mesh(axes=("data",))
+# tp_lss: cross-host TENSOR parallelism (Megatron specs over 'model')
+# composed with the loss-second-moment importance sampler, whose ring
+# history updates inside the sharded step — the distributed all_gather
+# path the reference wires but never activates (resample.py:83-104)
+if mode == "tp_lss":
+    mesh = multihost.global_mesh(axes=("data", "model"),
+                                 shape=(2 * nproc, 2))
+else:
+    mesh = multihost.global_mesh(axes=("data",))
 
 cfg = MDMConfig(njoints=32, latent_dim=128, ff_size=128, num_layers=2,
                 n_seed=4, window_size=11)
@@ -73,11 +82,19 @@ def apply(p, xx, tt, cc, train=False, rngs=None, uncond=None):
 
 
 sched = D.Schedule.create(D.named_beta_schedule("cosine", 50))
-tcfg = TrainConfig(lr=1e-4)
+tcfg = TrainConfig(lr=1e-4, schedule_sampler=(
+    "loss-second-moment" if mode == "tp_lss" else "uniform"))
 step = jax.jit(make_train_step(apply, sched, tcfg, make_zeggs_cond_builder(cfg.n_seed)))
 
 with mesh:
     state = create_train_state(params, tcfg, sched.num_timesteps)
+    if mode == "tp_lss":
+        from diffusestylegesture_tpu.parallel import (
+            mdm_param_specs, shard_params)
+
+        specs = mdm_param_specs(state.params["params"])
+        state = state.replace(params={
+            "params": shard_params(mesh, state.params["params"], specs)})
     state, metrics = step(state, gbatch, jax.random.PRNGKey(1))
     loss = float(np.asarray(metrics["loss"]))
     gnorm = float(np.asarray(metrics["grad_norm"]))

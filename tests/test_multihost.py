@@ -1,13 +1,21 @@
-"""REAL multi-process multihost test (`parallel/multihost.py`).
+"""REAL multi-process multihost tests (`parallel/multihost.py`).
 
 Spawns 2 coordinator-connected processes (4 virtual CPU devices each)
 running `_multihost_worker.py`: per-host batch slices assemble into one
 global sharded batch via `global_batch_from_host_local`, a jitted train
-step runs over the global ('data',) mesh, and both processes must report
-the SAME loss — which must equal the single-process run of the same
-global batch on a local 8-device mesh.
+step runs over the global mesh, and both processes must report the SAME
+loss — which must equal the single-process run of the same global batch
+on a local 8-device mesh.
 
-Until this test, the multihost path was wired but only exercisable at
+Modes:
+  dp      — pure data parallelism over ('data',)
+  tp_lss  — cross-host ('data', 'model') tensor parallelism (Megatron
+            specs) + the loss-second-moment importance sampler, whose
+            ring history updates inside the sharded step (the
+            distributed all_gather path the reference wires but never
+            activates, `main/diffusion/resample.py:83-104`)
+
+Until these tests, the multihost path was wired but only exercisable at
 `process_count()==1` (VERDICT r2 weak #6); a 2-process CPU cluster
 exercises the actual `make_array_from_process_local_data` assembly and
 cross-process collectives.
@@ -33,13 +41,13 @@ def _free_port():
     return port
 
 
-def test_two_process_train_step_matches_single_process():
+def _run_cluster(mode):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count (4)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port)],
+            [sys.executable, WORKER, str(pid), "2", str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True)
         for pid in range(2)
@@ -62,12 +70,11 @@ def test_two_process_train_step_matches_single_process():
         assert m, out[-4000:]
         losses.append(float(m.group(1)))
         gnorms.append(float(m.group(2)))
-    # both controllers of the SPMD program observe the same global metrics
-    assert losses[0] == pytest.approx(losses[1], abs=1e-6)
-    assert gnorms[0] == pytest.approx(gnorms[1], abs=1e-5)
+    return losses, gnorms
 
-    # single-process reference on a local 8-device mesh (the conftest env),
-    # same global batch / params / rng
+
+def _single_process_loss(mode):
+    """Same program, same global batch, one process, local 8-device mesh."""
     import jax
     import jax.numpy as jnp
 
@@ -100,15 +107,36 @@ def test_two_process_train_step_matches_single_process():
                            uncond=uncond)
 
     sched = D.Schedule.create(D.named_beta_schedule("cosine", 50))
-    tcfg = TrainConfig(lr=1e-4)
+    tcfg = TrainConfig(lr=1e-4, schedule_sampler=(
+        "loss-second-moment" if mode == "tp_lss" else "uniform"))
     step = jax.jit(make_train_step(apply, sched, tcfg,
                                    make_zeggs_cond_builder(cfg.n_seed)))
-    mesh = make_mesh(axes=("data",), shape=(8,), devices=jax.devices()[:8])
+    if mode == "tp_lss":
+        mesh = make_mesh(axes=("data", "model"), shape=(4, 2),
+                         devices=jax.devices()[:8])
+    else:
+        mesh = make_mesh(axes=("data",), shape=(8,),
+                         devices=jax.devices()[:8])
     with mesh:
         state = create_train_state(params, tcfg, sched.num_timesteps)
+        if mode == "tp_lss":
+            from diffusestylegesture_tpu.parallel import (
+                mdm_param_specs, shard_params)
+
+            specs = mdm_param_specs(state.params["params"])
+            state = state.replace(params={
+                "params": shard_params(mesh, state.params["params"], specs)})
         state, metrics = step(state, shard_batch(mesh, full),
                               jax.random.PRNGKey(1))
-        ref_loss = float(np.asarray(metrics["loss"]))
+        return float(np.asarray(metrics["loss"]))
+
+
+@pytest.mark.parametrize("mode", ["dp", "tp_lss"])
+def test_two_process_train_step_matches_single_process(mode):
+    losses, gnorms = _run_cluster(mode)
+    # both controllers of the SPMD program observe the same global metrics
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+    assert gnorms[0] == pytest.approx(gnorms[1], abs=1e-5)
     # identical program + batch + rng; reduction layout may reorder a few
     # float adds between the 1-process and 2-process device assignments
-    assert losses[0] == pytest.approx(ref_loss, abs=5e-5)
+    assert losses[0] == pytest.approx(_single_process_loss(mode), abs=5e-5)
