@@ -66,6 +66,13 @@ def main(argv=None):
                         "al. 2020 convention)")
     p.add_argument("--ae_steps", type=int, default=500)
     p.add_argument("--ae_latent", type=int, default=128)
+    p.add_argument("--ae_cache", default=None,
+                   help="directory to save/load the trained autoencoder "
+                        "params: repeated evals against the SAME reference "
+                        "set (e.g. the quality harness scoring many serving "
+                        "modes) train the embedding once and share one "
+                        "latent space. Do not reuse across different "
+                        "reference sets/window sizes")
     p.add_argument("--kid", action="store_true",
                    help="also report KID (polynomial-MMD) and improved "
                         "precision/recall over the same feature space "
@@ -96,7 +103,20 @@ def main(argv=None):
         cfg = AEConfig(window=args.window, feat_dim=D, latent=args.ae_latent)
         rw = rf.reshape(-1, args.window, D)
         gw = gf.reshape(-1, args.window, D)
-        params, _ = train_autoencoder(rw, cfg, num_steps=args.ae_steps)
+        params = None
+        if args.ae_cache:
+            import orbax.checkpoint as ocp
+
+            cache_path = os.path.abspath(
+                os.path.join(args.ae_cache, "ae_params"))
+            if os.path.exists(cache_path):
+                params = ocp.StandardCheckpointer().restore(cache_path)
+        if params is None:
+            params, _ = train_autoencoder(rw, cfg, num_steps=args.ae_steps)
+            if args.ae_cache:
+                ckptr = ocp.StandardCheckpointer()
+                ckptr.save(cache_path, params)
+                ckptr.wait_until_finished()
         gf = embed_windows(params, cfg, gw)
         rf = embed_windows(params, cfg, rw)
 

@@ -95,29 +95,38 @@ def train_autoencoder(
     params = model.init(key, x0)
     tx = optax.adam(lr)
     opt = tx.init(params)
-    # the dataset enters the jitted step as an ARGUMENT — a closure
+    # the dataset enters the jitted program as an ARGUMENT — a closure
     # capture would bake it into the HLO as a literal constant (compile
     # bloat, transient 2× HBM, HTTP 413 on remote-compile transports —
     # the exact failure data/device_cache.py documents)
     data = jnp.asarray(windows)
 
-    @jax.jit
-    def step(params, opt, k, data):
-        idx = jax.random.randint(k, (batch_size,), 0, data.shape[0])
-        batch = data[idx]
+    # the WHOLE training run is one donated lax.scan program: a Python
+    # loop of per-step jits would pay num_steps dispatch round trips
+    # (dominant through a remote/tunneled TPU backend) and copy
+    # params/opt buffers every step instead of updating in place
+    @functools.partial(jax.jit, static_argnums=3, donate_argnums=(0, 1))
+    def train_all(params, opt, key, n_steps, data):
+        def body(carry, k):
+            params, opt = carry
+            idx = jax.random.randint(k, (batch_size,), 0, data.shape[0])
+            batch = data[idx]
 
-        def loss_fn(p):
-            recon, _ = model.apply(p, batch)
-            return jnp.mean((recon - batch) ** 2)
+            def loss_fn(p):
+                recon, _ = model.apply(p, batch)
+                return jnp.mean((recon - batch) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt2 = tx.update(grads, opt, params)
-        return optax.apply_updates(params, updates), opt2, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt2 = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt2), loss
 
-    loss = np.inf
-    for i in range(num_steps):
-        key, sub = jax.random.split(key)
-        params, opt, loss = step(params, opt, sub, data)
+        (params, opt), losses = jax.lax.scan(
+            body, (params, opt), jax.random.split(key, n_steps))
+        return params, opt, losses[-1]
+
+    if num_steps <= 0:  # smoke runs: untrained params, no scan to build
+        return params, float("inf")
+    params, opt, loss = train_all(params, opt, key, num_steps, data)
     return params, float(loss)
 
 

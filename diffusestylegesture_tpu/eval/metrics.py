@@ -71,20 +71,28 @@ def frechet_distance(feats1: np.ndarray, feats2: np.ndarray, eps: float = 1e-6) 
 
 
 def diversity(feats: np.ndarray, diversity_times: int = 300, seed: int = 0) -> float:
-    """Mean pairwise L2 over random pairs (ref `calculate_diversity`)."""
+    """Mean pairwise L2 over random index pairs (ref `calculate_diversity`,
+    `main/data_loaders/humanml/utils/metrics.py:78-79`): each index set is
+    drawn WITHOUT replacement (capped at n, which the reference assumes) —
+    with replacement, first[i]==second[i] collisions contribute zero
+    distances and bias the estimate low on small sets."""
     n = feats.shape[0]
+    times = min(diversity_times, n)
     rng = np.random.default_rng(seed)
-    first = rng.choice(n, diversity_times, replace=True)
-    second = rng.choice(n, diversity_times, replace=True)
+    first = rng.choice(n, times, replace=False)
+    second = rng.choice(n, times, replace=False)
     return float(np.linalg.norm(feats[first] - feats[second], axis=1).mean())
 
 
 def multimodality(feats_per_cond: np.ndarray, times: int = 20, seed: int = 0) -> float:
-    """feats_per_cond: (n_cond, n_samples, D)."""
+    """feats_per_cond: (n_cond, n_samples, D). Ref `calculate_multimodality`
+    (`metrics.py:89-90`): per-condition index sets drawn without
+    replacement (capped at n_samples)."""
     c, n, _ = feats_per_cond.shape
+    times = min(times, n)
     rng = np.random.default_rng(seed)
-    first = rng.choice(n, times, replace=True)
-    second = rng.choice(n, times, replace=True)
+    first = rng.choice(n, times, replace=False)
+    second = rng.choice(n, times, replace=False)
     d = np.linalg.norm(
         feats_per_cond[:, first] - feats_per_cond[:, second], axis=2
     )

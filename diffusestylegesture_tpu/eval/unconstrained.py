@@ -133,8 +133,12 @@ def precision_and_recall(generated_features: np.ndarray,
     the reference: precision = generated covered by the real manifold,
     recall = real covered by the generated manifold."""
     n = min(len(generated_features), len(real_features))
-    if n <= 0:
-        raise ValueError("empty feature sets")
+    if n <= k:
+        # np.partition(d_aa, k) needs more than k points per set; fail
+        # with the actual constraint instead of an opaque numpy error
+        raise ValueError(
+            f"precision/recall needs > {k} samples per feature set "
+            f"(k-NN manifold radius), got {n}")
     g = np.asarray(generated_features[:n], dtype=np.float64)
     r = np.asarray(real_features[:n], dtype=np.float64)
     precision = manifold_estimate(r, g, k)

@@ -71,7 +71,16 @@ N_POSES, N_SEED = 88, 8
 # QH_DIFFUSION_STEPS < 1000 is a smoke configuration (CI/dev); the real
 # harness runs the reference's 1000-step schedule
 DIFFUSION_STEPS = int(os.environ.get("QH_DIFFUSION_STEPS", "1000"))
-SMALL = bool(os.environ.get("QH_SMALL", ""))  # tiny trunk for smoke runs
+
+
+def _env_flag(name: str) -> bool:
+    """Boolean env knob: '', '0', 'false', 'no' are OFF (plain string
+    truthiness would turn QH_SMALL=0 into the tiny trunk)."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no")
+
+
+SMALL = _env_flag("QH_SMALL")  # tiny trunk for smoke runs
 FGD_RATIO_TOL = 1.5  # fast mode accepted if FGD ≤ 1.5× the DDPM-1000 FGD
 # ... AND it keeps a real fraction of the baseline's sample diversity: FGD
 # compares distribution means/covariances against ground truth, so a
@@ -185,6 +194,14 @@ def write_corpus(src_dir: str, eval_dir: str) -> None:
         bvh.save(os.path.join(eval_dir, name + ".bvh"), anim)
 
 
+def _nanf(v) -> float:
+    """None-tolerant float for report formatting: cli.eval reports
+    beat_alignment=None when every clip's score is NaN (e.g. a degraded
+    mode emitting near-constant motion) — exactly the case the harness
+    must record, not crash formatting."""
+    return float("nan") if v is None else float(v)
+
+
 def _featurize_worker(bvh_path: str) -> np.ndarray:
     """Module-level (picklable) per-clip featurization for CPU workers."""
     from diffusestylegesture_tpu.motion import zeggs_features as zf
@@ -263,8 +280,16 @@ def run(workdir: str) -> dict:
     gen_root = os.path.join(workdir, "generated")
     report: dict = {"train_steps": steps, "modes": {}}
 
-    # -- corpus + dataset build (cached by existence) --
-    if not os.path.exists(os.path.join(src, "000_Happy_0_x_1_0.wav")):
+    # -- corpus + dataset build (cached by the LAST artifact write_corpus
+    # produces, so an interrupted first run re-synthesizes instead of
+    # permanently skipping the held-out eval clips; synthesis is
+    # deterministic by seed, so rerunning over a partial corpus is safe --
+    styles = list(STYLES)
+    last_eval = os.path.join(
+        eval_src,
+        f"9{EVAL_CLIPS - 1:02d}_{styles[(EVAL_CLIPS - 1) % len(styles)]}"
+        "_0_x_1_0.bvh")
+    if not os.path.exists(last_eval):
         print("== synthesizing corpus ==")
         write_corpus(src, eval_src)
     if not os.path.exists(os.path.join(data_dir, "mean.npz")):
@@ -285,7 +310,7 @@ def run(workdir: str) -> dict:
     # -- train through the product CLI --
     mcfg_kw = (dict(latent_dim=128, ff_size=128, num_layers=2) if SMALL
                else dict(latent_dim=256, ff_size=1024, num_layers=8))
-    if not (os.environ.get("QH_SKIP_TRAIN") and os.path.isdir(ckpt_dir)):
+    if not (_env_flag("QH_SKIP_TRAIN") and os.path.isdir(ckpt_dir)):
         print(f"== training MDM for {steps} steps (cli.train) ==")
         cfg = dict(
             dataset="ZEGGS", name="DiffuseStyleGesture", data_dir=data_dir,
@@ -386,9 +411,21 @@ def run(workdir: str) -> dict:
     if distill_stages > 0:
         print(f"== distilling {distill_stages} stages ==")
         depths_env = os.environ.get("QH_DISTILL_EVAL", "")
-        eval_stages = (
-            {int(x) for x in depths_env.split(",")} if depths_env
-            else set(range(min(3, distill_stages), distill_stages + 1)))
+        if depths_env:
+            eval_stages = {
+                int(x) for x in depths_env.split(",") if x.strip()}
+            bad = sorted(s for s in eval_stages
+                         if not 1 <= s <= distill_stages)
+            if bad or not eval_stages:
+                # fail FAST, same contract as QH_EXTRA_MODES — a silently
+                # dropped stage would surface only after the hour-long
+                # run as "not measured"
+                raise SystemExit(
+                    f"QH_DISTILL_EVAL: stages {bad or '(none)'} outside "
+                    f"1..{distill_stages} (QH_DISTILL_STAGES)")
+        else:
+            eval_stages = set(range(min(3, distill_stages),
+                                    distill_stages + 1))
         modes.update(distill_student(
             model_apply, params, full, data_dir, distill_stages, report,
             eval_stages))
@@ -427,6 +464,7 @@ def run(workdir: str) -> dict:
             ZeggsEngineConfig(sampler=sampler_name),
         )
         frames = 0
+        total_wall = 0.0
         warm_frames, warm_wall = 0, 0.0  # excluding the first (compiling) clip
         for ci, f in enumerate(eval_wavs):
             stem = f[:-4]
@@ -441,6 +479,7 @@ def run(workdir: str) -> dict:
             print(f"   clip {stem}: {out.shape[1]} frames {clip_wall:.1f}s",
                   flush=True)
             frames += out.shape[1]
+            total_wall += clip_wall
             if ci > 0:  # clip 0 pays the engine compile
                 warm_frames += out.shape[1]
                 warm_wall += clip_wall
@@ -450,9 +489,11 @@ def run(workdir: str) -> dict:
                     out[0], os.path.join(workdir, f"demo_{mode_name}.bvh"),
                     smoothing=True)
                 print(f"   demo BVH {time.time() - tb:.1f}s", flush=True)
-        wall = warm_wall if warm_frames else 1.0
+        # with a single eval clip there is no warm measurement — report
+        # the compile-inclusive throughput rather than frames/1.0
+        wall = warm_wall if warm_frames else max(total_wall, 1e-9)
         print(f"== mode {mode_name}: {frames} frames, warm "
-              f"{warm_frames / wall:.0f} fps ==")
+              f"{(warm_frames or frames) / wall:.0f} fps ==")
 
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -461,12 +502,16 @@ def run(workdir: str) -> dict:
                 "--wav", eval_src, "--fps", str(FPS),
                 "--embedding", "autoencoder",
                 "--ae_steps", os.environ.get("QH_AE_STEPS", "400"),
+                # one AE per harness run: every mode embeds in the SAME
+                # latent space (trained on the reference set only), and
+                # re-training per mode wasted minutes through the tunnel
+                "--ae_cache", os.path.join(workdir, "ae_cache"),
             ])
         metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
         metrics["gen_frames_per_sec"] = round((warm_frames or frames) / wall, 1)
         report["modes"][mode_name] = metrics
         print(f"   {mode_name}: fgd={metrics['fgd']:.3f} "
-              f"beat={metrics.get('beat_alignment', float('nan')):.3f} "
+              f"beat={_nanf(metrics.get('beat_alignment')):.3f} "
               f"fps={metrics['gen_frames_per_sec']}")
 
     report["manifest"] = build_manifest(report)
@@ -604,7 +649,16 @@ def main():
         real = report["manifest"]["baseline"] == "ddpm1000"
     else:
         report = run(workdir)
-        real = DIFFUSION_STEPS == 1000 and not SMALL
+        # the shipped gate only comes from the real configuration: full
+        # 1000-step schedule, full-size trunk, a substantively trained
+        # checkpoint (report['train_steps'] reflects the ACTUAL restored
+        # step — QH_STEPS smoke values and stale ckpt dirs both show up
+        # here), and a real embedding-training budget. A quick
+        # QH_STEPS=200 trial must not rewrite what cli.sample refuses.
+        real = (DIFFUSION_STEPS == 1000 and not SMALL
+                and report.get("train_steps", 0) >= 10_000
+                and int(os.environ.get("QH_AE_STEPS", "400")) >= 400
+                and int(os.environ.get("QH_DISTILL_STEPS", "400")) >= 400)
     # smoke configurations must not clobber the committed round
     # artifacts (QUALITY_r03.json / DEMO_r03.md) either
     out_path = os.path.join(
@@ -665,7 +719,7 @@ def write_demo_md(report: dict, workdir: str) -> None:
         lines.append(
             f"| {name} | {m['fgd']:.3f} | "
             f"{m['diversity_generated']:.2f}/{m['diversity_reference']:.2f} | "
-            f"{m.get('beat_alignment', float('nan')):.3f} | "
+            f"{_nanf(m.get('beat_alignment')):.3f} | "
             f"{m.get('gen_frames_per_sec', 0)} |")
     man = report.get("manifest", {})
     lines += ["", f"Gate: baseline `{man.get('baseline')}`, FGD-ratio "
