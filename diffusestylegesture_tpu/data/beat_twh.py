@@ -108,18 +108,19 @@ def _read_textgrid_first_tier(path: str) -> List[Tuple[float, float, str]]:
         r"intervals\s*\[\d+\]\s*:?\s*xmin\s*=\s*([\d.eE+-]+)\s*xmax\s*=\s*([\d.eE+-]+)\s*text\s*=\s*\"(.*?)\"",
         re.S,
     )
+    # first tier only (reference: `tg.tiers[0]`, Grid2tsv:214): split at
+    # the long-format per-tier headers and take the first tier's chunk —
+    # an xmin-restarts-at-zero heuristic would leak later tiers whenever
+    # the recording doesn't start at exactly 0 (e.g. trimmed TextGrids)
+    tier_chunks = re.split(r"item\s*\[\d+\]\s*:", text)
+    for chunk in tier_chunks[1:]:  # [0] = file header before any tier
+        matches = pattern.findall(chunk)
+        if matches:
+            return [(float(a), float(b), m) for a, b, m in matches]
     matches = pattern.findall(text)
     if matches:
-        # first tier only: stop when xmin restarts at 0 a second time
-        seen_zero = False
-        for xmin, xmax, mark in matches:
-            x0 = float(xmin)
-            if x0 == 0.0:
-                if seen_zero:
-                    break
-                seen_zero = True
-            out.append((float(xmin), float(xmax), mark))
-        return out
+        # degenerate long format without item headers: single tier assumed
+        return [(float(a), float(b), m) for a, b, m in matches]
     # short format: after the per-tier header ("IntervalTier", name, xmin,
     # xmax, count) the intervals follow as bare (xmin, xmax, "text") triples
     lines = [ln.strip() for ln in text.splitlines() if ln.strip()]

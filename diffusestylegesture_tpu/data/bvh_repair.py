@@ -44,9 +44,12 @@ def fix_frame_count(path: str, write: bool = True) -> Tuple[bool, int]:
 def reorient_t_pose(path: str, out_path: Optional[str] = None) -> None:
     """Flip a backwards-facing clip (ref `process_T_pose:314-352`).
 
-    OFFSET lines: negate X and Z. Motion rows: root first rotation channel
-    −180°, second negated, and for every subsequent joint triplet negate
-    channels 0 and 2 (the Z/X rotations under the BEAT ZXY ordering).
+    OFFSET lines: negate X and Z. Motion rows (per reference
+    `process_T_pose`: `line[4] -= 180`, `line[5]` negated): the root's
+    SECOND rotation channel −180°, THIRD negated (row layout = 3 position
+    channels then 3 rotation channels, so vals[4]/vals[5] are rotation
+    channels 1/2), and for every subsequent joint triplet negate channels
+    0 and 2 (the Z/X rotations under the BEAT ZXY ordering).
     """
     with open(path, "r") as f:
         content = f.readlines()

@@ -63,7 +63,6 @@ def make_device_data_train_step(
     model_apply: Callable,
     sched,
     train_cfg,
-    cache: DeviceWindowCache,
     cond_builder: Callable,
     batch_size: int,
     batch_sharding=None,

@@ -62,8 +62,11 @@ class SpeechGestureDataset:
                 g = (h5[k]["gesture"][:] - mean) / std
                 vel = np.diff(g, axis=0, prepend=g[:1])
                 acc = np.diff(vel, axis=0, prepend=vel[:1])
-                # reference derives vel/acc with matching-length diff on the
-                # cropped window; layout [pos | vel | acc] per frame
+                # reference derives vel/acc over the WHOLE clip (zero first
+                # row) and crops afterwards (`h5_data_loader.py:34-35`,
+                # crop at `:58-60`) — matching this order matters: a
+                # window's frame 0 keeps the true cross-boundary
+                # derivative. Layout [pos | vel | acc] per frame
                 self.gesture.append(
                     np.concatenate([g, vel, acc], axis=1).astype(np.float32)
                 )

@@ -199,8 +199,18 @@ class Text2MotionDataset:
                     if len(parts) < 4:
                         continue
                     caption, tokens = parts[0], parts[1].split(" ")
-                    f_tag = 0.0 if parts[2] in ("", "nan") else float(parts[2])
-                    to_tag = 0.0 if parts[3] in ("", "nan") else float(parts[3])
+                    # per-line tolerance (the reference wraps each clip in
+                    # a bare try/except, `dataset.py` — real HumanML3D
+                    # releases contain lines whose caption itself holds
+                    # '#', shifting the fields): skip the line, keep the
+                    # corpus
+                    try:
+                        f_tag = (0.0 if parts[2] in ("", "nan")
+                                 else float(parts[2]))
+                        to_tag = (0.0 if parts[3] in ("", "nan")
+                                  else float(parts[3]))
+                    except ValueError:
+                        continue
                     f_tag = 0.0 if np.isnan(f_tag) else f_tag
                     to_tag = 0.0 if np.isnan(to_tag) else to_tag
                     entry = {"caption": caption, "tokens": tokens}

@@ -95,5 +95,12 @@ def load_word_vectors(fname: str, cache: Optional[str] = None) -> Dict[str, np.n
     if cache:
         words = np.array(list(data.keys()))
         vectors = np.stack(list(data.values())).astype(np.float32)
-        np.savez(cache, words=words, vectors=vectors)
+        # atomic publish: concurrent prepare-data workers gate on
+        # os.path.exists(cache), so a direct np.savez would let a reader
+        # see (and crash on) a half-written zip
+        tmp = f"{cache}.tmp.{os.getpid()}"
+        np.savez(tmp, words=words, vectors=vectors)
+        # np.savez appends .npz when missing; the tmp name has no .npz
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                   cache)
     return data

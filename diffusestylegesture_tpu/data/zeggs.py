@@ -203,11 +203,16 @@ class ZeggsWindowDataset:
                 continue
             blob = np.load(shard)
             poses, audio, style = blob["poses"], blob["audio_raw"], blob["style"]
-            # reference quirk (`data_preprocessor.py:95`): the audio term of
-            # MINLEN converts samples at a hardcoded 60 fps (the raw BVH
-            # rate) even though poses are at `fps` — i.e. the audio cap is
-            # 3x lenient and effectively never binds; reproduced as-is
-            minlen = min(len(poses), int(len(audio) * 60 / sr))
+            # reference MINLEN (`data_preprocessor.py:94`):
+            # min(len(poses), int(len(audio)*60/sr), len(mfcc)). The 60/sr
+            # audio term is a reference quirk (hardcoded raw-BVH 60 fps, 3x
+            # lenient); the EFFECTIVE audio cap is the mfcc term — mfcc
+            # frames run at the pose fps, so a wav shorter than its motion
+            # stops window generation at the end of audio instead of
+            # pairing real motion with zero-padded silence
+            mfcc_len = (len(blob["mfcc"]) if "mfcc" in blob
+                        else int(len(audio) * self.fps / sr + 1))
+            minlen = min(len(poses), int(len(audio) * 60 / sr), mfcc_len)
             num = math.floor((minlen - n_poses) / stride)
             for i in range(max(0, num)):
                 s = i * stride

@@ -45,7 +45,6 @@ def audio_features(
     log_mel = np.log(np.maximum(np.sqrt(np.maximum(mel, 0.0)), 1e-5)).T  # (T', n_mels)
 
     hop_rate = sr / hop_length
-    src_t = np.arange(len(log_mel))
     dst_t = (hop_rate / anim_fs) * np.arange(anim_length)
     dst_t = np.clip(dst_t, 0, len(log_mel) - 1)
     lo = np.floor(dst_t).astype(int)
@@ -57,7 +56,6 @@ def audio_features(
         energy = np.linalg.norm(np.exp(log_mel), axis=1)
         e = energy[lo] * (1 - w[:, 0]) + energy[hi] * w[:, 0]
         feats.append(e[:, None])
-    del src_t
     return np.concatenate(feats, axis=1).astype(np.float32)
 
 

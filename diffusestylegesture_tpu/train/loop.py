@@ -161,7 +161,7 @@ class TrainLoop:
 
                 batch_sharding = NamedSharding(self.mesh, P("data"))
             cached = make_device_data_train_step(
-                model_apply, schedule, train_cfg, device_cache,
+                model_apply, schedule, train_cfg,
                 cond_builder, batch_size, batch_sharding=batch_sharding,
             )
             self.cached_step = jax.jit(cached, donate_argnums=(0,))

@@ -150,6 +150,56 @@ Object class = "TextGrid"
 """
 
 
+def test_trimmed_textgrid_two_tiers(tmp_path):
+    """Both tiers start at xmin=0.5 (TextGrid trimmed from a longer
+    recording): only the FIRST tier is extracted, per the reference's
+    `tg.tiers[0]` — the old xmin-restarts-at-zero heuristic leaked the
+    phones tier into the word tsv."""
+    from diffusestylegesture_tpu.data import beat_twh as BT
+
+    tg = """File type = "ooTextFile"
+Object class = "TextGrid"
+xmin = 0.5
+xmax = 2.5
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0.5
+        xmax = 2.5
+        intervals: size = 2
+        intervals [1]:
+            xmin = 0.5
+            xmax = 1.2
+            text = "hello"
+        intervals [2]:
+            xmin = 1.2
+            xmax = 2.5
+            text = "world"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0.5
+        xmax = 2.5
+        intervals: size = 2
+        intervals [1]:
+            xmin = 0.5
+            xmax = 1.2
+            text = "HH"
+        intervals [2]:
+            xmin = 1.2
+            xmax = 2.5
+            text = "W"
+"""
+    p = tmp_path / "t.TextGrid"
+    p.write_text(tg)
+    tsv = BT.textgrid_to_tsv(str(p))
+    lines = open(tsv).read().strip().splitlines()
+    assert [l.split("\t")[2] for l in lines] == ["hello", "world"]
+
+
 def test_short_format_textgrid(tmp_path):
     from diffusestylegesture_tpu.data.beat_twh import textgrid_to_tsv
 

@@ -242,6 +242,21 @@ class TestTrainCLI:
         )
         assert ds.wavlm is not None  # cache now holds wavlm features
 
+        # reference MINLEN includes len(mfcc) (`data_preprocessor.py:94`):
+        # a wav SHORTER than its motion caps window generation at the end
+        # of audio — without the mfcc term, 11 windows of real motion
+        # would pair with zero-padded silence (regression)
+        short_dir = tmp_path / "short_audio_train"
+        short_dir.mkdir()
+        np.savez(short_dir / "clip0.npz",
+                 poses=np.zeros((200, 1141), np.float32),
+                 audio_raw=np.zeros(16000 * 5, np.float32),  # 5 s @16 kHz
+                 mfcc=np.zeros((101, 13), np.float32),       # 5 s @20 fps
+                 style=np.eye(6, dtype=np.float32)[0])
+        ds_short = ZeggsWindowDataset(str(short_dir), None,
+                                      n_poses=88, stride=10)
+        assert len(ds_short.poses) == 1  # floor((101-88)/10), not 11
+
         train_main(["--config", str(cfg_path)])
         assert os.path.isdir(tmp_path / "ckpt")
 

@@ -107,6 +107,11 @@ def dataset_dir(tmp_path_factory, glove_dir):
         np.save(motion_dir / f"{name}.npy",
                 rng.standard_normal((length, 263)).astype(np.float32))
         lines = ["a person walks slowly#walk/VERB slowly/ADV#0.0#0.0"]
+        if i == 0:
+            # malformed line whose caption contains '#' (present in real
+            # HumanML3D releases): fields shift, float(parts[2]) fails —
+            # must be SKIPPED, not abort the dataset load (regression)
+            lines.append("waves with # gusto#wave/VERB gusto/NOUN#0.0#0.0")
         if i == 1:
             # sub-clip annotation: frames 40..79 (2.0s-4.0s @20fps)
             lines.append("the person walks#person/NOUN walk/VERB#2.0#4.0")

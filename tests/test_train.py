@@ -498,7 +498,7 @@ class TestDeviceCache:
         })
         cfg = TrainConfig(lr=1e-3)
         step = jax.jit(make_device_data_train_step(
-            apply, SCHED, cfg, cache, make_zeggs_cond_builder(4), batch_size=B,
+            apply, SCHED, cfg, make_zeggs_cond_builder(4), batch_size=B,
         ))
         state = create_train_state(params, cfg, SCHED.num_timesteps)
         losses = []
@@ -511,7 +511,7 @@ class TestDeviceCache:
         # (breaks remote-compile transports; r3 regression guard): the
         # lowered text stays small and references the arrays as params
         low = jax.jit(make_device_data_train_step(
-            apply, SCHED, cfg, cache, make_zeggs_cond_builder(4), batch_size=B,
+            apply, SCHED, cfg, make_zeggs_cond_builder(4), batch_size=B,
         )).lower(state, jax.random.PRNGKey(0), cache.arrays)
         assert len(low.as_text()) < 20_000_000
 
