@@ -114,6 +114,11 @@ class LocalTransformer(nn.Module):
                  return_loss: bool = False):
         if return_loss:
             tokens, labels = tokens[:, :-1], tokens[:, 1:]
+            if mask is not None:
+                # keep the mask aligned with the sliced input (the
+                # vendored reference forgets this and crashes/misaligns
+                # when a full-length mask meets the T-1 sequence)
+                mask = mask[:, :-1]
         n = tokens.shape[1]
         assert n <= self.max_seq_len
         x = nn.Embed(self.num_tokens, self.dim, name="token_emb")(tokens)

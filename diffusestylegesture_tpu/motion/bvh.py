@@ -35,17 +35,21 @@ def load(filename: str, order: Optional[str] = None) -> Dict:
     with open(filename, "r") as f:
         for line in f:
             if not in_motion:
-                if "HIERARCHY" in line or "MOTION" in line or "{" in line:
-                    continue
+                # declarations match BEFORE the generic '{' skip (the
+                # reference anim/bvh.py order): exporters may put the
+                # brace inline — 'ROOT Hips {' / 'End Site {'
                 m = re.match(r"\s*(ROOT|JOINT)\s+(\S+)", line)
                 if m:
-                    names.append(m.group(2))
+                    name = m.group(2).rstrip("{").strip()
+                    names.append(name or m.group(2))
                     offsets.append(np.zeros(3, np.float32))
                     parents.append(active)
                     active = len(parents) - 1
                     continue
                 if "End Site" in line:
                     end_site = True
+                    continue
+                if "HIERARCHY" in line or "MOTION" in line or "{" in line:
                     continue
                 if "}" in line:
                     if end_site:

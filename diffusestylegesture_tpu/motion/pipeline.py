@@ -308,10 +308,22 @@ class DownSampler:
     def fit(self, data: ChannelData) -> "DownSampler":
         return self
 
+    def _rate(self, data: ChannelData) -> int:
+        """Validated integer decimation rate — the same guard
+        `zeggs_features.featurize_animation` applies: a floor-divided
+        rate on a non-divisor source (100→30 fps) would silently emit
+        the wrong frame rate, desynced from the audio timeline, and a
+        sub-target source (20→30) would step by zero."""
+        orig_fps = round(1.0 / data.framerate)
+        if self.tgt_fps <= 0 or orig_fps % self.tgt_fps != 0:
+            raise ValueError(
+                f"DownSampler: source {orig_fps} fps is not an integer "
+                f"multiple of target {self.tgt_fps} fps")
+        return orig_fps // self.tgt_fps
+
     def transform_all(self, data: ChannelData) -> List[ChannelData]:
         """All `rate` phase-shifted tracks (pymo keep_all=True semantics)."""
-        orig_fps = round(1.0 / data.framerate)
-        rate = orig_fps // self.tgt_fps
+        rate = self._rate(data)
         out = []
         for ii in range(rate):
             t = data.clone()
@@ -325,8 +337,7 @@ class DownSampler:
             raise ValueError(
                 "keep_all=True yields multiple phase-shifted tracks; "
                 "call transform_all()")
-        orig_fps = round(1.0 / data.framerate)
-        rate = orig_fps // self.tgt_fps
+        rate = self._rate(data)
         out = data.clone()
         out.values = data.values[0:-1:rate].copy()
         out.framerate = 1.0 / self.tgt_fps
@@ -362,7 +373,11 @@ class ConstantsRemover:
         self.keep_root = keep_root
 
     def fit(self, data: ChannelData) -> "ConstantsRemover":
-        stds = data.values.std(axis=0)
+        # pandas sample std (ddof=1), matching pymo's X.values.std() via
+        # DataFrame — numpy's population default classifies near-threshold
+        # channels differently from a reference-fitted pipeline
+        T = len(data.values)
+        stds = data.values.std(axis=0, ddof=1 if T > 1 else 0)
         root_prefix = data.root_name + "_"
         self.const_cols = []
         self.const_values = {}
@@ -676,14 +691,19 @@ class MocapParameterizer:
         """Euler channels → global joint positions (pymo `_to_pos`,
         `preprocessing.py:88-169`): INTRINSIC (uppercase) euler order,
         position channels ADDED to the stored offsets for non-root joints,
-        Nub end-sites included with zero rotations."""
+        Nub end-sites included with zero rotations. Joints are visited in
+        pymo's `traverse()` order (stack DFS, children popped last-first,
+        `pymo/data.py:17-23`) so the OUTPUT COLUMN ORDER matches a
+        reference-fitted pipeline on branching skeletons — plain parse
+        order would silently permute position columns for any consumer
+        that indexes them positionally."""
         T = len(data.values)
         idx = data.column_index()
         ginv: Dict[str, R] = {}  # pymo stores the INVERSE global rotation
         gpos: Dict[str, np.ndarray] = {}
         out_cols: List[str] = []
         series: Dict[str, np.ndarray] = {}
-        for joint in data.names:
+        for joint in _pymo_traverse(data):
             parent = data.parents.get(joint)
             order = joint_rot_order(data, joint)
             if len(order) == 3:
@@ -715,6 +735,28 @@ class MocapParameterizer:
         out.columns = out_cols
         out.values = np.stack([series[c] for c in out_cols], axis=1)
         return out
+
+
+def _pymo_traverse(data: ChannelData) -> List[str]:
+    """Joint order of pymo `MocapData.traverse()` (`pymo/data.py:17-23`):
+    stack-based DFS from the root, children pushed in declaration order
+    and popped last-first. Guarantees parent-before-child; reproduces the
+    reference's column ordering for branching skeletons."""
+    children: Dict[str, List[str]] = {n: [] for n in data.names}
+    root = None
+    for n in data.names:
+        p = data.parents.get(n)
+        if p is None:
+            root = n
+        else:
+            children[p].append(n)
+    order: List[str] = []
+    stack = [root] if root is not None else []
+    while stack:
+        j = stack.pop()
+        order.append(j)
+        stack.extend(children[j])
+    return order
 
 
 class ConstantsRemoverWithRoot:

@@ -43,6 +43,67 @@ class TestRotationOnlyBvh:
         np.testing.assert_allclose(anim["rotations"][0, 0], [0.0, 1.0, 2.0])
 
 
+class TestInlineBraceBvh:
+    def test_loads_declaration_with_inline_brace(self, tmp_path):
+        """Exporters may put the brace on the declaration line
+        ('ROOT Hips {'); the declaration must match BEFORE the generic
+        '{' skip, as the reference anim/bvh.py does (regression: the
+        joint was skipped and the next OFFSET crashed on active=-1)."""
+        txt = """HIERARCHY
+ROOT A {
+\tOFFSET 0.0 1.0 0.0
+\tCHANNELS 6 Xposition Yposition Zposition Zrotation Xrotation Yrotation
+\tJOINT B {
+\t\tOFFSET 0.0 2.0 0.0
+\t\tCHANNELS 3 Zrotation Xrotation Yrotation
+\t\tEnd Site {
+\t\t\tOFFSET 0.0 1.0 0.0
+\t\t}
+\t}
+}
+MOTION
+Frames: 2
+Frame Time: 0.05
+0 1 0 0 0 0 10 20 30
+0 1 0 0 0 0 11 21 31
+"""
+        p = str(tmp_path / "brace.bvh")
+        open(p, "w").write(txt)
+        anim = bvh.load(p)
+        assert anim["names"] == ["A", "B"]
+        np.testing.assert_allclose(anim["rotations"][0, 1], [10, 20, 30])
+
+
+class TestDownSamplerGuards:
+    def _track(self, fps, T=12):
+        from diffusestylegesture_tpu.motion.pipeline import ChannelData
+
+        cols = ["A_Xrotation", "A_Yrotation"]
+        return ChannelData(
+            names=["A"], parents={"A": None}, offsets={"A": np.zeros(3)},
+            channels={"A": ["Xrotation", "Yrotation"]}, columns=cols,
+            values=np.arange(T * 2, dtype=np.float64).reshape(T, 2),
+            framerate=1.0 / fps, root_name="A")
+
+    def test_non_divisor_raises(self):
+        from diffusestylegesture_tpu.motion.pipeline import DownSampler
+
+        with pytest.raises(ValueError, match="integer multiple"):
+            DownSampler(tgt_fps=30).transform(self._track(100))
+
+    def test_upsampling_raises(self):
+        from diffusestylegesture_tpu.motion.pipeline import DownSampler
+
+        with pytest.raises(ValueError, match="integer multiple"):
+            DownSampler(tgt_fps=30).transform(self._track(20))
+
+    def test_divisor_ok(self):
+        from diffusestylegesture_tpu.motion.pipeline import DownSampler
+
+        out = DownSampler(tgt_fps=30).transform(self._track(60))
+        assert len(out.values) == 6  # [0:-1:2] of 12 frames
+
+
 class TestFeaturizeGuards:
     def _anim(self, T=12, fps=60):
         rng = np.random.default_rng(0)

@@ -110,6 +110,12 @@ class TestExpmap:
         ref = MocapParameterizer("position").fit_transform([BVHParser().parse(path)])[0]
         mine = P.MocapParameterizer("position").transform(P.parse_bvh(path))
         common = [c for c in mine.columns if c in set(ref.values.columns)]
+        # column ORDER parity, not just values-by-name: pymo emits
+        # positions in traverse() order (stack DFS), which differs from
+        # parse order on branching skeletons — positional consumers of a
+        # reference-fitted pipeline would silently scramble (regression)
+        ref_cols = [c for c in ref.values.columns if c in set(mine.columns)]
+        assert common == ref_cols
         idx_m = mine.column_index()
         for c in common:
             np.testing.assert_allclose(
