@@ -9,9 +9,11 @@ jit-compatible, and with the per-step model call abstracted as
 
 The ``model_fn`` passed in is responsible for conditioning (the reference
 threads ``model_kwargs['y']`` through; here the caller closes over its
-conditioning dict) and for timestep remapping when respaced (the
-reference's `_WrappedModel`, `respace.py:117-129` — use
-``schedule.timestep_map[t]``).
+conditioning dict). Timestep remapping on respaced schedules (the
+reference's `_WrappedModel`, `respace.py:117-129`) is done by the
+FRAMEWORK: every sampler loop and `calc_bpd_loop` call
+``model_fn(x, schedule.timestep_map[t])``, so model_fn always receives
+ORIGINAL-schedule timesteps and must not remap again.
 """
 from __future__ import annotations
 
@@ -372,10 +374,11 @@ def calc_bpd_loop(
         t = jnp.full((B,), t_scalar, jnp.int32)
         noise = jax.random.normal(nk, x_start.shape, jnp.float32)
         x_t = q_sample(sched, x_start, t, noise)
-        # module contract (docstring): model_fn receives the INTERNAL
-        # timestep index and remaps itself — remapping here too would
-        # double-remap a compliant model_fn on respaced schedules
-        model_output = model_fn(x_t, t)
+        # same remap convention as every sampler loop
+        # (`sampling._model_and_stats`): the framework maps the internal
+        # index to the original-schedule timestep, so the engines'
+        # non-remapping model_fns evaluate correctly on respaced schedules
+        model_output = model_fn(x_t, sched.timestep_map[t])
         vb, pred_xstart = vb_terms_bpd(
             sched, model_output, x_start, x_t, t,
             mean_type=mean_type, var_type=var_type, clip_denoised=clip_denoised,

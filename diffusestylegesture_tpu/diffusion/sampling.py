@@ -237,14 +237,17 @@ def plms_sample_loop(
 ) -> jax.Array:
     """PLMS (Adams–Bashforth) sampling scan (ref `plms_sample:1005-1087`).
 
-    The eps history lives in a fixed (4, *shape) ring inside the scan
-    carry; the Adams–Bashforth order ramps 1→`cfg.order` as history fills,
+    The eps history lives in a fixed (order-1, *shape) ring inside the
+    scan carry — sized to what Adams–Bashforth actually reads, not a
+    hardcoded 4 (at serving shapes a 4-slot ring is ~26 MB copied every
+    one of 1000 steps). The order ramps 1→`cfg.order` as history fills,
     and the order>1 cold start uses the reference's pseudo improved-Euler
     double evaluation.
     """
     order = int(cfg.order)
     if not 1 <= order <= 4:
         raise ValueError("order must be in [1, 4]")
+    nh = max(order - 1, 1)  # history slots the method can ever read
     key, init_key = jax.random.split(key)
     img, t0 = _init_img(sched, init_key, shape, noise, skip_timesteps, init_image)
     nd = len(shape)
@@ -278,10 +281,10 @@ def plms_sample_loop(
             return (eps + eps2) / 2.0
 
         def adams(_):
-            # newest-first history with current eps prepended
-            h = jnp.concatenate([eps[None], hist[:3]], axis=0)
+            # newest-first history with current eps prepended (order rows)
+            h = jnp.concatenate([eps[None], hist], axis=0)[:order]
             cur = jnp.minimum(count + 1, order)
-            coef = ab[cur - 1]
+            coef = ab[cur - 1, : h.shape[0]]
             return jnp.tensordot(coef, h, axes=1)
 
         if order > 1:
@@ -293,10 +296,10 @@ def plms_sample_loop(
         mean_pred = pred_prime * jnp.sqrt(alpha_bar_prev) + jnp.sqrt(1 - alpha_bar_prev) * eps_prime
         nz = _nonzero_mask(t, nd)
         sample = mean_pred * nz + out.pred_xstart * (1 - nz)
-        new_hist = jnp.concatenate([eps[None], hist[:3]], axis=0)
+        new_hist = jnp.concatenate([eps[None], hist], axis=0)[:nh]
         return (sample, new_hist, count + 1), None
 
-    hist0 = jnp.zeros((4,) + tuple(shape), dtype=jnp.float32)
+    hist0 = jnp.zeros((nh,) + tuple(shape), dtype=jnp.float32)
     ts = jnp.arange(t0, -1, -1)
     (img, _, _), _ = jax.lax.scan(step, (img, hist0, jnp.int32(0)), ts, unroll=cfg.unroll)
     return img
@@ -363,22 +366,33 @@ def cfg_combine(out_cond: jax.Array, out_uncond: jax.Array, scale) -> jax.Array:
     return out_uncond + scale * (out_cond - out_uncond)
 
 
-def make_cfg_model_fn(model_apply, scale, batch_size: int) -> Callable:
+def make_cfg_model_fn(model_apply, scale, batch_size: int, *,
+                      params=None, cond=None) -> Callable:
     """Wrap a conditioned model apply into a CFG model_fn.
 
-    ``model_apply(x, t, uncond)`` must accept a per-example boolean
-    `uncond` mask. On TPU the cond/uncond passes run as one doubled batch
-    (one MXU-saturating call instead of two half-empty ones).
+    On TPU the cond/uncond passes run as one doubled batch (one
+    MXU-saturating call instead of two half-empty ones). Two call
+    conventions — the ONE shared implementation for every engine (ZEGGS
+    batch/multi-clip, BEAT/TWH), so guidance semantics cannot drift
+    between them:
+
+      * bare: ``model_apply(x, t, uncond_mask)``;
+      * engine (pass ``params`` and ``cond``): ``model_apply(params, x,
+        t, cond, uncond=mask)`` with the conditioning dict doubled along
+        the batch axis.
     """
+    B = batch_size
 
     def fn(x, t):
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         uncond = jnp.concatenate(
-            [jnp.zeros((batch_size,), bool), jnp.ones((batch_size,), bool)], axis=0
-        )
-        out = model_apply(x2, t2, uncond)
-        out_c, out_u = out[:batch_size], out[batch_size:]
-        return cfg_combine(out_c, out_u, scale)
+            [jnp.zeros((B,), bool), jnp.ones((B,), bool)], axis=0)
+        if cond is None:
+            out = model_apply(x2, t2, uncond)
+        else:
+            cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], 0), cond)
+            out = model_apply(params, x2, t2, cond2, uncond=uncond)
+        return cfg_combine(out[:B], out[B:], scale)
 
     return fn

@@ -41,7 +41,7 @@ from ..diffusion import (
     p_sample_loop,
     plms_sample_loop,
 )
-from ..diffusion.sampling import cfg_combine
+from ..diffusion.sampling import make_cfg_model_fn
 
 SAMPLE_LOOPS = {
     "ddpm": p_sample_loop,
@@ -226,13 +226,9 @@ class ZeggsSampler:
         }
 
         if self.cfg.guidance_scale and self.cfg.guidance_scale != 1.0:
-            def model_fn(x, t):
-                x2 = jnp.concatenate([x, x], 0)
-                t2 = jnp.concatenate([t, t], 0)
-                cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], 0), cond)
-                un = jnp.concatenate([jnp.zeros(B, bool), jnp.ones(B, bool)])
-                out = self.model_apply(params, x2, t2, cond2, uncond=un)
-                return cfg_combine(out[:B], out[B:], self.cfg.guidance_scale)
+            model_fn = make_cfg_model_fn(
+                self.model_apply, self.cfg.guidance_scale, B,
+                params=params, cond=cond)
         else:
             def model_fn(x, t):
                 return self.model_apply(params, x, t, cond)
@@ -463,16 +459,10 @@ def _build_multi_runner(sampler, B):
             }
 
             if cfg.guidance_scale and cfg.guidance_scale != 1.0:
-                # same CFG doubling as `ZeggsSampler._window_sample`
-                def model_fn(x, t):
-                    x2 = jnp.concatenate([x, x], 0)
-                    t2 = jnp.concatenate([t, t], 0)
-                    cond2 = jax.tree.map(
-                        lambda c: jnp.concatenate([c, c], 0), cond)
-                    un = jnp.concatenate(
-                        [jnp.zeros(B, bool), jnp.ones(B, bool)])
-                    out = sampler.model_apply(params, x2, t2, cond2, uncond=un)
-                    return cfg_combine(out[:B], out[B:], cfg.guidance_scale)
+                # same shared CFG doubling as `ZeggsSampler._window_sample`
+                model_fn = make_cfg_model_fn(
+                    sampler.model_apply, cfg.guidance_scale, B,
+                    params=params, cond=cond)
             else:
                 def model_fn(x, t):
                     return sampler.model_apply(params, x, t, cond)

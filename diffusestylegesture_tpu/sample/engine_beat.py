@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..diffusion import Schedule, SamplerConfig
-from ..diffusion.sampling import cfg_combine
+from ..diffusion.sampling import make_cfg_model_fn
 from .engine import SAMPLE_LOOPS, crossfade_weights
 
 
@@ -141,13 +141,9 @@ class BeatTwhSampler:
             cond["seed_last"] = seed_last
 
         if cfg.guidance_scale and cfg.guidance_scale != 1.0:
-            def model_fn(x, t):
-                x2 = jnp.concatenate([x, x], 0)
-                t2 = jnp.concatenate([t, t], 0)
-                cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], 0), cond)
-                un = jnp.concatenate([jnp.zeros(B, bool), jnp.ones(B, bool)])
-                out = self.model_apply(params, x2, t2, cond2, uncond=un)
-                return cfg_combine(out[:B], out[B:], cfg.guidance_scale)
+            model_fn = make_cfg_model_fn(
+                self.model_apply, cfg.guidance_scale, B,
+                params=params, cond=cond)
         else:
             def model_fn(x, t):
                 return self.model_apply(params, x, t, cond)

@@ -25,8 +25,9 @@ import dataclasses
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
-from typing import List, Optional, Sequence
+from typing import Deque, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -92,6 +93,10 @@ class GestureServer:
         self.cfg = cfg
         self._style_dim = cfg.style_dim
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # dispatcher-thread-owned staging area for requests whose bucket
+        # didn't match the batch being built; pending[0] is always the
+        # OLDEST unserved request and seeds the next batch's bucket
+        self._pending: Deque[_Request] = deque()
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._rng_lock = threading.Lock()
@@ -122,6 +127,12 @@ class GestureServer:
             raise ValueError(
                 f"clip needs {num} windows > max bucket {max(self.cfg.window_buckets)}"
             )
+        if self._stop.is_set() or self._thread is None:
+            # a submit racing stop() (or before start()) would otherwise
+            # return a Future that never resolves
+            raise RuntimeError(
+                "server is not running (submit before start() or after "
+                "stop())")
         with self._rng_lock:
             self._key, sub = jax.random.split(self._key)
         fut: Future = Future()
@@ -142,6 +153,19 @@ class GestureServer:
         if self._thread is not None:
             self._thread.join(timeout)
             self._thread = None
+        # a request that slipped past the dispatcher's final drain (the
+        # submit/stop race) must not leave its client blocked forever
+        leftovers: List[_Request] = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for req in leftovers:
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError("server stopped before serving this request"))
 
     # -- internals ----------------------------------------------------------
 
@@ -152,16 +176,32 @@ class GestureServer:
         return None
 
     def _collect_batch(self) -> List[_Request]:
-        """Drain up to max_batch requests sharing the FIRST request's
-        bucket, waiting at most max_delay_ms past the first arrival."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
-        batch = [first]
-        bucket = self._bucket_for(first.num_windows)
+        """Drain up to max_batch requests sharing the OLDEST unserved
+        request's bucket, waiting at most max_delay_ms past its arrival.
+
+        Requests of a different bucket stage in `_pending` (FIFO), and the
+        next batch's bucket always comes from `pending[0]` — re-queueing
+        spills at the queue TAIL would let a continuous stream of
+        one-bucket traffic starve a minority-bucket request forever."""
+        if not self._pending:
+            try:
+                self._pending.append(self._queue.get(timeout=0.1))
+            except queue.Empty:
+                return []
+        batch = [self._pending.popleft()]
+        bucket = self._bucket_for(batch[0].num_windows)
         deadline = time.monotonic() + self.cfg.max_delay_ms / 1000.0
-        spill: List[_Request] = []
+        # sweep already-staged same-bucket requests first (order kept)
+        keep: Deque[_Request] = deque()
+        while self._pending and len(batch) < self.cfg.max_batch:
+            req = self._pending.popleft()
+            if self._bucket_for(req.num_windows) == bucket:
+                batch.append(req)
+            else:
+                keep.append(req)
+        keep.extend(self._pending)
+        self._pending = keep
+        # then wait for new arrivals up to the deadline
         while len(batch) < self.cfg.max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
@@ -173,13 +213,12 @@ class GestureServer:
             if self._bucket_for(req.num_windows) == bucket:
                 batch.append(req)
             else:
-                spill.append(req)  # different shape class → next batch
-        for req in spill:
-            self._queue.put(req)
+                self._pending.append(req)  # next batch, FIFO order
         return batch
 
     def _loop(self) -> None:
-        while not self._stop.is_set() or not self._queue.empty():
+        while (not self._stop.is_set() or not self._queue.empty()
+               or self._pending):
             batch = self._collect_batch()
             if not batch:
                 continue

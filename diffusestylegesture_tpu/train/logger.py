@@ -49,19 +49,42 @@ class JSONOutput:
 
 
 class CSVOutput:
+    """Append-mode CSV sink (ref `logger.py` CSVOutputFormat semantics):
+    rows APPEND; only a NEW KEY triggers a one-time rewrite with the
+    expanded header (re-read from disk — O(1) memory). The previous
+    rewrite-everything-per-dump form was quadratic in dumps (a 100k-step
+    run logging every 50 steps rewrites ~2M rows) and held the whole
+    history in memory. An existing file's header is adopted on open, so
+    a resumed run appends to its own curve."""
+
     def __init__(self, path: str):
         self.path = path
         self.keys: List[str] = []
-        self.rows: List[Dict] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                header = f.readline().strip()
+            if header:
+                self.keys = header.split(",")
 
     def writekvs(self, kvs: Dict) -> None:
         extra = sorted(set(kvs.keys()) - set(self.keys))
-        self.keys.extend(extra)
-        self.rows.append(dict(kvs))
-        with open(self.path, "wt") as f:
-            f.write(",".join(self.keys) + "\n")
-            for row in self.rows:
-                f.write(",".join(str(row.get(k, "")) for k in self.keys) + "\n")
+        if extra:
+            old_rows: List[Dict] = []
+            if self.keys and os.path.exists(self.path):
+                with open(self.path) as f:
+                    lines = f.read().splitlines()
+                old_keys = lines[0].split(",") if lines else []
+                old_rows = [dict(zip(old_keys, ln.split(",")))
+                            for ln in lines[1:]]
+            self.keys.extend(extra)
+            with open(self.path, "wt") as f:
+                f.write(",".join(self.keys) + "\n")
+                for r in old_rows:
+                    f.write(",".join(str(r.get(k, ""))
+                                     for k in self.keys) + "\n")
+        with open(self.path, "at") as f:
+            f.write(",".join(str(kvs.get(k, ""))
+                             for k in self.keys) + "\n")
 
 
 class TensorBoardOutput:

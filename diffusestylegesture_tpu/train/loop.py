@@ -179,25 +179,38 @@ class TrainLoop:
                 from ..parallel import mdm_param_specs, shard_train_state
 
                 # specs for the whole variables dict: TP specs for the
-                # 'params' collection, replicated for any other collection
+                # 'params' collection, replicated for any other collection.
+                # A BARE param tree (no flax {'params': ...} wrapper) is
+                # the trainable collection itself — keying on 'params'
+                # alone would silently replicate every weight under tp>1
                 from jax.sharding import PartitionSpec as _P
 
-                specs = {
-                    k: (mdm_param_specs(v) if k == "params" and tp > 1
-                        else jax.tree.map(lambda _: _P(), v))
-                    for k, v in self.state.params.items()
-                }
+                pt = self.state.params
+                is_vars = isinstance(pt, dict) and "params" in pt
+                if is_vars:
+                    specs = {
+                        k: (mdm_param_specs(v) if k == "params" and tp > 1
+                            else jax.tree.map(lambda _: _P(), v))
+                        for k, v in pt.items()
+                    }
+                else:
+                    specs = (mdm_param_specs(pt) if tp > 1
+                             else jax.tree.map(lambda _: _P(), pt))
                 if loop_cfg.fsdp:
                     # ZeRO-3 on top: shard the dims TP left free along
                     # 'data' (`parallel/fsdp.py`)
                     from ..parallel import fsdp_param_specs
 
                     data_size = self.mesh.shape["data"]
-                    specs = {
-                        k: fsdp_param_specs(
-                            self.state.params[k], data_size, base_specs=v)
-                        for k, v in specs.items()
-                    }
+                    if is_vars:
+                        specs = {
+                            k: fsdp_param_specs(
+                                pt[k], data_size, base_specs=v)
+                            for k, v in specs.items()
+                        }
+                    else:
+                        specs = fsdp_param_specs(
+                            pt, data_size, base_specs=specs)
                 # shard params AND the optimizer moments / EMA — otherwise
                 # opt_state stays replicated (2x param memory) and the
                 # donated step recompiles on the sharding mismatch

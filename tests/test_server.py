@@ -104,6 +104,45 @@ class TestGestureServer:
         finally:
             server.stop()
 
+    def test_minority_bucket_not_starved(self):
+        """The next batch's bucket comes from the OLDEST unserved request
+        (pending deque head) — re-queueing spilled requests at the queue
+        tail let continuous majority-bucket traffic starve a minority
+        request forever (regression). Exercised without the dispatcher
+        thread: pre-fill the queue, drive _collect_batch directly."""
+        server, ecfg = make_server(max_batch=2, max_delay_ms=50.0,
+                                   buckets=(1, 2, 4))
+        s1 = ecfg.samples_per_stride  # 1 window
+        s4 = ecfg.samples_per_stride * 4  # 4 windows (minority bucket)
+
+        def req(samples):
+            from diffusestylegesture_tpu.sample.server import _Request
+            from concurrent.futures import Future
+
+            num = samples // ecfg.samples_per_stride
+            return server._queue.put(_Request(
+                audio=np.zeros(samples, np.float32),
+                style=np.zeros(6, np.float32),
+                key=jax.random.PRNGKey(0), num_windows=num, future=Future()))
+
+        # majority 1-window stream with one 4-window request inside it
+        req(s1), req(s4), req(s1), req(s1), req(s1)
+        b1 = server._collect_batch()  # serves head bucket 1, spills b4
+        assert [r.num_windows for r in b1] == [1, 1]
+        b2 = server._collect_batch()  # pending[0] is the 4-window request
+        assert [r.num_windows for r in b2] == [4]
+        b3 = server._collect_batch()
+        assert [r.num_windows for r in b3] == [1, 1]
+
+    def test_submit_after_stop_raises(self):
+        server, ecfg = make_server()
+        server.start()
+        server.stop()
+        with pytest.raises(RuntimeError, match="not running"):
+            server.submit(
+                np.zeros(ecfg.samples_per_stride, np.float32),
+                np.zeros(6, np.float32))
+
     def test_too_long_rejected(self):
         server, ecfg = make_server(buckets=(1, 2))
         audio = np.zeros(ecfg.samples_per_stride * 5, np.float32)
