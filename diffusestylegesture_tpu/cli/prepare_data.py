@@ -101,9 +101,17 @@ def prepare_beat_twh(args):
         if args.dataset == "TWH" and meta is not None and name in meta:
             _, speaker_id = meta[name]
         elif args.dataset == "BEAT":
-            speaker_id = int(name.split("_")[0]) % args.num_speakers
+            speaker_id = int(name.split("_")[0])
         else:
             speaker_id = 0
+        if not 0 <= speaker_id < args.num_speakers:
+            # fail with the real constraint: a silent `% num_speakers`
+            # alias would merge different speakers' identity conditioning
+            # (and an unvalidated TWH metadata id would IndexError later)
+            raise SystemExit(
+                f"{name}: speaker id {speaker_id} outside "
+                f"--num_speakers {args.num_speakers} — raise "
+                "--num_speakers to cover the corpus")
         onehot = np.zeros(args.num_speakers, np.float32)
         onehot[speaker_id] = 1
         wavlm_feats = None

@@ -98,9 +98,13 @@ def resolve_moe_config(mcfg, params, out=None):
     import sys
 
     moe_e = infer_moe_experts(params)
-    if moe_e and mcfg.moe_experts != moe_e:
-        print(f"note: checkpoint is MoE-trained ({moe_e} experts) — "
-              f"overriding config", file=out or sys.stdout)
+    if moe_e != mcfg.moe_experts:
+        # BOTH directions: an MoE checkpoint under a dense yaml AND a
+        # dense checkpoint under an MoE yaml (either mismatch is a flax
+        # missing-parameter crash at the first apply)
+        print(f"note: checkpoint is "
+              + (f"MoE-trained ({moe_e} experts)" if moe_e else "dense")
+              + " — overriding config", file=out or sys.stdout)
         mcfg = dataclasses.replace(mcfg, moe_experts=moe_e)
     return mcfg
 
@@ -180,14 +184,18 @@ def main(argv=None):
         with open(os.path.join(args.model_path, "schedule.json")) as f:
             distill_meta = _json.load(f)
         distill_grid = distill_meta["use_timesteps"]
-        if args.sampler == "ddpm" and not args.respace:
-            print(f"note: distilled student checkpoint — serving its "
-                  f"{len(distill_grid)}-step DDIM grid")
-            args.sampler = "ddim"
+        # discard --respace BEFORE the ddpm→ddim auto-switch: checked the
+        # other way round, `--respace N` suppressed the switch and DDPM
+        # ancestral steps ran on the student's DDIM grid — a mode the
+        # quality gate never measured, under a distillN verdict
         if args.respace:
             print("note: --respace ignored for a distilled student "
                   "(schedule.json fixes the grid)")
             args.respace = 0
+        if args.sampler == "ddpm":
+            print(f"note: distilled student checkpoint — serving its "
+                  f"{len(distill_grid)}-step DDIM grid")
+            args.sampler = "ddim"
 
     # motion-quality gate on fast serving modes (harness-measured FGD vs
     # DDPM-1000; `sample/quality_gate.py`) — checked BEFORE any model
@@ -289,7 +297,17 @@ def main(argv=None):
         style = np.stack([parse_style(t) for t in specs])
         tokens = [sanitize(t) for t in specs]
     else:
-        token = args.style or os.path.basename(args.audiowavlm_path).split("_")[1]
+        token = args.style
+        if not token:
+            parts = os.path.basename(args.audiowavlm_path).split("_")
+            if len(parts) < 2:
+                # ZEGGS filename convention is NNN_Style_...; anything
+                # else needs an explicit style instead of an IndexError
+                raise SystemExit(
+                    f"cannot infer a style from "
+                    f"{os.path.basename(args.audiowavlm_path)!r} "
+                    "(expected NNN_Style_... naming) — pass --style")
+            token = parts[1]
         style = parse_style(token)[None]
         tokens = [sanitize(token)]
 

@@ -131,6 +131,10 @@ def main(argv=None):
     plock = threading.Condition()
     out_lock = threading.Lock()
     done_reading = False
+    # backpressure: without a bound, the read loop decodes and enqueues an
+    # ENTIRE large JSONL batch (10k × 30 s wavs ≈ 10 GB of float32) while
+    # the engine drains max_batch at a time — RSS grows until OOM
+    inflight = threading.Semaphore(max(4 * args.max_batch, 8))
 
     def say(obj):
         # one result line per request; emitter thread and main thread
@@ -146,6 +150,8 @@ def main(argv=None):
                  "frames": int(poses.shape[0])})
         except Exception as e:
             say({"wav": req["wav"], "error": str(e)})
+        finally:
+            inflight.release()
 
     def emitter():
         # dedicated consumer: results print in submit order the moment
@@ -179,6 +185,7 @@ def main(argv=None):
                 say({"line": line[:200], "error": str(e)})
                 continue
             out_path = req.get("out") or (os.path.splitext(wav_path)[0] + "_gen.bvh")
+            inflight.acquire()  # released by emit() when the result lands
             try:
                 style = parse_style(req.get("style"), wav_path)
                 fut = server.submit(load_wav_16k(wav_path), style)
@@ -186,6 +193,7 @@ def main(argv=None):
                     pending.append((req, out_path, fut))
                     plock.notify()
             except Exception as e:
+                inflight.release()
                 say({"wav": wav_path, "error": str(e)})
     finally:
         with plock:

@@ -178,6 +178,11 @@ def main(argv=None):
             mcfg_extra.update(attn_impl="seq_parallel", seq_mesh=mesh)
         if pp > 1:
             mcfg_extra.update(trunk_impl="pipeline", pipe_mesh=mesh)
+    if args.moe_experts == 0:
+        # honor a yaml-configured MoE too: every serving CLI reads
+        # cfg.moe_experts, so training must not silently build dense from
+        # the same yaml (the flag, when given, wins)
+        args.moe_experts = int(cfg.get("moe_experts", 0))
     if args.moe_experts > 0:
         if pp > 1:
             raise SystemExit(

@@ -106,7 +106,9 @@ def parse_bvh_python(path: str) -> ChannelData:
                 continue
             m = re.match(r"\s*(ROOT|JOINT)\s+(\S+)", line)
             if m:
-                name = m.group(2)
+                # inline-brace declarations ('ROOT Hips {' / 'JOINT X{'):
+                # open the scope here so OFFSET/CHANNELS target THIS joint
+                name = m.group(2).rstrip("{").strip() or m.group(2)
                 parent = stack[-1] if stack else None
                 names.append(name)
                 parents[name] = parent
@@ -114,6 +116,8 @@ def parse_bvh_python(path: str) -> ChannelData:
                 if root_name is None:
                     root_name = name
                 current = name
+                if "{" in line[m.end(1):]:
+                    stack.append(name)
                 continue
             if "End Site" in line:
                 end_site = True
@@ -121,6 +125,8 @@ def parse_bvh_python(path: str) -> ChannelData:
                 names.append(nub)
                 parents[nub] = current
                 channels[nub] = []
+                if "{" in line:  # 'End Site {'
+                    stack.append(nub)
                 continue
             if "{" in line:
                 if end_site:

@@ -24,15 +24,25 @@ _FAILED = False
 
 def _build() -> bool:
     src = os.path.join(_HERE, "bvh_fast.cpp")
+    # compile to a per-process temp name, then atomically publish: parallel
+    # prepare-data workers (spawned processes — _LOCK is per-process only)
+    # may build concurrently, and a reader must never CDLL a half-written
+    # .so that another process's g++ is still emitting
+    tmp = f"{_SO_PATH}.tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _SO_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -55,33 +65,51 @@ def _load() -> Optional[ctypes.CDLL]:
                 # .so is still better than the 10-40x slower Python path
                 _FAILED = True
                 return None
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.bvh_parse.restype = ctypes.c_void_p
-        lib.bvh_parse.argtypes = [ctypes.c_char_p]
-        lib.bvh_num_frames.restype = ctypes.c_long
-        lib.bvh_num_frames.argtypes = [ctypes.c_void_p]
-        lib.bvh_num_channels.restype = ctypes.c_long
-        lib.bvh_num_channels.argtypes = [ctypes.c_void_p]
-        lib.bvh_num_joints.restype = ctypes.c_long
-        lib.bvh_num_joints.argtypes = [ctypes.c_void_p]
-        lib.bvh_frametime.restype = ctypes.c_double
-        lib.bvh_frametime.argtypes = [ctypes.c_void_p]
-        lib.bvh_error.restype = ctypes.c_char_p
-        lib.bvh_error.argtypes = [ctypes.c_void_p]
-        lib.bvh_channel_names.restype = ctypes.c_char_p
-        lib.bvh_channel_names.argtypes = [ctypes.c_void_p]
-        lib.bvh_joint_names.restype = ctypes.c_char_p
-        lib.bvh_joint_names.argtypes = [ctypes.c_void_p]
-        lib.bvh_parents.restype = ctypes.POINTER(ctypes.c_int)
-        lib.bvh_parents.argtypes = [ctypes.c_void_p]
-        lib.bvh_offsets.restype = ctypes.POINTER(ctypes.c_float)
-        lib.bvh_offsets.argtypes = [ctypes.c_void_p]
-        lib.bvh_values.restype = ctypes.POINTER(ctypes.c_double)
-        lib.bvh_values.argtypes = [ctypes.c_void_p]
-        lib.bvh_free.restype = None
-        lib.bvh_free.argtypes = [ctypes.c_void_p]
+        try:
+            lib = _bind(ctypes.CDLL(_SO_PATH))
+        except Exception:
+            # corrupt or ABI-incompatible .so (killed build, foreign
+            # prebuilt): one rebuild attempt, then the promised Python
+            # fallback — an unguarded CDLL here aborted every BVH parse
+            if _build():
+                try:
+                    lib = _bind(ctypes.CDLL(_SO_PATH))
+                except Exception:
+                    _FAILED = True
+                    return None
+            else:
+                _FAILED = True
+                return None
         _LIB = lib
         return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.bvh_parse.restype = ctypes.c_void_p
+    lib.bvh_parse.argtypes = [ctypes.c_char_p]
+    lib.bvh_num_frames.restype = ctypes.c_long
+    lib.bvh_num_frames.argtypes = [ctypes.c_void_p]
+    lib.bvh_num_channels.restype = ctypes.c_long
+    lib.bvh_num_channels.argtypes = [ctypes.c_void_p]
+    lib.bvh_num_joints.restype = ctypes.c_long
+    lib.bvh_num_joints.argtypes = [ctypes.c_void_p]
+    lib.bvh_frametime.restype = ctypes.c_double
+    lib.bvh_frametime.argtypes = [ctypes.c_void_p]
+    lib.bvh_error.restype = ctypes.c_char_p
+    lib.bvh_error.argtypes = [ctypes.c_void_p]
+    lib.bvh_channel_names.restype = ctypes.c_char_p
+    lib.bvh_channel_names.argtypes = [ctypes.c_void_p]
+    lib.bvh_joint_names.restype = ctypes.c_char_p
+    lib.bvh_joint_names.argtypes = [ctypes.c_void_p]
+    lib.bvh_parents.restype = ctypes.POINTER(ctypes.c_int)
+    lib.bvh_parents.argtypes = [ctypes.c_void_p]
+    lib.bvh_offsets.restype = ctypes.POINTER(ctypes.c_float)
+    lib.bvh_offsets.argtypes = [ctypes.c_void_p]
+    lib.bvh_values.restype = ctypes.POINTER(ctypes.c_double)
+    lib.bvh_values.argtypes = [ctypes.c_void_p]
+    lib.bvh_free.restype = None
+    lib.bvh_free.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 def available() -> bool:

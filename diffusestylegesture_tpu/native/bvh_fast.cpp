@@ -87,10 +87,21 @@ ParseResult* parse_file(const char* path) {
         ++name_end;
       Joint j;
       j.name.assign(name_start, name_end - name_start);
+      // inline-brace declarations ('ROOT Hips {' / 'JOINT X{'): open the
+      // scope here, matching the Python parser — otherwise OFFSET/CHANNELS
+      // mis-target the parent joint
+      bool inline_brace = false;
+      if (!j.name.empty() && j.name.back() == '{') {
+        j.name.pop_back();
+        inline_brace = true;
+      }
+      if (!inline_brace && memchr(name_end, '{', line_end - name_end))
+        inline_brace = true;
       j.parent = stack.empty() ? -1 : stack.back();
       j.offset[0] = j.offset[1] = j.offset[2] = 0;
       res->joints.push_back(j);
       current = static_cast<int>(res->joints.size()) - 1;
+      if (inline_brace) stack.push_back(current);
     } else if (starts_with(l, "End Site")) {
       if (current < 0) { res->error = "malformed hierarchy"; return res; }
       end_site = true;
@@ -99,6 +110,8 @@ ParseResult* parse_file(const char* path) {
       j.parent = current;
       j.offset[0] = j.offset[1] = j.offset[2] = 0;
       res->joints.push_back(j);
+      if (memchr(l + 8, '{', line_end - (l + 8)))  // 'End Site {'
+        stack.push_back(static_cast<int>(res->joints.size()) - 1);
     } else if (*l == '{') {
       stack.push_back(end_site ? static_cast<int>(res->joints.size()) - 1
                                : current);

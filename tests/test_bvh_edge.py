@@ -73,6 +73,33 @@ Frame Time: 0.05
         assert anim["names"] == ["A", "B"]
         np.testing.assert_allclose(anim["rotations"][0, 1], [10, 20, 30])
 
+    def test_pipeline_and_native_parsers_agree_on_inline_braces(
+            self, tmp_path, monkeypatch):
+        """Same fix in the pymo-semantics parser and the C++ fast path:
+        both must open the scope on the declaration line, or
+        OFFSET/CHANNELS mis-target the parent joint."""
+        from diffusestylegesture_tpu import native
+        from diffusestylegesture_tpu.motion import pipeline as P
+
+        txt = ("HIERARCHY\nROOT A {\n\tOFFSET 0.0 1.0 0.0\n"
+               "\tCHANNELS 6 Xposition Yposition Zposition Zrotation "
+               "Xrotation Yrotation\n\tJOINT B {\n\t\tOFFSET 0.0 2.0 0.0\n"
+               "\t\tCHANNELS 3 Zrotation Xrotation Yrotation\n"
+               "\t\tEnd Site {\n\t\t\tOFFSET 0.0 1.0 0.0\n\t\t}\n\t}\n}\n"
+               "MOTION\nFrames: 2\nFrame Time: 0.05\n"
+               "0 1 0 0 0 0 10 20 30\n0 1 0 0 0 0 11 21 31\n")
+        p = str(tmp_path / "brace2.bvh")
+        open(p, "w").write(txt)
+        monkeypatch.setenv("DSG_TPU_NO_NATIVE", "1")
+        d_py = P.parse_bvh(p)
+        assert d_py.names == ["A", "B", "B_Nub"]
+        np.testing.assert_allclose(d_py.offsets["B"], [0.0, 2.0, 0.0])
+        np.testing.assert_allclose(d_py.offsets["B_Nub"], [0.0, 1.0, 0.0])
+        if native.available():
+            d_cc = native.parse_bvh_fast(p)
+            assert d_cc.names == d_py.names and d_cc.columns == d_py.columns
+            np.testing.assert_allclose(d_cc.values, d_py.values)
+
 
 class TestDownSamplerGuards:
     def _track(self, fps, T=12):
