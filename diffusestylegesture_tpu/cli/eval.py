@@ -107,8 +107,14 @@ def main(argv=None):
         if args.ae_cache:
             import orbax.checkpoint as ocp
 
-            cache_path = os.path.abspath(
-                os.path.join(args.ae_cache, "ae_params"))
+            # key the cache by the AE configuration: a smoke run's
+            # 50-step AE must not be silently restored by a later real
+            # run in the same directory (different training budget =
+            # different latent space = different FGD scale)
+            cache_path = os.path.abspath(os.path.join(
+                args.ae_cache,
+                f"ae_params_w{args.window}_l{args.ae_latent}"
+                f"_s{args.ae_steps}"))
             if os.path.exists(cache_path):
                 params = ocp.StandardCheckpointer().restore(cache_path)
         if params is None:

@@ -101,7 +101,11 @@ def prepare_beat_twh(args):
         if args.dataset == "TWH" and meta is not None and name in meta:
             _, speaker_id = meta[name]
         elif args.dataset == "BEAT":
-            speaker_id = int(name.split("_")[0])
+            # BEAT filenames are 1-based ('2_scott_...'); normalize to
+            # 0-based slots like the reference's TWH metadata handling
+            # (`process_TWH_bvh.py:250`, `int(id) - 1`) so
+            # --num_speakers 30 covers speakers 1..30 exactly
+            speaker_id = int(name.split("_")[0]) - 1
         else:
             speaker_id = 0
         if not 0 <= speaker_id < args.num_speakers:
@@ -109,9 +113,9 @@ def prepare_beat_twh(args):
             # alias would merge different speakers' identity conditioning
             # (and an unvalidated TWH metadata id would IndexError later)
             raise SystemExit(
-                f"{name}: speaker id {speaker_id} outside "
-                f"--num_speakers {args.num_speakers} — raise "
-                "--num_speakers to cover the corpus")
+                f"{name}: speaker slot {speaker_id} outside "
+                f"--num_speakers {args.num_speakers} (BEAT names are "
+                "1-based) — raise --num_speakers to cover the corpus")
         onehot = np.zeros(args.num_speakers, np.float32)
         onehot[speaker_id] = 1
         wavlm_feats = None

@@ -114,11 +114,13 @@ def main(argv=None):
                         "a one-window ppermute halo "
                         "(parallel/seq_parallel.py); n_poses must divide "
                         "into sp shards of whole windows")
-    p.add_argument("--moe_experts", type=int, default=0,
+    p.add_argument("--moe_experts", type=int, default=None,
                    help="swap the trunk FFN for a Switch-routed MoE with "
                         "this many experts (models/moe.py); the "
                         "load-balance aux loss is added with weight "
-                        "--moe_aux_weight")
+                        "--moe_aux_weight. Defaults to the yaml's "
+                        "moe_experts (0 = dense); an explicit 0 forces "
+                        "dense even when the yaml configures MoE")
     p.add_argument("--moe_aux_weight", type=float, default=0.01)
     p.add_argument("--split_qkv", action="store_true",
                    help="store attention projections as separate q/k/v "
@@ -178,10 +180,12 @@ def main(argv=None):
             mcfg_extra.update(attn_impl="seq_parallel", seq_mesh=mesh)
         if pp > 1:
             mcfg_extra.update(trunk_impl="pipeline", pipe_mesh=mesh)
-    if args.moe_experts == 0:
+    if args.moe_experts is None:
         # honor a yaml-configured MoE too: every serving CLI reads
         # cfg.moe_experts, so training must not silently build dense from
-        # the same yaml (the flag, when given, wins)
+        # the same yaml. The flag, when GIVEN, wins — None is the
+        # default sentinel, so an explicit `--moe_experts 0` still
+        # forces a dense ablation from an MoE yaml
         args.moe_experts = int(cfg.get("moe_experts", 0))
     if args.moe_experts > 0:
         if pp > 1:

@@ -109,14 +109,14 @@ def _read_textgrid_first_tier(path: str) -> List[Tuple[float, float, str]]:
         re.S,
     )
     # first tier only (reference: `tg.tiers[0]`, Grid2tsv:214): split at
-    # the long-format per-tier headers and take the first tier's chunk —
-    # an xmin-restarts-at-zero heuristic would leak later tiers whenever
-    # the recording doesn't start at exactly 0 (e.g. trimmed TextGrids)
+    # the long-format per-tier headers and take EXACTLY the first tier's
+    # chunk — scanning further tiers for "the first one with intervals"
+    # would leak a phones tier whenever tier 1 is a PointTier or empty,
+    # and an xmin-restarts-at-zero heuristic leaks on trimmed TextGrids
     tier_chunks = re.split(r"item\s*\[\d+\]\s*:", text)
-    for chunk in tier_chunks[1:]:  # [0] = file header before any tier
-        matches = pattern.findall(chunk)
-        if matches:
-            return [(float(a), float(b), m) for a, b, m in matches]
+    if len(tier_chunks) > 1:
+        return [(float(a), float(b), m)
+                for a, b, m in pattern.findall(tier_chunks[1])]
     matches = pattern.findall(text)
     if matches:
         # degenerate long format without item headers: single tier assumed

@@ -99,6 +99,10 @@ class GestureServer:
         self._pending: Deque[_Request] = deque()
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # makes submit's running-check + enqueue atomic with stop's final
+        # drain — without it a submit could pass the check, lose the CPU,
+        # and enqueue into an already-drained queue (orphaned Future)
+        self._submit_lock = threading.Lock()
         self._rng_lock = threading.Lock()
         self._key = jax.random.PRNGKey(seed)
         self.batches_served = 0
@@ -127,19 +131,20 @@ class GestureServer:
             raise ValueError(
                 f"clip needs {num} windows > max bucket {max(self.cfg.window_buckets)}"
             )
-        if self._stop.is_set() or self._thread is None:
-            # a submit racing stop() (or before start()) would otherwise
-            # return a Future that never resolves
-            raise RuntimeError(
-                "server is not running (submit before start() or after "
-                "stop())")
         with self._rng_lock:
             self._key, sub = jax.random.split(self._key)
         fut: Future = Future()
-        self._queue.put(
-            _Request(audio=audio, style=style, key=sub,
-                     num_windows=num, future=fut)
-        )
+        with self._submit_lock:
+            if self._stop.is_set() or self._thread is None:
+                # a submit racing stop() (or before start()) would
+                # otherwise return a Future that never resolves
+                raise RuntimeError(
+                    "server is not running (submit before start() or "
+                    "after stop())")
+            self._queue.put(
+                _Request(audio=audio, style=style, key=sub,
+                         num_windows=num, future=fut)
+            )
         return fut
 
     def start(self) -> "GestureServer":
@@ -150,18 +155,27 @@ class GestureServer:
 
     def stop(self, timeout: float = 30.0) -> None:
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout)
+        t = self._thread
+        if t is not None:
+            t.join(timeout)
+            if t.is_alive():
+                # a long batch is still in flight past the join timeout:
+                # do NOT touch _pending/_queue (the dispatcher owns them
+                # and keeps serving until drained) — clearing here would
+                # race _collect_batch and double-resolve futures
+                return
             self._thread = None
         # a request that slipped past the dispatcher's final drain (the
-        # submit/stop race) must not leave its client blocked forever
-        leftovers: List[_Request] = list(self._pending)
-        self._pending.clear()
-        while True:
-            try:
-                leftovers.append(self._queue.get_nowait())
-            except queue.Empty:
-                break
+        # submit/stop race) must not leave its client blocked forever;
+        # the submit lock orders us after any in-flight enqueue
+        with self._submit_lock:
+            leftovers: List[_Request] = list(self._pending)
+            self._pending.clear()
+            while True:
+                try:
+                    leftovers.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
         for req in leftovers:
             if not req.future.done():
                 req.future.set_exception(
