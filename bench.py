@@ -270,10 +270,7 @@ def main():
     wav_window = jnp.zeros((1, ecfg.samples_per_seed + ecfg.samples_per_stride))
     wparams32 = jax.jit(wavlm.init)(jax.random.PRNGKey(1), wav_window)
 
-    def bf16_cast(t):
-        return jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
-        )
+    from diffusestylegesture_tpu.utils.precision import bf16_cast
 
     wavlm_fn = make_zeggs_wavlm_fn(wavlm, ecfg.n_poses)
 
@@ -311,10 +308,16 @@ def main():
 
     # tanh-approx GELU serving path: the erf polynomial alone is ~30% of
     # the trunk time at these shapes (scripts/trunk_microprobe.py); gate
-    # it with the same on-device output tolerance before using it
-    fps_ft, _, out_ft, _, _ = run_config("bf16", 1, 0, activation="gelu_tanh")
-    ft_rms = float(np.sqrt(np.mean((out32 - out_ft) ** 2)) / scale)
-    ft_max = float(np.abs(out32 - out_ft).max() / scale)
+    # it with the same on-device output tolerance before using it. Only
+    # worth measuring when bf16 itself passed — ft_ok can never be True
+    # otherwise, and the run costs a full compile + generates on-chip
+    if bf16_ok:
+        fps_ft, _, out_ft, _, _ = run_config(
+            "bf16", 1, 0, activation="gelu_tanh")
+        ft_rms = float(np.sqrt(np.mean((out32 - out_ft) ** 2)) / scale)
+        ft_max = float(np.abs(out32 - out_ft).max() / scale)
+    else:
+        ft_rms = ft_max = float("nan")
     ft_ok = bf16_ok and np.isfinite(ft_rms) and ft_rms < BF16_TOL
 
     big_act = "gelu_tanh" if ft_ok else "gelu"

@@ -55,9 +55,7 @@ def main():
     params32 = jax.jit(MDM(mcfg32).init)(
         jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32), cond1)
 
-    def bf16(t):
-        return jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+    from diffusestylegesture_tpu.utils.precision import bf16_cast as bf16
 
     results = []
     for dtype in ("f32", "bf16"):

@@ -57,9 +57,9 @@ def main():
         source_audio_dim=1435, audio_feat_dim=128,
     )).init)(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32), cond0)
     if fast:
-        params = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if getattr(a, "dtype", None) == jnp.float32 else a, params)
+        from diffusestylegesture_tpu.utils.precision import bf16_cast
+
+        params = bf16_cast(params)
 
     def apply(p, x, t, c, uncond=None):
         return model.apply(p, x, t, c, uncond=uncond)

@@ -278,7 +278,10 @@ def run(workdir: str) -> dict:
     ckpt_dir = os.path.join(workdir, "ckpt")
     log_dir = os.path.join(workdir, "logs")
     gen_root = os.path.join(workdir, "generated")
-    report: dict = {"train_steps": steps, "modes": {}}
+    report: dict = {"train_steps": steps, "modes": {},
+                    # recorded so --rebuild can re-apply the real gate
+                    "small_trunk": SMALL,
+                    "ae_steps": int(os.environ.get("QH_AE_STEPS", "400"))}
 
     # -- corpus + dataset build (cached by the LAST artifact write_corpus
     # produces, so an interrupted first run re-synthesizes instead of
@@ -350,6 +353,14 @@ def run(workdir: str) -> dict:
         for r in rows:
             if r.get("step") and r.get("loss"):
                 curve.append((int(float(r["step"])), float(r["loss"])))
+        # the CSV sink APPENDS across runs in the same workdir: keep only
+        # the FINAL monotonic segment, or the demo table would interleave
+        # two runs' curves ('loss fell run1-first → run2-last')
+        start = 0
+        for i in range(1, len(curve)):
+            if curve[i][0] <= curve[i - 1][0]:
+                start = i
+        curve = curve[start:]
     report["loss_curve"] = curve
 
     # -- build serving modes --
@@ -465,6 +476,7 @@ def run(workdir: str) -> dict:
         )
         frames = 0
         total_wall = 0.0
+        demo_written = False
         warm_frames, warm_wall = 0, 0.0  # excluding the first (compiling) clip
         for ci, f in enumerate(eval_wavs):
             stem = f[:-4]
@@ -483,7 +495,11 @@ def run(workdir: str) -> dict:
             if ci > 0:  # clip 0 pays the engine compile
                 warm_frames += out.shape[1]
                 warm_wall += clip_wall
-            if mode_name == baseline_key and "Happy" in stem:
+            if (mode_name == baseline_key and "Happy" in stem
+                    and not demo_written):
+                # once: a second Happy clip would re-run the FK+smoothing
+                # export only to clobber the first at the same path
+                demo_written = True
                 tb = time.time()
                 zf.pose_features_to_bvh(
                     out[0], os.path.join(workdir, f"demo_{mode_name}.bvh"),
@@ -646,7 +662,13 @@ def main():
         with open(src) as f:
             report = json.load(f)
         report["manifest"] = build_manifest(report)
-        real = report["manifest"]["baseline"] == "ddpm1000"
+        # same real-configuration gate as the run path, from the report's
+        # own recorded fields — rebuilding a smoke report must not rewrite
+        # the shipped serving gate (baseline name alone is not enough: a
+        # default QH_STEPS=3000 run is full-schedule but undertrained)
+        real = (report["manifest"]["baseline"] == "ddpm1000"
+                and report.get("train_steps", 0) >= 10_000
+                and not report.get("small_trunk", False))
     else:
         report = run(workdir)
         # the shipped gate only comes from the real configuration: full

@@ -48,9 +48,7 @@ def main():
     )
     S = ecfg.samples_per_seed + ecfg.samples_per_stride
     wparams32 = jax.jit(wavlm.init)(jax.random.PRNGKey(1), jnp.zeros((1, S)))
-    cast = lambda t: jax.tree.map(  # noqa: E731
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
-    )
+    from diffusestylegesture_tpu.utils.precision import bf16_cast as cast
     params, wparams = cast(params32), cast(wparams32)
 
     def model_apply(p, xx, tt, cc, uncond=None):

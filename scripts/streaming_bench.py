@@ -53,8 +53,7 @@ def main():
         jax.random.PRNGKey(1),
         jnp.zeros((1, ecfg.samples_per_seed + ecfg.samples_per_stride)))
     if dtype == "bf16":
-        cast = lambda t: jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+        from diffusestylegesture_tpu.utils.precision import bf16_cast as cast
         params, wparams = cast(params), cast(wparams)
 
     def model_apply(p, x, t, cond, uncond=None):

@@ -76,8 +76,6 @@ def main():
                     return model.apply(p, xx, tt, cc, train=train, rngs=rngs,
                                        uncond=uncond)
 
-                if dtype == "float32" and not remat and B == 300:
-                    pass  # baseline
                 x0, cond, _ = builder(batch)
                 params = jax.jit(model.init)(
                     jax.random.PRNGKey(0), x0,

@@ -1,7 +1,7 @@
 """Where does the denoiser-trunk time go at serving shapes?
 
 Measures one 8-layer trunk forward at batch-16 bf16 serving shapes
-(T=89, d=256, ff=1024, heads 8) with pieces ablated:
+(T=89, d=256, ff=1024, heads 4) with pieces ablated:
 
   * full            — LN + MHA + erf-GELU FFN (the serving config)
   * gelu_tanh       — tanh-approx GELU instead of erf
@@ -23,7 +23,11 @@ import flax.linen as nn
 import numpy as np
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-T, D, FF, H = 89, 256, 1024, 8
+# H=4 matches the flagship trunk (MDMConfig.num_heads=4; the reference's
+# '8 heads' comment is its INTERNAL head count) — softmax/VPU work scales
+# with H while matmul FLOPs don't, so the wrong head count skews the
+# VPU-vs-MXU verdict this probe exists to measure
+T, D, FF, H = 89, 256, 1024, 4
 DTYPE = jnp.bfloat16
 STEPS = 200
 

@@ -91,6 +91,7 @@ def main(argv=None) -> int:
 
     tol_s = TOL_FRAMES * 512 / SR
     total_match = total = 0
+    flag_agrees = []
     for name, y in signals.items():
         theirs = essentia_reference_onsets(y)
         ours = detect_onsets(y, SR)
@@ -111,12 +112,22 @@ def main(argv=None) -> int:
         print(f"{name}: essentia {len(theirs)} onsets, ours {len(ours)}; "
               f"matched {matched}/{len(theirs)} (±{tol_s * 1000:.0f} ms), "
               f"{spurious} spurious; flag agreement {flag_agree:.1%}")
-        total += max(len(theirs), 1)
-        total_match += matched if len(theirs) else int(spurious == 0)
+        # symmetric score: misses AND spurious detections both count
+        # against — a recall-only rate would pass a port that fires on
+        # every frame (all of essentia's onsets matched, plus hundreds
+        # of spurious ones)
+        total += max(len(theirs), len(ours), 1)
+        total_match += (matched if (len(theirs) or len(ours))
+                        else 1)  # both silent = perfect agreement
+        flag_agrees.append(flag_agree)
 
     rate = total_match / total
-    print(f"overall onset match rate: {rate:.1%}")
-    return 0 if rate >= 0.9 else 1
+    flag_rate = float(np.mean(flag_agrees)) if flag_agrees else 1.0
+    print(f"overall onset match rate: {rate:.1%}; "
+          f"mean flag agreement: {flag_rate:.1%}")
+    # both axes gate (the docstring's 90% contract covers the FLAG, the
+    # dimension the BEAT/TWH models actually consume)
+    return 0 if rate >= 0.9 and flag_rate >= 0.9 else 1
 
 
 if __name__ == "__main__":
