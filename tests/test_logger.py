@@ -25,6 +25,24 @@ class TestSinks:
             content = list(csv.reader(f))
         assert len(content) >= 2  # header + rows
 
+    def test_csv_appends_and_expands_keys(self, tmp_path):
+        """Append semantics (ref CSVOutputFormat): rows append; a NEW key
+        rewrites once with the expanded header; a fresh instance (resume)
+        adopts the existing header and keeps appending. The old
+        rewrite-everything-per-dump form was quadratic in dumps."""
+        from diffusestylegesture_tpu.train.logger import CSVOutput
+
+        p = str(tmp_path / "progress.csv")
+        a = CSVOutput(p)
+        a.writekvs({"step": 1, "loss": 0.5})
+        a.writekvs({"step": 2, "loss": 0.4, "grad": 1.0})  # key expansion
+        b = CSVOutput(p)  # resumed run
+        b.writekvs({"step": 3, "loss": 0.3})
+        rows = list(csv.DictReader(open(p)))
+        assert [r["step"] for r in rows] == ["1", "2", "3"]
+        assert rows[0]["grad"] == "" and rows[1]["grad"] == "1.0"
+        assert rows[2]["loss"] == "0.3"
+
     def test_tensorboard_sink(self, tmp_path):
         pytest.importorskip("torch.utils.tensorboard")
         lg = KVLogger(log_dir=str(tmp_path), format_strs=("tensorboard",))
