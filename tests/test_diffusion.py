@@ -97,6 +97,32 @@ class TestLoops:
         out = np.asarray(D.cfg_combine(c, u, 2.5))
         np.testing.assert_allclose(out, u + 2.5 * (c - u), atol=1e-6)
 
+    def test_make_cfg_model_fn_both_conventions(self):
+        """The ONE shared doubled-batch CFG wrapper used by every engine:
+        bare `apply(x, t, uncond)` and engine `apply(params, x, t, cond,
+        uncond=)` conventions both produce cfg_combine semantics."""
+        B = 2
+        x = jnp.ones((B, 3))
+        t = jnp.zeros((B,), jnp.int32)
+
+        def bare_apply(xx, tt, uncond):
+            return jnp.where(uncond[:, None], xx * 0.0, xx)
+
+        out = D.make_cfg_model_fn(bare_apply, 2.0, B)(x, t)
+        # cond=x, uncond=0 → 0 + 2·(x − 0) = 2x
+        np.testing.assert_allclose(np.asarray(out), 2.0 * np.asarray(x))
+
+        def eng_apply(params, xx, tt, cond, uncond=None):
+            base = xx + cond["bias"]
+            return jnp.where(uncond[:, None], base * 0.0, base)
+
+        out2 = D.make_cfg_model_fn(
+            eng_apply, 0.5, B, params=None,
+            cond={"bias": jnp.ones((B, 3))})(x, t)
+        # cond=x+1, uncond=0 → 0.5·(x+1)
+        np.testing.assert_allclose(
+            np.asarray(out2), 0.5 * (np.asarray(x) + 1.0))
+
 
 class TestLossAware:
     def test_update_and_weights(self):
