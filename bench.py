@@ -273,6 +273,15 @@ def main():
     from diffusestylegesture_tpu.utils.precision import bf16_cast
 
     wavlm_fn = make_zeggs_wavlm_fn(wavlm, ecfg.n_poses)
+    # bf16 configs run the encoder in bf16 COMPUTE (WavLMConfig.dtype casts
+    # the activations; bf16 params alone would promote back to f32) — at the
+    # few-step frontier WavLM-Large is ~10x the denoiser FLOPs, so this is
+    # where the gated modes' wall time lives. Validated by the same
+    # end-to-end rms gate as the denoiser's bf16.
+    import dataclasses as _dc
+
+    wavlm_fn_bf16 = make_zeggs_wavlm_fn(
+        WavLM(_dc.replace(wcfg, dtype=jnp.bfloat16)), ecfg.n_poses)
 
     def run_config(dtype, batch, key_base, activation="gelu"):
         cdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
@@ -283,7 +292,9 @@ def main():
         def model_apply(p, x, t, cond, uncond=None):
             return model.apply(p, x, t, cond, uncond=uncond)
 
-        sampler = ZeggsSampler(model_apply, wavlm_fn, sched, ecfg)
+        sampler = ZeggsSampler(
+            model_apply, wavlm_fn_bf16 if dtype == "bf16" else wavlm_fn,
+            sched, ecfg)
         style = np.tile(eye, (max(1, -(-batch // 6)), 1))[:batch]
         # warmup (compile)
         out = sampler.generate(params, wparams, audio, style, jax.random.PRNGKey(key_base))

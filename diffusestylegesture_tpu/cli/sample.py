@@ -239,9 +239,13 @@ def main(argv=None):
 
     wcfg, wparams = load_wavlm_checkpoint(cfg.wavlm_path)
     if args.serve_fast:
+        # bf16 params AND bf16 compute (WavLMConfig.dtype casts the
+        # activations; bf16 params alone promote back to f32 compute) —
+        # the encoder dominates few-step serving wall time
         wparams = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if getattr(a, "dtype", None) == jnp.float32 else a, wparams)
+        wcfg = _dc.replace(wcfg, dtype=jnp.bfloat16)
     wavlm_fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
 
     betas = D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)

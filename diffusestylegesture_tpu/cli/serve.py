@@ -78,6 +78,8 @@ def main(argv=None):
             lambda a: a.astype(jnp.bfloat16)
             if getattr(a, "dtype", None) == jnp.float32 else a, t)
         params, wparams = cast(params), cast(wparams)
+        # bf16 compute too — bf16 params alone promote back to f32
+        wcfg = _dc.replace(wcfg, dtype=jnp.bfloat16)
     wavlm_fn = make_zeggs_wavlm_fn(WavLM(wcfg), cfg.n_poses)
     sched = D.Schedule.create(
         D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)

@@ -40,6 +40,20 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def _ln(x: jax.Array, name: str) -> jax.Array:
+    """LayerNorm with f32 statistics, output cast back to the input dtype.
+
+    Mixed-precision discipline (mirrors `models/mdm.py`'s trunk): matmuls
+    run in `cfg.dtype` (bf16 halves the HBM weight traffic of this
+    317 M-param encoder — the dominant cost of few-step serving), while
+    normalization statistics accumulate in f32; bf16 mean/var over d=1024
+    would otherwise compound over 24 layers. A no-op cast under the f32
+    default, so converted-checkpoint parity is untouched.
+    """
+    out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)(x)
+    return out.astype(x.dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class WavLMConfig:
     extractor_mode: str = "layer_norm"  # Large; "default" for Base
@@ -127,7 +141,7 @@ class ConvFeatureExtractor(nn.Module):
                 use_bias=cfg.conv_bias, name=f"conv_{i}",
             )(h)
             if cfg.extractor_mode == "layer_norm":
-                h = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(h)
+                h = _ln(h, f"ln_{i}")
             elif cfg.extractor_mode == "default" and i == 0:
                 # Fp32GroupNorm(dim, dim): per-channel normalization over time
                 h32 = h.astype(jnp.float32)
@@ -231,19 +245,19 @@ class EncoderLayer(nn.Module):
             cfg, self.has_relative_attention_bias, name="self_attn"
         )
         if cfg.layer_norm_first:
-            h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
+            h = _ln(x, "self_attn_layer_norm")
             h, position_bias = attn(h, position_bias, padding_mask)
             x = x + h
-            h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
+            h = _ln(x, "final_layer_norm")
             h = _gelu(nn.Dense(cfg.encoder_ffn_embed_dim, name="fc1")(h))
             h = nn.Dense(cfg.encoder_embed_dim, name="fc2")(h)
             x = x + h
         else:
             h, position_bias = attn(x, position_bias, padding_mask)
-            x = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x + h)
+            x = _ln(x + h, "self_attn_layer_norm")
             h = _gelu(nn.Dense(cfg.encoder_ffn_embed_dim, name="fc1")(x))
             h = nn.Dense(cfg.encoder_embed_dim, name="fc2")(h)
-            x = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x + h)
+            x = _ln(x + h, "final_layer_norm")
         return x, position_bias
 
 
@@ -264,8 +278,17 @@ class WavLM(nn.Module):
         # the TWH adapter layer-norms the whole wav first
         # (`process_TWH_bvh.py:84-85`) while the ZEGGS adapter skips it
         # (`main/mydiffusion_zeggs/sample.py:44-48`, reference quirk kept).
+        #
+        # Compute-dtype discipline: activations are cast to cfg.dtype here,
+        # so with bf16-cast params every conv/matmul runs on the MXU in
+        # bf16 (f32 activations would silently promote bf16 params back to
+        # f32 compute — the encoder is the dominant FLOPs of few-step
+        # serving). LayerNorm statistics and softmax accumulation stay f32
+        # (`_ln`, `preferred_element_type`); output is returned in
+        # cfg.dtype and the denoiser casts as it pleases.
+        source = source.astype(cfg.dtype)
         feats = ConvFeatureExtractor(cfg, name="feature_extractor")(source)
-        feats = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(feats)
+        feats = _ln(feats, "layer_norm")
         if feats.shape[-1] != cfg.encoder_embed_dim:
             feats = nn.Dense(cfg.encoder_embed_dim, name="post_extract_proj")(feats)
 
@@ -280,7 +303,7 @@ class WavLM(nn.Module):
         x = feats + _gelu(pos)
 
         if not cfg.layer_norm_first:
-            x = nn.LayerNorm(epsilon=1e-5, name="encoder_layer_norm")(x)
+            x = _ln(x, "encoder_layer_norm")
 
         position_bias = None
         n_layers = cfg.encoder_layers if output_layer is None else output_layer
@@ -294,7 +317,7 @@ class WavLM(nn.Module):
             )(x, position_bias, padding_mask)
 
         if cfg.layer_norm_first and output_layer is None:
-            x = nn.LayerNorm(epsilon=1e-5, name="encoder_layer_norm")(x)
+            x = _ln(x, "encoder_layer_norm")
         return x
 
 

@@ -161,3 +161,39 @@ class TestConvSpecParser:
             _parse_conv_layers("__import__('os').system('true')")
         with pytest.raises(ValueError):
             _parse_conv_layers("[(512,10,5)] - [(1,1,1)]")
+
+
+class TestWavLMBf16Compute:
+    """Serving mixed precision: WavLMConfig.dtype=bf16 must run the encoder
+    in bf16 COMPUTE (bf16 params alone would silently promote back to f32
+    against the f32 wav input), while LayerNorm statistics stay f32 — the
+    encoder dominates few-step serving wall time (bench.py)."""
+
+    def _run(self, dtype):
+        import dataclasses
+
+        from diffusestylegesture_tpu.utils.precision import bf16_cast
+
+        cfg = small_cfg()
+        rng = np.random.default_rng(1)
+        wav = rng.standard_normal((2, 2000)).astype(np.float32) * 0.1
+        params = WavLM(cfg).init(jax.random.PRNGKey(0), jnp.asarray(wav))
+        if dtype == jnp.bfloat16:
+            cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+            params = bf16_cast(params)
+        out = WavLM(cfg).apply(params, jnp.asarray(wav))
+        return out
+
+    def test_bf16_close_to_f32_and_actually_bf16(self):
+        f32 = np.asarray(self._run(jnp.float32))
+        out16 = self._run(jnp.bfloat16)
+        # output dtype proves the trunk computed in bf16 (f32 promotion
+        # anywhere would re-widen the activations)
+        assert out16.dtype == jnp.bfloat16
+        b16 = np.asarray(out16, np.float32)
+        rms = np.sqrt(np.mean((b16 - f32) ** 2)) / (np.sqrt(np.mean(f32**2)) + 1e-9)
+        assert rms < 0.05, rms
+
+    def test_f32_default_unchanged(self):
+        out = self._run(jnp.float32)
+        assert out.dtype == jnp.float32
