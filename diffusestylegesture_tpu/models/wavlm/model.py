@@ -332,5 +332,8 @@ def interpolate_linear(x: jax.Array, size: int) -> jax.Array:
         return jnp.broadcast_to(x, (B, size, C))
     pos = jnp.linspace(0.0, T - 1.0, size)
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 2)
-    w = (pos - lo.astype(pos.dtype))[None, :, None]
+    # weights in x.dtype: an f32 linspace would promote a bf16 encoder
+    # output back to f32 at the adapter boundary (and materialize the
+    # (W, n_poses, 1024) feature buffer in f32 even in bf16 serving)
+    w = (pos - lo.astype(pos.dtype))[None, :, None].astype(x.dtype)
     return x[:, lo] * (1 - w) + x[:, lo + 1] * w

@@ -192,7 +192,11 @@ class TestWavLMBf16Compute:
         assert out16.dtype == jnp.bfloat16
         b16 = np.asarray(out16, np.float32)
         rms = np.sqrt(np.mean((b16 - f32) ** 2)) / (np.sqrt(np.mean(f32**2)) + 1e-9)
-        assert rms < 0.05, rms
+        # 0.02: tighter than the serving gate's BF16_TOL (bench.py) so a
+        # precision regression in the encoder (e.g. a lost f32 LayerNorm)
+        # fails HERE before it degrades the gated end-to-end number —
+        # measured margin at this config is ~0.009
+        assert rms < 0.02, rms
 
     def test_f32_default_unchanged(self):
         out = self._run(jnp.float32)
