@@ -60,12 +60,32 @@ def main(argv=None):
                    help="reverse-process sampler (dpmpp = DPM-Solver++(2M))")
     p.add_argument("--respace", type=int, default=0,
                    help="respace the schedule to N timesteps for few-step serving")
+    p.add_argument("--allow_degraded", action="store_true",
+                   help="serve a fast mode even if the motion-quality "
+                        "harness measured its FGD/diversity as degraded "
+                        "beyond tolerance (see sample/quality_gate.py)")
     p.add_argument("--save_dir", default="./sample_dir")
     args = p.parse_args(argv)
 
     cfg = load_yaml_config(args.config, {"dataset": args.dataset, "name": args.name})
     cfg = apply_beat_twh_derivations(cfg)
     os.makedirs(args.save_dir, exist_ok=True)
+
+    # motion-quality gate on fast serving modes, per dataset family
+    # (harness-measured FGD/diversity vs the DDPM baseline for THIS
+    # family's MDM+; `sample/quality_gate.py`) — checked BEFORE any model
+    # loading/compilation so a refused mode costs nothing. Mirrors
+    # `cli.sample`; the reference exposes the same fast-serving surface
+    # for BEAT/TWH (`BEAT-TWH-main/mydiffusion_beat_twh/sample.py:44-201`)
+    from ..sample.quality_gate import check_mode
+
+    status, message = check_mode(
+        args.sampler, args.respace, cfg.diffusion_steps,
+        family=cfg.dataset.lower())
+    if status == "degraded" and not args.allow_degraded:
+        raise SystemExit(f"REFUSED: {message}")
+    if status != "baseline":
+        print(("note: " if status == "unknown" else "") + message)
 
     import dataclasses as _dc
 

@@ -71,6 +71,8 @@ def build_beat_twh(cfg, mcfg_extra=None):
     mcfg = MDMPlusConfig(
         njoints=cfg.njoints,
         latent_dim=cfg.latent_dim,
+        ff_size=cfg.get("ff_size", 1024),
+        num_layers=cfg.get("num_layers", 8),
         n_seed=cfg.n_seed,
         cond_mode=cfg.cond_mode,
         cond_mask_prob=cfg.cond_mask_prob,
@@ -85,7 +87,7 @@ def build_beat_twh(cfg, mcfg_extra=None):
     mean, std = gesture_statistics(cfg.h5file)
     data = SpeechGestureDataset(cfg.h5file, mean, std, n_poses=cfg.n_poses)
     builder = make_beat_cond_builder(cfg.cond_mode, cfg.n_seed)
-    return model, mcfg, data.batches(cfg.batch_size), builder, None
+    return model, mcfg, data.batches(cfg.batch_size), builder, data
 
 
 def main(argv=None):
@@ -129,9 +131,10 @@ def main(argv=None):
                         "on when --tp > 1. Checkpoints convert both ways "
                         "with parallel.{split,merge}_qkv_params")
     p.add_argument("--device_cache", action="store_true",
-                   help="ZEGGS: upload the whole window set to HBM once and "
-                        "gather batches on device inside the step (zero host "
-                        "traffic per iteration)")
+                   help="upload the whole dataset to HBM once and gather "
+                        "batches on device inside the step (zero host "
+                        "traffic per iteration): ZEGGS window gathers, "
+                        "BEAT/TWH in-jit random clip crops")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training: bf16 trunk compute with "
                         "f32 master weights/optimizer (the TPU-native "
@@ -201,8 +204,6 @@ def main(argv=None):
 
     device_cache = None
     if args.device_cache:
-        if dataset is None:
-            raise SystemExit("--device_cache currently supports the ZEGGS path")
         from ..data.device_cache import DeviceWindowCache
 
         sharding = None
@@ -216,7 +217,12 @@ def main(argv=None):
 
             sharding = NamedSharding(
                 mesh if mesh is not None else make_mesh(), P())
-        device_cache = DeviceWindowCache.from_zeggs(dataset, sharding=sharding)
+        if cfg.dataset == "ZEGGS":
+            device_cache = DeviceWindowCache.from_zeggs(
+                dataset, sharding=sharding)
+        else:
+            device_cache = DeviceWindowCache.from_beat_twh(
+                dataset, sharding=sharding)
 
     sched = D.Schedule.create(
         D.named_beta_schedule(cfg.get("noise_schedule", "cosine"), cfg.diffusion_steps)

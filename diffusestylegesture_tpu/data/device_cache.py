@@ -19,9 +19,14 @@ import numpy as np
 
 
 class DeviceWindowCache:
-    """Uploads dataset arrays once; provides a jittable batch sampler."""
+    """Uploads dataset arrays once; provides a jittable batch sampler.
 
-    def __init__(self, arrays: Dict[str, np.ndarray], sharding=None):
+    `sample_fn(arrays, key, batch_size) → batch` is the cache's own
+    jittable sampler: row gathers for pre-windowed datasets (ZEGGS), in-jit
+    random crops for clip-resident datasets (BEAT/TWH)."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray], sharding=None,
+                 sample_fn=None):
         n = None
         self.arrays = {}
         for k, v in arrays.items():
@@ -37,6 +42,7 @@ class DeviceWindowCache:
             n = arr.shape[0] if n is None else n
             assert arr.shape[0] == n, f"{k} length mismatch"
         self.n = n or 0
+        self.sample_fn = sample_fn or DeviceWindowCache.sample_batch
 
     @staticmethod
     def sample_batch(arrays: Dict[str, jax.Array], key: jax.Array,
@@ -58,6 +64,57 @@ class DeviceWindowCache:
             arrays["wavlm"] = dataset.wavlm
         return cls(arrays, sharding)
 
+    @staticmethod
+    def sample_clip_batch(arrays: Dict[str, jax.Array], key: jax.Array,
+                          batch_size: int, n_poses: int) -> Dict[str, jax.Array]:
+        """BEAT/TWH sampler: uniform clip choice + uniform `n_poses`-frame
+        crop per element, entirely in-jit (the host loader's
+        `SpeechGestureDataset.sample` semantics, incl. the reference's
+        exclusive-high start quirk, `h5_data_loader.py:44`)."""
+        n = arrays["motion_clips"].shape[0]
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (batch_size,), 0, n)
+        hi = jnp.maximum(arrays["clip_len"][idx] - n_poses, 1)
+        start = jax.random.randint(k2, (batch_size,), 0, hi)
+        crop = jax.vmap(
+            lambda c, s: jax.lax.dynamic_slice_in_dim(c, s, n_poses, 0))
+        return {
+            "motion": crop(arrays["motion_clips"][idx], start),
+            "audio": crop(arrays["audio_clips"][idx], start),
+            "style": arrays["style"][idx],
+        }
+
+    @classmethod
+    def from_beat_twh(cls, dataset, sharding=None) -> "DeviceWindowCache":
+        """Device-resident BEAT/TWH clips (normalized gesture with vel/acc
+        channels + fused text-audio), padded to the longest clip; batches
+        are random crops gathered inside the compiled step. Streaming the
+        host loader's ~(B·n_poses·3.7k·4B) batches per step dominates wall
+        time through a tunneled backend, same as the ZEGGS case above."""
+        lens = np.array([len(g) for g in dataset.gesture], np.int32)
+        if (lens < dataset.n_poses).any():
+            raise ValueError(
+                "device cache needs every clip >= n_poses frames (the host "
+                "loader tile-pads short clips; drop --device_cache or drop "
+                f"the short clips: min len {lens.min()} < {dataset.n_poses})")
+        t_max = int(lens.max())
+
+        def pad(xs):
+            return np.stack(
+                [np.pad(x, ((0, t_max - len(x)), (0, 0))) for x in xs])
+
+        arrays = {
+            "motion_clips": pad(dataset.gesture),
+            "audio_clips": pad(dataset.textaudio),
+            "style": np.stack(dataset.speaker),
+            "clip_len": lens,
+        }
+        from functools import partial
+
+        return cls(arrays, sharding,
+                   sample_fn=partial(cls.sample_clip_batch,
+                                     n_poses=dataset.n_poses))
+
 
 def make_device_data_train_step(
     model_apply: Callable,
@@ -66,6 +123,7 @@ def make_device_data_train_step(
     cond_builder: Callable,
     batch_size: int,
     batch_sharding=None,
+    sample_fn=None,
 ) -> Callable:
     """Train step `(state, key, arrays) → (state, metrics)` with on-device
     batching.
@@ -86,10 +144,11 @@ def make_device_data_train_step(
     from ..train.state import make_train_step
 
     inner = make_train_step(model_apply, sched, train_cfg, cond_builder)
+    sample_fn = sample_fn or DeviceWindowCache.sample_batch
 
     def step(state, key, arrays):
         k_data, k_step = jax.random.split(key)
-        batch = DeviceWindowCache.sample_batch(arrays, k_data, batch_size)
+        batch = sample_fn(arrays, k_data, batch_size)
         if batch_sharding is not None:
             batch = jax.tree.map(
                 lambda a: jax.lax.with_sharding_constraint(a, batch_sharding),

@@ -40,12 +40,22 @@ def mode_key(sampler: str, respace: int, diffusion_steps: int) -> Optional[str]:
     return f"{sampler}{respace or diffusion_steps}"
 
 
-def load_manifest(path: Optional[str] = None) -> Optional[dict]:
+def load_manifest(path: Optional[str] = None,
+                  family: str = "zeggs") -> Optional[dict]:
+    """Family-resolved manifest section.
+
+    v2 manifests are family-keyed (``{"families": {"zeggs": {...},
+    "twh": {...}}}``) so the ZEGGS MDM and the BEAT/TWH MDM+ carry
+    separate harness verdicts; a v1 (flat) manifest is the ZEGGS section
+    by definition — the round-3 harness only ever measured that family."""
     path = path or MANIFEST_PATH
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)
+        raw = json.load(f)
+    if "families" in raw:
+        return raw["families"].get(family.lower())
+    return raw if family.lower() == "zeggs" else None
 
 
 def check_mode(
@@ -53,16 +63,19 @@ def check_mode(
     respace: int,
     diffusion_steps: int,
     manifest: Optional[dict] = None,
+    family: str = "zeggs",
 ) -> Tuple[str, str]:
     """→ (status, message); status ∈ {"baseline", "ok", "degraded", "unknown"}."""
     key = mode_key(sampler, respace, diffusion_steps)
     if key is None:
         return "baseline", "full-schedule DDPM (reference configuration)"
-    return check_key(key, manifest, diffusion_steps=diffusion_steps)
+    return check_key(key, manifest, diffusion_steps=diffusion_steps,
+                     family=family)
 
 
 def check_key(key: str, manifest: Optional[dict] = None, *,
-              diffusion_steps: Optional[int] = None) -> Tuple[str, str]:
+              diffusion_steps: Optional[int] = None,
+              family: str = "zeggs") -> Tuple[str, str]:
     """Gate an explicit manifest key (e.g. ``distill15`` for a
     progressively distilled student checkpoint, whose mode name is not
     derivable from sampler/respace flags alone).
@@ -73,11 +86,13 @@ def check_key(key: str, manifest: Optional[dict] = None, *,
     the 1000→100 respacing the harness measured), so a mismatched
     baseline means no verdict, not a borrowed one — the same guard
     bench.py applies before letting a gated mode carry the headline."""
-    manifest = manifest if manifest is not None else load_manifest()
+    manifest = manifest if manifest is not None else load_manifest(
+        family=family)
     if manifest is None:
         return "unknown", (
-            f"serving mode {key!r} has no quality manifest "
-            "(run scripts/quality_harness.py to generate one)")
+            f"serving mode {key!r} has no quality manifest for the "
+            f"{family!r} family (run scripts/quality_harness.py to "
+            "generate one)")
     base = manifest.get("baseline")
     if (diffusion_steps is not None and base is not None
             and base != f"ddpm{diffusion_steps}"):

@@ -163,6 +163,7 @@ class TrainLoop:
             cached = make_device_data_train_step(
                 model_apply, schedule, train_cfg,
                 cond_builder, batch_size, batch_sharding=batch_sharding,
+                sample_fn=device_cache.sample_fn,
             )
             self.cached_step = jax.jit(cached, donate_argnums=(0,))
             self._cache_arrays = device_cache.arrays

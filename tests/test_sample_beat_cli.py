@@ -112,3 +112,51 @@ def test_sample_beat_cli_end_to_end(tmp_path, serve_fast):
     assert motion2.shape[1] == MOTION_DIM
     assert 95 <= motion2.shape[0] <= 105  # ~3.4 s at 30 fps (feature crop)
     assert np.isfinite(motion2).all()
+
+
+def test_sample_beat_cli_quality_gate(tmp_path, monkeypatch):
+    """Fast modes are family-gated (VERDICT r3 item 1): a harness-measured
+    degraded BEAT mode is refused before any model loading; --allow_degraded
+    gets past the gate."""
+    import json
+
+    from diffusestylegesture_tpu.cli import sample_beat as cli
+    from diffusestylegesture_tpu.sample import quality_gate as qg
+
+    man = {"families": {"beat": {
+        "baseline": "ddpm3", "fgd_ratio_tolerance": 1.1,
+        "diversity_ratio_min": 0.25,
+        "modes": {"dpmpp2": {"fgd_ratio": 9.9,
+                             "diversity_ratio_vs_baseline": 1.0,
+                             "ok": False}},
+    }}}
+    mpath = tmp_path / "gate.json"
+    mpath.write_text(json.dumps(man))
+    monkeypatch.setattr(qg, "MANIFEST_PATH", str(mpath))
+
+    cfg = dict(
+        dataset="BEAT", name="DiffuseStyleGesture+", version="v0",
+        n_poses=150, n_seed=30, latent_dim=384, cond_mask_prob=0.1,
+        audio_feat="wavlm", audio_feat_dim_latent=64,
+        noise_schedule="cosine", diffusion_steps=3,
+    )
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    argv = [
+        "--config", cfg_path,
+        "--model_path", str(tmp_path / "missing.pt"),
+        "--textaudio_npy", "x.npy",
+        "--seed_gesture_npy", "y.npy",
+        "--mean_npy", "m.npy", "--std_npy", "s.npy",
+        "--sampler", "dpmpp", "--respace", "2",
+        "--save_dir", str(tmp_path / "out"),
+    ]
+    with pytest.raises(SystemExit, match="REFUSED"):
+        cli.main(argv)
+    # the refusal is the GATE's, not a downstream failure: with
+    # --allow_degraded the run proceeds past it (and dies later trying to
+    # load the nonexistent checkpoint)
+    with pytest.raises(Exception) as ei:
+        cli.main(argv + ["--allow_degraded"])
+    assert "REFUSED" not in str(ei.value)

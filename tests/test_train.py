@@ -515,6 +515,57 @@ class TestDeviceCache:
         )).lower(state, jax.random.PRNGKey(0), cache.arrays)
         assert len(low.as_text()) < 20_000_000
 
+    def test_beat_twh_clip_crop_sampler(self):
+        """from_beat_twh: in-jit random crops match the host loader's
+        semantics — contiguous n_poses slices inside each clip's real
+        length, style row carried along."""
+        from diffusestylegesture_tpu.data.device_cache import DeviceWindowCache
+
+        rng = np.random.default_rng(5)
+        n_poses, D, A = 12, 7, 5
+        lens = [30, 12, 45]
+
+        class DS:  # minimal SpeechGestureDataset surface
+            gesture = [rng.standard_normal((l, D)).astype(np.float32)
+                       for l in lens]
+            textaudio = [rng.standard_normal((l, A)).astype(np.float32)
+                         for l in lens]
+            speaker = [np.eye(3, dtype=np.float32)[i] for i in range(3)]
+
+        DS.n_poses = n_poses
+        cache = DeviceWindowCache.from_beat_twh(DS())
+        batch = jax.jit(cache.sample_fn, static_argnums=(2,))(
+            cache.arrays, jax.random.PRNGKey(0), 16)
+        assert batch["motion"].shape == (16, n_poses, D)
+        assert batch["audio"].shape == (16, n_poses, A)
+        assert batch["style"].shape == (16, 3)
+        for m, a, s in zip(np.asarray(batch["motion"]),
+                           np.asarray(batch["audio"]),
+                           np.asarray(batch["style"])):
+            ci = int(np.argmax(s))
+            g, ta = DS.gesture[ci], DS.textaudio[ci]
+            # locate the crop start by matching the first frame
+            starts = [t for t in range(len(g) - n_poses + 1)
+                      if np.allclose(g[t], m[0])]
+            assert starts, "window frame 0 not found in the chosen clip"
+            t0 = starts[0]
+            np.testing.assert_allclose(g[t0: t0 + n_poses], m, rtol=1e-6)
+            np.testing.assert_allclose(ta[t0: t0 + n_poses], a, rtol=1e-6)
+            # reference exclusive-high quirk: start < max(1, T - n_poses)
+            assert t0 < max(1, len(g) - n_poses)
+
+    def test_beat_twh_rejects_short_clips(self):
+        from diffusestylegesture_tpu.data.device_cache import DeviceWindowCache
+
+        class DS:
+            n_poses = 50
+            gesture = [np.zeros((20, 4), np.float32)]
+            textaudio = [np.zeros((20, 3), np.float32)]
+            speaker = [np.ones(2, np.float32)]
+
+        with pytest.raises(ValueError, match="n_poses"):
+            DeviceWindowCache.from_beat_twh(DS())
+
 
 @requires_reference
 class TestAdamWEquivalence:
