@@ -298,18 +298,20 @@ def main():
         style = np.tile(eye, (max(1, -(-batch // 6)), 1))[:batch]
         # warmup (compile)
         out = sampler.generate(params, wparams, audio, style, jax.random.PRNGKey(key_base))
-        dt = float("inf")
+        rep_dts = []
         for rep in range(reps):
             t0 = time.perf_counter()
             out = sampler.generate(
                 params, wparams, audio, style, jax.random.PRNGKey(key_base + 1 + rep)
             )
-            dt = min(dt, time.perf_counter() - t0)
+            rep_dts.append(time.perf_counter() - t0)
+        dt = min(rep_dts)
         frames = out.shape[0] * out.shape[1]
-        return frames / dt, dt, out, model_apply, params
+        rep_fps = sorted(frames / d for d in rep_dts)
+        return frames / dt, dt, out, model_apply, params, rep_fps
 
-    fps32, dt32, out32, apply32, p32 = run_config("f32", 1, 0)
-    fps16, dt16, out16, apply16, p16 = run_config("bf16", 1, 0)
+    fps32, dt32, out32, apply32, p32, rep32 = run_config("f32", 1, 0)
+    fps16, dt16, out16, apply16, p16, rep16 = run_config("bf16", 1, 0)
     # on-device bf16 validation: same seeds (key_base identical) → same
     # injected noise path, so the deviation is purely numeric
     scale = out32.std() + 1e-9
@@ -323,7 +325,7 @@ def main():
     # worth measuring when bf16 itself passed — ft_ok can never be True
     # otherwise, and the run costs a full compile + generates on-chip
     if bf16_ok:
-        fps_ft, _, out_ft, _, _ = run_config(
+        fps_ft, _, out_ft, _, _, _ = run_config(
             "bf16", 1, 0, activation="gelu_tanh")
         ft_rms = float(np.sqrt(np.mean((out32 - out_ft) ** 2)) / scale)
         ft_max = float(np.abs(out32 - out_ft).max() / scale)
@@ -332,11 +334,17 @@ def main():
     ft_ok = bf16_ok and np.isfinite(ft_rms) and ft_rms < BF16_TOL
 
     big_act = "gelu_tanh" if ft_ok else "gelu"
-    fps_big, dt_big, out_big, apply_big, p_big = run_config(
+    fps_big, dt_big, out_big, apply_big, p_big, big_rep_fps = run_config(
         "bf16" if bf16_ok else "f32", big_batch, 100, activation=big_act
     )
 
-    headline_fps = max(fps_big, fps16 if bf16_ok else fps32)
+    b1_fps, b1_reps = (fps16, rep16) if bf16_ok else (fps32, rep32)
+    headline_fps = max(fps_big, b1_fps)
+    # replicate fps list of whichever config carries the headline —
+    # reported as median ± std so run-to-run tunnel variance is visible in
+    # the artifact instead of silently moving the headline (r3: the same
+    # gated config published 6,360 and 8,512 fps in different runs)
+    headline_rep_fps = big_rep_fps if fps_big >= b1_fps else b1_reps
 
     # --- quality-gated fast serving (round 3): if the motion-quality
     # harness validated a respaced mode (FGD/beat-align vs DDPM-1000,
@@ -387,15 +395,17 @@ def main():
                     D.space_timesteps(steps, f"ddim{n}"))
                 ecfg = ZeggsEngineConfig(sampler=fam)
                 try:
-                    fps_mode, _, _, _, _ = run_config(
+                    fps_mode, _, _, _, _, mode_rep_fps = run_config(
                         "bf16" if bf16_ok else "f32", big_batch, 200,
                         activation=big_act)
                 finally:
                     sched, ecfg = saved
                 if fps_mode > gated_fps:
                     gated_fps, gated_label, gated_steps = fps_mode, mode_name, n
+                    gated_rep_fps = mode_rep_fps
             if gated_fps > headline_fps:
                 headline_fps = gated_fps
+                headline_rep_fps = gated_rep_fps
 
     # --- FLOPs accounting for the headline (batched) config ---
     dev = jax.devices()[0]
@@ -435,15 +445,22 @@ def main():
             "(FGD+diversity-validated vs DDPM-1000, QUALITY_r03.json)"
             % (gated_label, gated_fps, g_gpf, g_mfu * 100.0)
         )
+    med = float(np.median(headline_rep_fps))
+    std = float(np.std(headline_rep_fps))
     result = {
         "metric": "zeggs_gen_frames_per_sec_per_chip",
         "value": round(headline_fps, 3),
+        "median": round(med, 3),
+        "std": round(std, 3),
+        "reps": len(headline_rep_fps),
         "unit": (
-            "frames/s (DDPM-%s+WavLM-Large parity config %.0f fps, %s batch %d on %s; "
+            "frames/s (headline median %.0f±%.0f over %d reps; "
+            "DDPM-%s+WavLM-Large parity config %.0f fps, %s batch %d on %s; "
             "b1 f32 %.0f fps, b1 bf16 %.0f fps, bf16 rms/max-err %.3g/%.3g%s; "
             "gelu_tanh rms/max-err %.3g/%.3g%s; "
             "parity-config %.1f GFLOP/frame, MFU %.1f%%, wall %.2fs%s)"
             % (
+                med, std, len(headline_rep_fps),
                 steps_label,
                 fps_big,
                 ("bf16+" + big_act) if bf16_ok else "f32",
