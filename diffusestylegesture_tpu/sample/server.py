@@ -231,19 +231,42 @@ class GestureServer:
         return batch
 
     def _loop(self) -> None:
+        """Two-stage pipeline: dispatch batch k+1's device programs
+        (audio encoder + windowed denoiser — both async under JAX's
+        dispatch model) BEFORE blocking on batch k's results, so the
+        device queue stays full while the host assembles/delivers the
+        previous batch. On a tunneled backend the host↔device round trip
+        is the dominant fixed cost — without the overlap the chip idles
+        for it between every pair of batches."""
+        inflight = None
         while (not self._stop.is_set() or not self._queue.empty()
-               or self._pending):
+               or self._pending or inflight is not None):
             batch = self._collect_batch()
-            if not batch:
-                continue
-            try:
-                self._run_batch(batch)
-            except Exception as e:  # deliver the failure, keep serving
-                for req in batch:
-                    if not req.future.done():
-                        req.future.set_exception(e)
+            dispatched = None
+            if batch:
+                try:
+                    dispatched = (batch, self._dispatch_batch(batch))
+                except Exception as e:  # deliver the failure, keep serving
+                    for req in batch:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+            if inflight is not None:
+                prev_batch, prev_out = inflight
+                try:
+                    self._finalize_batch(prev_batch, prev_out)
+                except Exception as e:
+                    for req in prev_batch:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+            inflight = dispatched
 
     def _run_batch(self, batch: List[_Request]) -> None:
+        """Synchronous convenience path (dispatch + finalize)."""
+        self._finalize_batch(batch, self._dispatch_batch(batch))
+
+    def _dispatch_batch(self, batch: List[_Request]):
+        """Enqueue the batch's device programs; returns the (async)
+        device output array without blocking on it."""
         import jax.numpy as jnp
 
         ecfg = self.sampler.cfg
@@ -258,10 +281,13 @@ class GestureServer:
             win = slice_audio_windows(req.audio, ecfg)[:bucket]
             feats_in[i, : win.shape[0]] = win
 
-        # one batched audio-encoder pass over clips×windows
+        # one batched audio-encoder pass over clips×windows; the features
+        # stay ON DEVICE into the denoiser (np.asarray here used to force
+        # a device→host→device round trip of the (B·W·88·1024) buffer —
+        # a full host sync mid-batch, ~tens of MB through a tunnel)
         flat = feats_in.reshape(B * bucket, S)
         feats = self.sampler.wavlm_apply(self.wavlm_params, jnp.asarray(flat))
-        feats = np.asarray(feats).reshape(B, bucket, ecfg.n_poses, -1)
+        feats = jnp.reshape(feats, (B, bucket, ecfg.n_poses, feats.shape[-1]))
 
         styles = np.zeros((B, self._style_dim), np.float32)
         for i, req in enumerate(batch):
@@ -272,10 +298,14 @@ class GestureServer:
         # draws independent noise through the batch axis. A solo request is
         # therefore bit-reproducible from its own key (pinned by tests);
         # co-batched requests are stochastic in their companions.
-        out = _generate_multi(
-            self.sampler, self.params, jnp.asarray(feats),
+        return _generate_multi(
+            self.sampler, self.params, feats,
             jnp.asarray(styles), batch[0].key, bucket,
         )
+
+    def _finalize_batch(self, batch: List[_Request], out) -> None:
+        """Block on the device output, assemble and deliver results."""
+        ecfg = self.sampler.cfg
         from .engine import unnormalize_poses
 
         seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T_max, C)

@@ -155,7 +155,8 @@ def synth_audio(style: str, seed: int, seconds: float):
     return wav, beat_times, env, t
 
 
-def synth_rotations(style, seed, seconds, beat_times, env, t, fps, n_joints):
+def synth_rotations(style, seed, seconds, beat_times, env, t, fps, n_joints,
+                    character_seed=None):
     """(T, J, 3) euler rotations: smooth oscillation + beat-locked strokes.
 
     The point is learnability and metric sensitivity: gesture "strokes"
@@ -163,8 +164,19 @@ def synth_rotations(style, seed, seconds, beat_times, env, t, fps, n_joints):
     track the audio envelope, and each style has its own tempo/frequency/
     amplitude character — so a well-sampled model scores high beat
     alignment and style-consistent FGD, and a degraded sampler shows up.
-    """
+
+    The per-joint character (rest pose, frequencies, phases, amplitudes)
+    is drawn from `character_seed` — STYLE/SPEAKER-deterministic, so it is
+    predictable from the conditioning the model actually sees. Round 3's
+    corpus drew it per clip, which put most cross-clip variance OUTSIDE
+    p(motion | audio, style): a correctly trained conditional model then
+    regresses toward the conditional mean on held-out audio and its
+    sample diversity is structurally capped far below the ground truth's
+    (measured 0.1–0.2×). Only a small per-clip phase jitter remains as
+    irreducible conditional entropy."""
     tempo, mfreq, amp = STYLES[style]
+    crng = np.random.default_rng(
+        seed if character_seed is None else character_seed)
     rng = np.random.default_rng(seed)
     T = int(seconds * fps)
     tf = np.arange(T) / fps
@@ -174,10 +186,13 @@ def synth_rotations(style, seed, seconds, beat_times, env, t, fps, n_joints):
         stroke += np.exp(-0.5 * ((tf - bt) / 0.09) ** 2)
     stroke_phase = np.cumsum(stroke) / fps * 2.0 * np.pi * tempo
 
-    base = rng.uniform(-12, 12, (n_joints, 3)).astype(np.float32)
-    freqs = mfreq * rng.uniform(0.6, 1.4, (n_joints, 3))
-    phases = rng.uniform(0, 2 * np.pi, (n_joints, 3))
-    ampj = amp * rng.uniform(0.4, 1.0, (n_joints, 3))
+    base = crng.uniform(-12, 12, (n_joints, 3)).astype(np.float32)
+    freqs = mfreq * crng.uniform(0.6, 1.4, (n_joints, 3))
+    phases = crng.uniform(0, 2 * np.pi, (n_joints, 3))
+    ampj = amp * crng.uniform(0.4, 1.0, (n_joints, 3))
+    if character_seed is not None:
+        # irreducible per-clip noise, small vs the 2π character phases
+        phases = phases + rng.normal(0.0, 0.25, phases.shape)
     osc = np.sin(
         2 * np.pi * freqs[None] * tf[:, None, None]
         + phases[None]
@@ -193,11 +208,17 @@ def synth_clip(style: str, seed: int, seconds: float):
     from diffusestylegesture_tpu.motion import zeggs_features as zf
 
     wav, beat_times, env, t = synth_audio(style, seed, seconds)
-    rng = np.random.default_rng(seed)
     J = zf.ZEGGS_NJOINTS
-    rot = synth_rotations(style, seed, seconds, beat_times, env, t, FPS_BVH, J)
+    rot = synth_rotations(
+        style, seed, seconds, beat_times, env, t, FPS_BVH, J,
+        character_seed=500 + list(STYLES).index(style))
     T = rot.shape[0]
-    offsets = rng.uniform(-5, 5, (J, 3)).astype(np.float32)
+    # skeleton offsets style-deterministic (same reasoning as the motion
+    # character: per-clip random bone lengths would put FK-position
+    # variance outside p(motion | audio, style))
+    offsets = np.random.default_rng(
+        600 + list(STYLES).index(style)).uniform(
+            -5, 5, (J, 3)).astype(np.float32)
     positions = np.broadcast_to(offsets, (T, J, 3)).copy()
     positions[:, 0, :] = np.array([0.0, 100.0, 0.0])
     anim = {
@@ -325,6 +346,56 @@ def _eval_dir(gen_dir, ref_dir, wav_dir, fps, ae_cache) -> dict:
     return json.loads(buf.getvalue().strip().splitlines()[-1])
 
 
+def _loss_curve(log_dir: str) -> list:
+    """(step, loss) points from the CSV sink's FINAL monotonic segment —
+    the sink APPENDS across runs in the same workdir, and an interleaved
+    two-run curve would read 'loss fell run1-first → run2-last'."""
+    curve = []
+    csv_path = os.path.join(log_dir, "progress.csv")
+    if os.path.exists(csv_path):
+        import csv as _csv
+
+        with open(csv_path) as f:
+            rows = list(_csv.DictReader(f))
+        for r in rows:
+            if r.get("step") and r.get("loss"):
+                curve.append((int(float(r["step"])), float(r["loss"])))
+        start = 0
+        for i in range(1, len(curve)):
+            if curve[i][0] <= curve[i - 1][0]:
+                start = i
+        curve = curve[start:]
+    return curve
+
+
+def _parse_extra_modes(env_name: str, betas, diffusion_steps: int) -> dict:
+    """QH_*_EXTRA_MODES="dpmpp10,ddim25" → {name: (schedule, sampler)}.
+
+    Fails FAST on malformed entries — a silently dropped mode would
+    surface only after the hour-long run as "not measured"."""
+    from diffusestylegesture_tpu import diffusion as D
+
+    out = {}
+    for extra in filter(None, os.environ.get(env_name, "").split(",")):
+        extra = extra.strip()
+        for samp in ("dpmpp", "ddim"):
+            if extra.startswith(samp) and extra[len(samp):].isdigit():
+                n = int(extra[len(samp):])
+                if not 2 <= n < diffusion_steps:
+                    raise SystemExit(
+                        f"{env_name}: {extra!r} needs 2 <= n < "
+                        f"{diffusion_steps}")
+                out[extra] = (
+                    D.spaced_schedule(
+                        betas,
+                        D.space_timesteps(diffusion_steps, f"ddim{n}")),
+                    samp)
+                break
+        else:
+            raise SystemExit(f"{env_name}: unrecognized mode {extra!r}")
+    return out
+
+
 def _aggregate_reps(rep_metrics: list, fps_val: float, streams: int) -> dict:
     """Per-replicate cli.eval outputs → mode entry with mean/std/reps."""
     fgd = [m["fgd"] for m in rep_metrics]
@@ -442,26 +513,7 @@ def run_zeggs(workdir: str) -> dict:
     if saved_steps:
         report["train_steps"] = max(saved_steps)
 
-    # -- loss curve summary from the CSV sink --
-    curve = []
-    csv_path = os.path.join(log_dir, "progress.csv")
-    if os.path.exists(csv_path):
-        import csv as _csv
-
-        with open(csv_path) as f:
-            rows = list(_csv.DictReader(f))
-        for r in rows:
-            if r.get("step") and r.get("loss"):
-                curve.append((int(float(r["step"])), float(r["loss"])))
-        # the CSV sink APPENDS across runs in the same workdir: keep only
-        # the FINAL monotonic segment, or the demo table would interleave
-        # two runs' curves ('loss fell run1-first → run2-last')
-        start = 0
-        for i in range(1, len(curve)):
-            if curve[i][0] <= curve[i - 1][0]:
-                start = i
-        curve = curve[start:]
-    report["loss_curve"] = curve
+    report["loss_curve"] = _loss_curve(log_dir)
 
     # -- build serving modes --
     model = MDM(MDMConfig(n_seed=N_SEED, cond_mask_prob=0.1, **mcfg_kw))
@@ -490,26 +542,9 @@ def run_zeggs(workdir: str) -> dict:
     # the gated frontier below the defaults without assuming the answer —
     # a mode that degrades FGD past tolerance is written ok=false and
     # bench.py/cli.sample will not use it
-    for extra in filter(None, os.environ.get("QH_EXTRA_MODES", "").split(",")):
-        extra = extra.strip()
-        for samp in ("dpmpp", "ddim"):
-            if extra.startswith(samp) and extra[len(samp):].isdigit():
-                n = int(extra[len(samp):])
-                if not 2 <= n < DIFFUSION_STEPS:
-                    # fail FAST — a silently dropped mode would surface
-                    # only after the hour-long run as "not measured"
-                    raise SystemExit(
-                        f"QH_EXTRA_MODES: {extra!r} needs 2 <= n < "
-                        f"{DIFFUSION_STEPS}")
-                modes.setdefault(extra, (
-                    model_apply, params,
-                    D.spaced_schedule(
-                        betas,
-                        D.space_timesteps(DIFFUSION_STEPS, f"ddim{n}")),
-                    samp))
-                break
-        else:
-            raise SystemExit(f"QH_EXTRA_MODES: unrecognized mode {extra!r}")
+    for name, (sched_x, samp) in _parse_extra_modes(
+            "QH_EXTRA_MODES", betas, DIFFUSION_STEPS).items():
+        modes.setdefault(name, (model_apply, params, sched_x, samp))
 
     # -- progressive distillation: 1000 → 1000/2^stages DDIM students.
     # Every stage from the 3rd halving down (125-step at the real
@@ -810,11 +845,16 @@ def synth_twh_clip(speaker: int, seed: int, seconds: float, out_stem: str):
     J = len(names)
     rng = np.random.default_rng(seed)
     rot = synth_rotations(style, seed, seconds, beat_times, env, t,
-                          TWH_FPS, J)  # (T, J, 3) degrees
+                          TWH_FPS, J,
+                          character_seed=700 + speaker)  # (T, J, 3) degrees
     T = rot.shape[0]
     # per-bone rest position + small beat-synchronized translation so the
-    # position block of the 744-d feature is informative, not constant
-    rest = rng.uniform(-20, 20, (J, 3)).astype(np.float32)
+    # position block of the 744-d feature is informative, not constant;
+    # SPEAKER-deterministic like the rotation character (a per-clip random
+    # rest pose would be unpredictable-from-conditioning variance in 3 of
+    # every joint's 12 feature dims)
+    rest = np.random.default_rng(800 + speaker).uniform(
+        -20, 20, (J, 3)).astype(np.float32)
     rest[0] = [0.0, 100.0, 0.0]
     pos = rest[None] + 0.02 * rot  # positions ride the same strokes
     # simple chain skeleton: featurization is per-joint channels only
@@ -951,6 +991,7 @@ def run_twh(workdir: str) -> dict:
     saved_steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
     if saved_steps:
         report["train_steps"] = max(saved_steps)
+    report["loss_curve"] = _loss_curve(log_dir)
 
     mcfg = MDMPlusConfig(cond_mask_prob=0.1, **mcfg_kw)
     model = MDMPlus(mcfg)
@@ -971,6 +1012,11 @@ def run_twh(workdir: str) -> dict:
             D.spaced_schedule(betas, D.space_timesteps(
                 DIFFUSION_STEPS, f"ddim{n_dpmpp}")), "dpmpp"),
     }
+    # extra modes for this family (e.g. a deliberately-aggressive ddim5 /
+    # dpmpp3 sensitivity probe of the gate)
+    for name, entry in _parse_extra_modes(
+            "QH_TWH_EXTRA_MODES", betas, DIFFUSION_STEPS).items():
+        modes.setdefault(name, entry)
 
     # -- eval features: GT 744-d gesture per eval clip + seed gesture
     # from a TRAIN clip (the reference seeds generation with a real clip,
@@ -1147,6 +1193,19 @@ def main():
     out_path = os.path.join(
         REPO,
         f"QUALITY_{ROUND}.json" if real_manifests else "QUALITY_smoke.json")
+    # merge over an existing report: an incremental single-family re-run
+    # (e.g. QH_FAMILIES=twh with QH_SKIP_TRAIN) must not drop the other
+    # family's section from the round artifact
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                existing = json.load(f)
+            if "families" in existing:
+                merged = dict(existing["families"])
+                merged.update(report["families"])
+                report = {"families": merged}
+        except (json.JSONDecodeError, KeyError):
+            pass
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", out_path)

@@ -37,16 +37,22 @@ from diffusestylegesture_tpu.utils.compile_cache import (  # noqa: E402
 
 
 def timed_chained(fn, key, *args, reps=8):
-    """Steady-state per-call time: chain each call on the previous
-    result (key fold-in) and sync ONCE at the end — a per-call
+    """Steady-state per-call time: enqueue `reps` jitted calls with fresh
+    host-made keys and sync ONCE at the end — a per-call
     block_until_ready adds a host↔device round trip per step, which
-    through a remote tunnel inflates an 80 ms step to ~113 ms."""
+    through a remote tunnel inflates an 80 ms step to ~113 ms.
+
+    Keys are built with `jax.random.key_data`-free host constants
+    (PRNGKey(i)) BEFORE the timed region: the previous version chained
+    keys via an eager `fold_in((loss*0).astype(int32))`, which dispatched
+    3 eager ops per rep through the tunnel and published incoherent rows
+    (f32 fwd-only 255 ms > the 82 ms full step — VERDICT r3 item 6)."""
+    keys = [jax.random.PRNGKey(1000 + i) for i in range(reps)]
     out = fn(key, *args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        key = jax.random.fold_in(key, (out * 0).astype(jnp.int32))
-        out = fn(key, *args)
+    for k in keys:
+        out = fn(k, *args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
 
