@@ -167,8 +167,12 @@ class Text2MotionDataset:
     """Text2MotionDatasetV2 with explicit RNG (dataset.py:207-345)."""
 
     def __init__(self, cfg: T2MConfig, mean: np.ndarray, std: np.ndarray,
-                 split_file: str, w_vectorizer: WordVectorizer,
+                 split_file: str, w_vectorizer: WordVectorizer | None,
                  seed: int = 0):
+        # w_vectorizer may be None for TRAINING use (`cli.train_t2m`):
+        # GloVe word/POS vectors feed only the T2M evaluator pathway
+        # (`__getitem__`/`batches`); the denoiser conditions on CLIP
+        # caption embeddings instead (`train_batches`).
         self.cfg = cfg
         self.mean = np.asarray(mean)
         self.std = np.asarray(std)
@@ -245,6 +249,58 @@ class Text2MotionDataset:
 
     def __len__(self) -> int:
         return len(self.name_list) - self.pointer
+
+    def captions(self) -> List[str]:
+        """Every distinct caption in corpus order (for one-time CLIP
+        encoding — the text set is static, so `cli.train_t2m` embeds each
+        caption once instead of re-running the text encoder per batch)."""
+        seen, out = set(), []
+        for name in self.name_list:
+            for t in self.data[name].text:
+                if t["caption"] not in seen:
+                    seen.add(t["caption"])
+                    out.append(t["caption"])
+        return out
+
+    def _crop(self, clip: _Clip):
+        """Unit-length crop + z-norm + zero-pad (the shared tail of
+        `__getitem__`, dataset.py:313-340). Returns (motion (T,C) f32,
+        m_length, chosen text entry)."""
+        motion, m_length = clip.motion, clip.length
+        text = clip.text[self.rng.integers(len(clip.text))]
+        unit = self.cfg.unit_length
+        coin_double = unit < 10 and self.rng.integers(3) == 2
+        m_length = (m_length // unit - (1 if coin_double else 0)) * unit
+        start = self.rng.integers(0, len(motion) - m_length + 1)
+        motion = motion[start: start + m_length]
+        motion = (motion - self.mean) / self.std
+        if m_length < self.cfg.max_motion_length:
+            motion = np.concatenate(
+                [motion,
+                 np.zeros((self.cfg.max_motion_length - m_length,
+                           motion.shape[1]))],
+                axis=0,
+            )
+        return motion.astype(np.float32), m_length, text
+
+    def train_batches(self, batch_size: int,
+                      text_embs: Dict[str, np.ndarray]) -> Iterator[dict]:
+        """Infinite train iterator: {'motion' (B, T, C), 'text_emb'
+        (B, clip_dim), 'lengths' (B,)} — the `make_t2m_cond_builder`
+        layout. `text_embs` maps caption -> precomputed CLIP embedding."""
+        n = len(self)
+        while True:
+            idx = self.rng.permutation(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                rows = [self._crop(self.data[self.name_list[self.pointer + j]])
+                        for j in idx[i: i + batch_size]]
+                yield {
+                    "motion": np.stack([r[0] for r in rows]),
+                    "text_emb": np.stack(
+                        [text_embs[r[2]["caption"]] for r in rows]
+                    ).astype(np.float32),
+                    "lengths": np.asarray([r[1] for r in rows], np.int32),
+                }
 
     def __getitem__(self, item: int):
         clip = self.data[self.name_list[self.pointer + item]]

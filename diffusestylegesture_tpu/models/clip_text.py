@@ -180,3 +180,92 @@ def encode_text(params: dict, input_ids, config: ClipTextConfig = ClipTextConfig
     """Functional wrapper: tokens -> normalized-scale text features."""
     return ClipTextEncoder(config).apply({"params": params},
                                          jnp.asarray(input_ids))
+
+
+SOT_TOKEN = 49406  # CLIP '<|startoftext|>'
+EOT_TOKEN = 49407  # '<|endoftext|>' — the max vocab id, so argmax finds it
+
+
+def hash_tokenize(texts, context_length: int = 77,
+                  vocab_size: int = 49408) -> np.ndarray:
+    """Deterministic word-hash tokenizer — the BPE-free stand-in used
+    when CLIP's `bpe_simple_vocab_16e6` artifact is unavailable (it ships
+    with neither this repo nor the reference; `clip.tokenize` downloads
+    it). Layout matches `clip.tokenize`: [SOT, ids..., EOT, 0-pad] with
+    EOT at the highest vocab id so the encoder's argmax pooling
+    (`ClipTextEncoder.__call__`) lands on it. NOT CLIP-vocab-compatible —
+    pair it with a consistently trained (toy or from-scratch) encoder,
+    never with converted OpenAI/HF weights; for those, tokenize with
+    `transformers.CLIPTokenizer` and pass the ids straight to
+    `encode_text`."""
+    import zlib
+
+    sot, eot = vocab_size - 2, vocab_size - 1  # = SOT/EOT_TOKEN at 49408
+    out = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):
+        words = text.lower().replace(".", " ").replace(",", " ").split()
+        ids = [1 + zlib.crc32(w.encode()) % (vocab_size - 3) for w in words]
+        ids = [sot] + ids[: context_length - 2] + [eot]
+        out[i, : len(ids)] = ids
+    return out
+
+
+def make_caption_encoder(params_path: str | None = None, *, seed: int = 0,
+                         width: int = 512, layers: int = 12, heads: int = 8,
+                         vocab_size: int = 49408, projection_dim: int = 512,
+                         context_length: int = 77, tokenizer_dir: str | None = None):
+    """Build a `captions -> (N, projection_dim) np.ndarray` callable plus
+    the JSON-serializable spec that reconstructs it bit-identically.
+
+    The reference treats CLIP as an external frozen artifact
+    (`load_model_wo_clip` strips it from checkpoints) — here the encoder
+    is likewise NOT part of the denoiser checkpoint; `cli.train_t2m`
+    records this spec in `t2m_config.json` and `cli.generate` rebuilds
+    the identical encoder from it.
+
+    params_path: npz of converted HF/OpenAI CLIP text weights
+      (`convert_hf_clip_text` / `convert_openai_clip_text`, saved via
+      `np.savez` of the flattened tree) — requires a real tokenizer in
+      `tokenizer_dir` (`transformers.CLIPTokenizer`).
+    Without params_path: a frozen deterministically-initialized encoder
+      (PRNGKey(seed)) with `hash_tokenize` — self-consistent between
+      training and generation, for toy/from-scratch models.
+    """
+    cfg = ClipTextConfig(vocab_size=vocab_size, width=width, layers=layers,
+                         heads=heads, context_length=context_length,
+                         projection_dim=projection_dim)
+    enc = ClipTextEncoder(cfg)
+    if params_path:
+        from ..train.checkpoint import load_params_npz
+
+        params = load_params_npz(params_path)
+        if "params" in params:
+            params = params["params"]
+    else:
+        params = enc.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, context_length), jnp.int32))["params"]
+
+    if tokenizer_dir:
+        from transformers import CLIPTokenizer
+
+        tok = CLIPTokenizer.from_pretrained(tokenizer_dir)
+
+        def tokenize(texts):
+            return np.asarray(
+                tok(list(texts), padding="max_length", truncation=True,
+                    max_length=context_length)["input_ids"], np.int32)
+    else:
+        def tokenize(texts):
+            return hash_tokenize(texts, context_length, vocab_size)
+
+    apply = jax.jit(lambda ids: enc.apply({"params": params}, ids))
+
+    def encode(texts) -> np.ndarray:
+        return np.asarray(apply(jnp.asarray(tokenize(list(texts)))))
+
+    spec = {"params_path": params_path, "seed": seed, "width": width,
+            "layers": layers, "heads": heads, "vocab_size": vocab_size,
+            "projection_dim": projection_dim,
+            "context_length": context_length, "tokenizer_dir": tokenizer_dir}
+    return encode, spec

@@ -58,3 +58,19 @@ def save_params_npz(path: str, params: Any) -> None:
         key = "/".join(part(p) for p in kp)
         out[key] = np.asarray(v)
     np.savez(path, **out)
+
+
+def load_params_npz(path: str) -> dict:
+    """Inverse of `save_params_npz`: rebuild the nested dict tree from the
+    flat 'a/b/c'-keyed npz."""
+    import numpy as np
+
+    out: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return out
