@@ -61,7 +61,16 @@ def main():
     enable_persistent_cache()
     T = 88
     sched = D.Schedule.create(D.named_beta_schedule("cosine", 1000))
-    results = []
+    out_path = os.path.join(REPO, "TRAIN_MICROPROBE.jsonl")
+    # truncate up front and append per row: a timeout mid-run must not
+    # leave the old (pre-fix) artifact in place (round-4 first attempt
+    # lost the whole run to the end-of-run write)
+    open(out_path, "w").close()
+
+    def emit(row):
+        print(json.dumps(row), flush=True)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
 
     for B in (300, 600):
         rng = np.random.default_rng(0)
@@ -107,8 +116,6 @@ def main():
                     terms, _ = G.training_losses(sched, mf, xs, t, noise, mask)
                     return jnp.mean(terms["loss"])
 
-                jfwd = jax.jit(lambda k, p, b: fwd_only(p, b, k))
-
                 def cast(p):
                     if dtype == "bfloat16":
                         return jax.tree.map(
@@ -116,7 +123,23 @@ def main():
                             if a.dtype == jnp.float32 else a, p)
                     return p
 
-                dt_fwd = timed_chained(jfwd, jax.random.PRNGKey(1), cast(params), batch)
+                # fwd-only is remat-independent (checkpointing only changes
+                # the BACKWARD pass) — measure it once per (B, dtype)
+                dt_fwd = None
+                if not remat:
+                    jfwd = jax.jit(lambda k, p, b: fwd_only(p, b, k))
+                    dt_fwd = timed_chained(
+                        jfwd, jax.random.PRNGKey(1), cast(params), batch)
+
+                # fwd+bwd without the optimizer: step − vag isolates
+                # AdamW/EMA/metrics cost, and vag − fwd isolates the
+                # backward pass, making the rows self-consistent by
+                # construction (r3's artifact published fwd > step)
+                jvag = jax.jit(
+                    lambda k, p, b: jax.value_and_grad(
+                        lambda pp: fwd_only(pp, b, k))(p))
+                dt_vag = timed_chained(
+                    jvag, jax.random.PRNGKey(1), cast(params), batch)
 
                 state = create_train_state(jax.tree.map(jnp.copy, params), tcfg, 1000)
 
@@ -133,15 +156,12 @@ def main():
 
                 row = {
                     "batch": B, "dtype": dtype, "remat": remat,
-                    "fwd_ms": round(dt_fwd * 1e3, 1),
+                    "fwd_bwd_ms": round(dt_vag * 1e3, 1),
                     "step_ms": round(dt_step * 1e3, 1),
                 }
-                results.append(row)
-                print(json.dumps(row), flush=True)
-
-    with open(os.path.join(REPO, "TRAIN_MICROPROBE.jsonl"), "w") as f:
-        for r in results:
-            f.write(json.dumps(r) + "\n")
+                if dt_fwd is not None:
+                    row["fwd_ms"] = round(dt_fwd * 1e3, 1)
+                emit(row)
 
 
 if __name__ == "__main__":
