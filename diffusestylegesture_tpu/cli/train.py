@@ -268,6 +268,7 @@ def main(argv=None):
             compute_dtype=cfg.get("compute_dtype", "float32"),
             moe_aux_weight=(args.moe_aux_weight
                             if args.moe_experts > 0 else 0.0),
+            dropout_rng_impl=cfg.get("dropout_rng_impl", "rbg"),
         ),
         loop_cfg=LoopConfig(
             num_steps=cfg.get("num_steps", 100000),

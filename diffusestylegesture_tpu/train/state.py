@@ -26,6 +26,7 @@ import optax
 from ..diffusion import Schedule
 from ..diffusion import gaussian as G
 from ..diffusion import resample
+from ..utils import rng as tpu_rng
 
 
 @flax.struct.dataclass
@@ -67,6 +68,15 @@ class TrainConfig:
     # Switch Transformer uses 0.01). Takes effect when `model_apply`
     # returns (prediction, aux) — build one with `moe.make_moe_apply`.
     moe_aux_weight: float = 0.0
+    # PRNG implementation for the dropout stream only. threefry (jax's
+    # default) generates mask bits in plain ALU ops and costs ~88 ms/step
+    # at the flagship config on a v5e — "rbg" lowers bulk bit generation
+    # to the TPU hardware RngBitGenerator (f32 train-mode forward
+    # 104.8 → 17.8 ms, see utils/rng.py). Mask values change (and are
+    # not guaranteed identical across mesh layouts), which no
+    # correctness property depends on; parity-relevant draws (noise, t,
+    # cond_mask) stay on threefry either way.
+    dropout_rng_impl: str = "rbg"  # "rbg" | "threefry"
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -130,6 +140,8 @@ def make_train_step(
         x_start, cond, mask = cond_builder(batch)
         B = x_start.shape[0]
         rng_t, rng_noise, rng_cm, rng_do = jax.random.split(rng, 4)
+        if cfg.dropout_rng_impl == "rbg":
+            rng_do = tpu_rng.rbg_key(rng_do)
 
         if loss_aware:
             # LossSecondMomentResampler (ref `resample.py:124-154`): t drawn

@@ -100,18 +100,25 @@ def main():
                     make_train_step(apply, sched, tcfg, builder),
                     donate_argnums=(0,))
 
-                # fwd-only: loss value without grad
+                # fwd-only: loss value without grad. Dropout key wrapped
+                # the same way the train step wraps it (rbg by default,
+                # utils/rng.py) — mixing impls here would re-publish
+                # incoherent fwd>step rows (threefry masks alone are
+                # ~88 ms at B=300).
                 def fwd_only(p, b, key):
                     from diffusestylegesture_tpu.diffusion import gaussian as G
                     from diffusestylegesture_tpu.diffusion import resample
+                    from diffusestylegesture_tpu.utils import rng as tpu_rng
 
                     xs, cc, mask = builder(b)
                     t, w = resample.uniform_sample_t(key, B, 1000)
                     noise = jax.random.normal(key, xs.shape, jnp.float32)
+                    kdo = (tpu_rng.rbg_key(key)
+                           if tcfg.dropout_rng_impl == "rbg" else key)
 
                     def mf(x, tt):
                         return apply(p, x, tt, cc, train=True,
-                                     rngs={"cond_mask": key, "dropout": key}
+                                     rngs={"cond_mask": key, "dropout": kdo}
                                      ).astype(jnp.float32)
                     terms, _ = G.training_losses(sched, mf, xs, t, noise, mask)
                     return jnp.mean(terms["loss"])
@@ -156,6 +163,7 @@ def main():
 
                 row = {
                     "batch": B, "dtype": dtype, "remat": remat,
+                    "dropout_rng": tcfg.dropout_rng_impl,
                     "fwd_bwd_ms": round(dt_vag * 1e3, 1),
                     "step_ms": round(dt_step * 1e3, 1),
                 }

@@ -727,3 +727,51 @@ class TestLoopLogSinks:
         # steps count COMPLETED steps (1-based) since the checkpoint-label
         # fix — row "1" is the state after the first optimizer update
         assert {int(float(r["step"])) for r in rows} >= {1, 2, 3}
+
+
+class TestDropoutRngImpl:
+    """The train step's dropout stream runs on the TPU hardware RBG by
+    default (utils/rng.py: threefry masks alone cost ~88 ms/step at the
+    flagship config; full step 81.5→65.8 ms f32 / 68.8→57.2 ms bf16 on
+    a v5e). Parity-relevant draws (noise, t, cond_mask) stay threefry."""
+
+    def test_rbg_key_wraps_raw_and_typed(self):
+        from diffusestylegesture_tpu.utils.rng import rbg_key
+
+        raw = jax.random.PRNGKey(3)  # uint32[2] raw key
+        typed = jax.random.key(3)    # typed threefry key
+        for k in (raw, typed):
+            rk = rbg_key(k)
+            assert jnp.issubdtype(rk.dtype, jax.dtypes.prng_key)
+            # usable: split/fold/bernoulli under jit
+            mask = jax.jit(lambda kk: jax.random.bernoulli(
+                jax.random.fold_in(kk, 1), 0.5, (16,)))(rk)
+            assert mask.shape == (16,)
+
+    def test_rbg_key_same_entropy_same_masks(self):
+        from diffusestylegesture_tpu.utils.rng import rbg_key
+
+        a = rbg_key(jax.random.PRNGKey(11))
+        b = rbg_key(jax.random.PRNGKey(11))
+        c = rbg_key(jax.random.PRNGKey(12))
+        ma = jax.random.bernoulli(a, 0.5, (256,))
+        mb = jax.random.bernoulli(b, 0.5, (256,))
+        mc = jax.random.bernoulli(c, 0.5, (256,))
+        assert bool(jnp.all(ma == mb))
+        assert not bool(jnp.all(ma == mc))
+
+    def test_step_trains_under_both_impls(self):
+        _, params, apply = make_model_and_params()
+        batch = make_batch(np.random.default_rng(9))
+        for impl in ("rbg", "threefry"):
+            cfg = TrainConfig(lr=1e-3, dropout_rng_impl=impl)
+            step = jax.jit(make_train_step(apply, SCHED, cfg,
+                                           make_zeggs_cond_builder(4)))
+            state = create_train_state(
+                jax.tree.map(jnp.copy, params), cfg, SCHED.num_timesteps)
+            losses = []
+            for i in range(4):
+                state, m = step(state, batch, jax.random.PRNGKey(i))
+                losses.append(float(m["loss"]))
+            assert np.isfinite(losses).all(), impl
+            assert losses[-1] < losses[0], impl
