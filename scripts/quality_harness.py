@@ -663,6 +663,20 @@ def run_zeggs(workdir: str) -> dict:
                         os.path.join(workdir, f"demo_{mode_name}.bvh"),
                         os.path.join(REPO, "docs",
                                      "demo_zeggs_ddpm1000.bvh"))
+                    # browser-playable twin (motion/mocap_player.py — the
+                    # reference's notebook player surface as one file)
+                    from diffusestylegesture_tpu.motion import pipeline as MPp
+                    from diffusestylegesture_tpu.motion.mocap_player import (
+                        write_mocap_player_html,
+                    )
+
+                    dtrack = MPp.parse_bvh(
+                        os.path.join(workdir, f"demo_{mode_name}.bvh"))
+                    dpos = MPp.MocapParameterizer("position").transform(dtrack)
+                    write_mocap_player_html(
+                        dpos, os.path.join(REPO, "docs",
+                                           "demo_zeggs_ddpm1000.html"),
+                        frame_time=dtrack.framerate)
                 print(f"   demo BVH {time.time() - tb:.1f}s", flush=True)
         # with a single eval clip there is no warm measurement — report
         # the compile-inclusive throughput rather than frames/1.0

@@ -168,3 +168,48 @@ class TestConstantsRemoverAllPosRot:
         for c in track.columns:
             np.testing.assert_allclose(
                 back.values[:, idx_b[c]], track.values[0, idx_t[c]], atol=1e-6)
+
+
+class TestMocapPlayerHtml:
+    """Standalone browser player (`motion/mocap_player.py`) — the product
+    surface of the reference's vendored three.js notebook player
+    (`viz_tools.nb_play_mocap`, `viz_tools.py:190-234`), as ONE
+    self-contained HTML file."""
+
+    def test_written_file_embeds_data_and_skeleton(self, tmp_path):
+        from diffusestylegesture_tpu.motion.mocap_player import (
+            write_mocap_player_html,
+        )
+
+        track = _pos_track(tmp_path)
+        out = str(tmp_path / "clip.html")
+        got = write_mocap_player_html(track, out, frame_time=1 / 20,
+                                      scale=2, camera_z=350)
+        assert got == out
+        html = open(out).read()
+        # the reference data.js contract is spliced in verbatim
+        assert viz.mocapplayer_buffer(track, frame_time=1 / 20, scale=2,
+                                      camera_z=350) in html
+        # the parent map ships with the page (bone rendering)
+        import json as _json
+
+        m = html.split("var skeletonParents = ", 1)[1]
+        parents = _json.loads(m[: m.index(";\n")])
+        assert parents == {k: v for k, v in track.parents.items()}
+        # single self-contained document: no external scripts or styles
+        assert "src=" not in html.split("</head>")[0]
+        assert html.count("<script>") == 1
+
+    def test_render_accepts_reference_contract_buffer(self, tmp_path):
+        """Any text ending in start(...) — i.e. a reference-written data.js
+        — splices in unchanged."""
+        from diffusestylegesture_tpu.motion.mocap_player import (
+            render_player_html,
+        )
+
+        data_js = ("var dataBuffer = `a_Xposition,a_Yposition,a_Zposition\n"
+                   "1.0,2.0,3.0\n`;var metadata = [];"
+                   "start(dataBuffer, metadata, 500, 1, 0.05);")
+        html = render_player_html(data_js, {"a": None})
+        assert data_js in html
+        assert '{"a": null}' in html
