@@ -308,10 +308,26 @@ def main():
         dt = min(rep_dts)
         frames = out.shape[0] * out.shape[1]
         rep_fps = sorted(frames / d for d in rep_dts)
-        return frames / dt, dt, out, model_apply, params, rep_fps
+        # device-side throughput: identical program, result left on device
+        # (device_out=True). The e2e numbers above include pulling the f32
+        # output through the axon tunnel (~23 MB/s ≈ 4.5 KB/frame → a
+        # ~5,000 fps ceiling regardless of compute) — a dev-harness
+        # artifact; a production host pays PCIe (<2% of wall time). Both
+        # are reported (KNEE_CLIFF_PROBE.jsonl for the attribution).
+        dev_rep_fps = []
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            out_d = sampler.generate(
+                params, wparams, audio, style,
+                jax.random.PRNGKey(key_base + 1 + rep), device_out=True)
+            jax.block_until_ready(out_d)
+            dev_rep_fps.append(
+                out_d.shape[0] * out_d.shape[1] /
+                (time.perf_counter() - t0))
+        return frames / dt, dt, out, model_apply, params, rep_fps, dev_rep_fps
 
-    fps32, dt32, out32, apply32, p32, rep32 = run_config("f32", 1, 0)
-    fps16, dt16, out16, apply16, p16, rep16 = run_config("bf16", 1, 0)
+    fps32, dt32, out32, apply32, p32, rep32, dev32 = run_config("f32", 1, 0)
+    fps16, dt16, out16, apply16, p16, rep16, dev16 = run_config("bf16", 1, 0)
     # on-device bf16 validation: same seeds (key_base identical) → same
     # injected noise path, so the deviation is purely numeric
     scale = out32.std() + 1e-9
@@ -325,7 +341,7 @@ def main():
     # worth measuring when bf16 itself passed — ft_ok can never be True
     # otherwise, and the run costs a full compile + generates on-chip
     if bf16_ok:
-        fps_ft, _, out_ft, _, _, _ = run_config(
+        fps_ft, _, out_ft, _, _, _, _ = run_config(
             "bf16", 1, 0, activation="gelu_tanh")
         ft_rms = float(np.sqrt(np.mean((out32 - out_ft) ** 2)) / scale)
         ft_max = float(np.abs(out32 - out_ft).max() / scale)
@@ -334,17 +350,23 @@ def main():
     ft_ok = bf16_ok and np.isfinite(ft_rms) and ft_rms < BF16_TOL
 
     big_act = "gelu_tanh" if ft_ok else "gelu"
-    fps_big, dt_big, out_big, apply_big, p_big, big_rep_fps = run_config(
+    fps_big, dt_big, out_big, apply_big, p_big, big_rep_fps, big_dev_fps = run_config(
         "bf16" if bf16_ok else "f32", big_batch, 100, activation=big_act
     )
 
-    b1_fps, b1_reps = (fps16, rep16) if bf16_ok else (fps32, rep32)
+    b1_fps, b1_reps, b1_dev = ((fps16, rep16, dev16) if bf16_ok
+                               else (fps32, rep32, dev32))
     headline_fps = max(fps_big, b1_fps)
     # replicate fps list of whichever config carries the headline —
     # reported as median ± std so run-to-run tunnel variance is visible in
     # the artifact instead of silently moving the headline (r3: the same
     # gated config published 6,360 and 8,512 fps in different runs)
     headline_rep_fps = big_rep_fps if fps_big >= b1_fps else b1_reps
+    # device-side replicate list of the same config (result left on
+    # device): separates chip throughput from the dev tunnel's ~23 MB/s
+    # output-transfer ceiling (~5,000 fps at 4.5 KB f32/frame —
+    # KNEE_CLIFF_PROBE.jsonl). A production host pays PCIe instead.
+    headline_dev_fps = big_dev_fps if fps_big >= b1_fps else b1_dev
 
     # --- quality-gated fast serving (round 3): if the motion-quality
     # harness validated a respaced mode (FGD/beat-align vs DDPM-1000,
@@ -395,7 +417,7 @@ def main():
                     D.space_timesteps(steps, f"ddim{n}"))
                 ecfg = ZeggsEngineConfig(sampler=fam)
                 try:
-                    fps_mode, _, _, _, _, mode_rep_fps = run_config(
+                    fps_mode, _, _, _, _, mode_rep_fps, mode_dev_fps = run_config(
                         "bf16" if bf16_ok else "f32", big_batch, 200,
                         activation=big_act)
                 finally:
@@ -403,9 +425,11 @@ def main():
                 if fps_mode > gated_fps:
                     gated_fps, gated_label, gated_steps = fps_mode, mode_name, n
                     gated_rep_fps = mode_rep_fps
+                    gated_dev_fps = mode_dev_fps
             if gated_fps > headline_fps:
                 headline_fps = gated_fps
                 headline_rep_fps = gated_rep_fps
+                headline_dev_fps = gated_dev_fps
 
     # --- FLOPs accounting for the headline (batched) config ---
     dev = jax.devices()[0]
@@ -442,25 +466,32 @@ def main():
         g_mfu = g_gpf * 1e9 * gated_fps / _chip_peak_flops(dev)
         gated_note = (
             "; quality-gated %s %.0f fps, %.2f GFLOP/frame, MFU %.1f%% "
-            "(FGD+diversity-validated vs DDPM-1000, QUALITY_r03.json)"
+            "(FGD+diversity-validated vs DDPM-1000, resources/quality_gate.json)"
             % (gated_label, gated_fps, g_gpf, g_mfu * 100.0)
         )
     med = float(np.median(headline_rep_fps))
     std = float(np.std(headline_rep_fps))
+    dev_med = float(np.median(headline_dev_fps))
+    dev_std = float(np.std(headline_dev_fps))
     result = {
         "metric": "zeggs_gen_frames_per_sec_per_chip",
         "value": round(headline_fps, 3),
         "median": round(med, 3),
         "std": round(std, 3),
+        "device_fps_median": round(dev_med, 3),
+        "device_fps_std": round(dev_std, 3),
         "reps": len(headline_rep_fps),
         "unit": (
-            "frames/s (headline median %.0f±%.0f over %d reps; "
+            "frames/s (headline median %.0f±%.0f over %d reps, "
+            "device-side %.0f±%.0f fps with the result left on device — "
+            "the gap is the dev tunnel's f32 output transfer, not compute; "
             "DDPM-%s+WavLM-Large parity config %.0f fps, %s batch %d on %s; "
             "b1 f32 %.0f fps, b1 bf16 %.0f fps, bf16 rms/max-err %.3g/%.3g%s; "
             "gelu_tanh rms/max-err %.3g/%.3g%s; "
             "parity-config %.1f GFLOP/frame, MFU %.1f%%, wall %.2fs%s)"
             % (
                 med, std, len(headline_rep_fps),
+                dev_med, dev_std,
                 steps_label,
                 fps_big,
                 ("bf16+" + big_act) if bf16_ok else "f32",

@@ -300,6 +300,7 @@ class ZeggsSampler:
         noise_windows: Optional[np.ndarray] = None,
         mesh=None,
         window_buckets: Optional[tuple] = None,
+        device_out: bool = False,
     ) -> np.ndarray:
         """Full pipeline: audio → (B, T_frames, njoints) un-normalized poses.
 
@@ -371,6 +372,19 @@ class ZeggsSampler:
                 noise_windows,
                 num_windows=num_windows, host_feats=host_feats,
             )
+        if device_out:
+            # keep the result on device: the epilogue (transpose/crop/
+            # unnormalize) runs as a handful of jax ops and the caller gets
+            # a jax.Array. Through the dev tunnel the f32 output transfer
+            # is ~4.5 KB/frame at ~23 MB/s — it CAPS end-to-end throughput
+            # at ~5,000 fps while the chip computes 60-80x faster
+            # (KNEE_CLIFF_PROBE.jsonl); on a production host the same
+            # transfer rides PCIe and is <2% of wall time. Device-side
+            # consumers (eval metrics, chained pipelines, multi-chip
+            # serving) should never round-trip the host.
+            seq = jnp.transpose(out[:, :, 0], (0, 2, 1))  # (B, T, C)
+            seq = seq[:, : real_windows * self.cfg.stride - self.cfg.n_seed]
+            return unnormalize_poses(seq, mean, std)
         seq = np.asarray(out)[:, :, 0].transpose(0, 2, 1)  # (B, T, C)
         seq = seq[:, : real_windows * self.cfg.stride - self.cfg.n_seed]
         return unnormalize_poses(seq, mean, std)

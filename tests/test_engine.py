@@ -507,3 +507,25 @@ class TestReviewRegressions:
                                       jax.random.PRNGKey(5))[0]
         assert np.isfinite(skipped).all()
         assert np.abs(skipped - outs[0.0]).max() > 1e-4
+
+
+class TestDeviceOut:
+    def test_device_out_matches_host_path(self):
+        """generate(device_out=True) returns the SAME values as the host
+        path, as a jax.Array that never crossed to the host — the serving
+        answer to the dev tunnel's output-transfer ceiling
+        (KNEE_CLIFF_PROBE.jsonl: ~23 MB/s caps e2e fps at ~5,000 while the
+        chip computes 60-80x faster)."""
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        audio = np.random.default_rng(1).standard_normal(
+            cfg.samples_per_stride * 2).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:2]
+        mean = np.random.default_rng(2).standard_normal(NJ).astype(np.float32)
+        std = np.abs(np.random.default_rng(3).standard_normal(NJ)) + 0.1
+        host = eng.generate({}, {}, audio, style, jax.random.PRNGKey(5),
+                            mean=mean, std=std)
+        dev = eng.generate({}, {}, audio, style, jax.random.PRNGKey(5),
+                           mean=mean, std=std, device_out=True)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-6)
