@@ -103,6 +103,10 @@ def pipeline_apply(
     typed = has_rng and jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
     rng_data = (jax.random.key_data(rng) if typed
                 else rng if has_rng else jnp.zeros((2,), jnp.uint32))
+    # the re-wrap inside shard_fn must name the ORIGINAL impl: the train
+    # step's dropout stream is an `rbg` key (4-word data, utils/rng.py)
+    # and wrap_key_data's default impl is threefry (2-word) — shape error
+    rng_impl = jax.random.key_impl(rng) if typed else None
 
     def shard_fn(stk, x_s, rng_d):
         stage = jax.lax.axis_index(axis)
@@ -115,7 +119,8 @@ def pipeline_apply(
                 lp, j = xs
                 if not has_rng:
                     return layer_fn(lp, hc, None), None
-                key = jax.random.wrap_key_data(rng_d) if typed else rng_d
+                key = (jax.random.wrap_key_data(rng_d, impl=rng_impl)
+                       if typed else rng_d)
                 # unique stream per (global layer, microbatch)
                 key = jax.random.fold_in(key, stage * l_per + j)
                 key = jax.random.fold_in(key, m_idx)

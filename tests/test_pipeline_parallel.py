@@ -251,3 +251,31 @@ class TestMDMPipelineTrunk:
             rngs={"dropout": jax.random.PRNGKey(5),
                   "cond_mask": jax.random.PRNGKey(6)})
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestRngImpls:
+    def test_typed_keys_any_impl_cross_the_shard_map(self):
+        """pipeline_apply strips typed keys to raw data at the shard_map
+        boundary and re-wraps inside; the re-wrap must name the ORIGINAL
+        impl — the train step's dropout stream is an `rbg` key (4-word
+        data, utils/rng.py) and wrap_key_data defaults to threefry
+        (2-word). Regression: the r04 multichip dryrun crashed on this."""
+        from diffusestylegesture_tpu.utils.rng import rbg_key
+
+        _, params, x = _setup()
+        stacked = stack_layer_params(params["params"], L)
+        mesh = make_mesh(axes=("pipe",), shape=(2,),
+                         devices=jax.devices()[:2])
+
+        def layer_fn(lp, h, key):
+            layer = TorchEncoderLayer(Dm, H, FF, 0.0)
+            out = layer.apply({"params": lp}, h, True)
+            if key is not None:  # consume the key like a dropout layer
+                out = out + 0.0 * jax.random.uniform(key, out.shape)
+            return out
+
+        for key in (jax.random.PRNGKey(3),          # legacy uint32
+                    jax.random.key(3),              # typed threefry
+                    rbg_key(jax.random.PRNGKey(3))):  # typed rbg (4-word)
+            out = pipeline_apply(stacked, x, layer_fn, mesh, rng=key)
+            assert np.isfinite(np.asarray(out)).all(), key
