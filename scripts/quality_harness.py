@@ -840,6 +840,13 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report,
             key, sub = jax.random.split(key)
             student_params, opt, m = jstep(
                 teacher_params, student_params, opt, sub, cache.arrays)
+            if (i + 1) % 100 == 0:
+                # bound the async dispatch queue: an uncapped
+                # steps_per_stage-deep enqueue through the remote tunnel
+                # wedged the relay at 1000 steps/stage (r04 re-run);
+                # cli.distill already syncs every steps//10 via its loss
+                # print — this is the same discipline
+                jax.block_until_ready(m["loss"])
         loss = float(m["loss"])
         nt = sched_t.num_timesteps
         print(f"   distill stage {stage + 1}/{stages}: {nt}→{nt // 2} steps, "
