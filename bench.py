@@ -283,6 +283,11 @@ def main():
     wavlm_fn_bf16 = make_zeggs_wavlm_fn(
         WavLM(_dc.replace(wcfg, dtype=jnp.bfloat16)), ecfg.n_poses)
 
+    from diffusestylegesture_tpu.sample.engine import slice_audio_windows
+
+    dev_reps = int(os.environ.get("BENCH_DEV_REPS", "8"))
+    dev_chain = int(os.environ.get("BENCH_DEV_CHAIN", "4"))
+
     def run_config(dtype, batch, key_base, activation="gelu"):
         cdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
         model = MDM(MDMConfig(dtype=cdt, activation=activation))
@@ -309,21 +314,33 @@ def main():
         frames = out.shape[0] * out.shape[1]
         rep_fps = sorted(frames / d for d in rep_dts)
         # device-side throughput: identical program, result left on device
-        # (device_out=True). The e2e numbers above include pulling the f32
-        # output through the axon tunnel (~23 MB/s ≈ 4.5 KB/frame → a
-        # ~5,000 fps ceiling regardless of compute) — a dev-harness
-        # artifact; a production host pays PCIe (<2% of wall time). Both
-        # are reported (KNEE_CLIFF_PROBE.jsonl for the attribution).
+        # (device_out=True) AND inputs pre-staged on device (pre-sliced
+        # audio windows uploaded once) — so the timed region is the chip,
+        # not the dev tunnel in either direction. The e2e numbers above
+        # include pulling the f32 output through the tunnel (~23 MB/s ≈
+        # 4.5 KB/frame → a ~5,000 fps ceiling regardless of compute) — a
+        # dev-harness artifact; a production host pays PCIe (<2% of wall
+        # time). Each timing window chains `dev_chain` enqueued calls and
+        # syncs once, amortizing per-call dispatch overhead (at 5-step NFE
+        # one call is ~tens of ms — per-call sync noise was ±17% in r4).
+        windows_dev = jnp.asarray(slice_audio_windows(audio, ecfg))
+        style_dev = jax.device_put(np.asarray(style, np.float32))
+        jax.block_until_ready((windows_dev, style_dev))
+        out_d = sampler.generate(
+            params, wparams, windows_dev, style_dev,
+            jax.random.PRNGKey(key_base), device_out=True)
+        jax.block_until_ready(out_d)
         dev_rep_fps = []
-        for rep in range(reps):
+        for rep in range(dev_reps):
             t0 = time.perf_counter()
-            out_d = sampler.generate(
-                params, wparams, audio, style,
-                jax.random.PRNGKey(key_base + 1 + rep), device_out=True)
+            for c in range(dev_chain):
+                out_d = sampler.generate(
+                    params, wparams, windows_dev, style_dev,
+                    jax.random.PRNGKey(key_base + 1 + rep * dev_chain + c),
+                    device_out=True)
             jax.block_until_ready(out_d)
-            dev_rep_fps.append(
-                out_d.shape[0] * out_d.shape[1] /
-                (time.perf_counter() - t0))
+            dt_d = (time.perf_counter() - t0) / dev_chain
+            dev_rep_fps.append(out_d.shape[0] * out_d.shape[1] / dt_d)
         return frames / dt, dt, out, model_apply, params, rep_fps, dev_rep_fps
 
     fps32, dt32, out32, apply32, p32, rep32, dev32 = run_config("f32", 1, 0)
@@ -481,6 +498,17 @@ def main():
         "device_fps_median": round(dev_med, 3),
         "device_fps_std": round(dev_std, 3),
         "reps": len(headline_rep_fps),
+        "provenance": {
+            "delivered": (
+                "generate() end-to-end incl. host audio slicing, input "
+                "upload and f32 output pull through the dev tunnel; "
+                "min/median over %d single-call reps" % reps),
+            "device": (
+                "same compiled program, inputs pre-staged on device, "
+                "result left on device (device_out=True); median over "
+                "%d windows of %d chained calls each, one sync per window"
+                % (dev_reps, dev_chain)),
+        },
         "unit": (
             "frames/s (headline median %.0f±%.0f over %d reps, "
             "device-side %.0f±%.0f fps with the result left on device — "

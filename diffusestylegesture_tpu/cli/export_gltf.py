@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--no_glb", action="store_true",
                     help="skip the GLB (with --player: HTML only)")
     args = ap.parse_args(argv)
+    if args.no_glb and not args.player:
+        ap.error("--no_glb without --player would write nothing; "
+                 "add --player or drop --no_glb")
 
     from ..motion import pipeline as MP
     from ..motion.gltf_export import channeldata_to_gltf, write_glb

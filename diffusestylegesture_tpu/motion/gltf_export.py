@@ -195,12 +195,20 @@ def read_glb(path: str) -> tuple[dict, bytes]:
     tooling; strict about the container invariants it wrote."""
     with open(path, "rb") as f:
         magic, version, total = struct.unpack("<III", f.read(12))
-        assert magic == _GLB_MAGIC and version == 2
+        if magic != _GLB_MAGIC or version != 2:
+            raise ValueError(
+                f"{path}: not a GLB v2 container "
+                f"(magic 0x{magic:08x}, version {version})")
         jlen, jtype = struct.unpack("<II", f.read(8))
-        assert jtype == _CHUNK_JSON
+        if jtype != _CHUNK_JSON:
+            raise ValueError(f"{path}: first chunk is not JSON (0x{jtype:08x})")
         gltf = json.loads(f.read(jlen))
         blen, btype = struct.unpack("<II", f.read(8))
-        assert btype == _CHUNK_BIN
+        if btype != _CHUNK_BIN:
+            raise ValueError(f"{path}: second chunk is not BIN (0x{btype:08x})")
         blob = f.read(blen)
-        assert 12 + 8 + jlen + 8 + blen == total
+        if 12 + 8 + jlen + 8 + blen != total:
+            raise ValueError(
+                f"{path}: header total {total} != chunk sum "
+                f"{12 + 8 + jlen + 8 + blen}")
     return gltf, blob

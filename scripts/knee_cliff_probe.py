@@ -94,22 +94,34 @@ def main():
 
     audio = np.random.default_rng(0).standard_normal(
         int(seconds * ecfg.sr)).astype(np.float32) * 0.1
-    windows = slice_audio_windows(audio, ecfg)
-    W = windows.shape[0]
+    # pre-stage every argument on device ONCE: at few-step NFE the whole
+    # generate is ~tens of ms, and re-uploading windows/style through the
+    # dev tunnel inside the timed region was 30-40% noise (VERDICT r4
+    # item 6 — negative wavlm_share with fps std up to 40% of median)
+    windows_dev = jnp.asarray(slice_audio_windows(audio, ecfg))
+    jax.block_until_ready(windows_dev)
+    W = int(windows_dev.shape[0])
     eye = np.eye(6, dtype=np.float32)
+    chain = int(os.environ.get("PROBE_CHAIN", "4"))
 
     out_path = os.path.join(REPO, "KNEE_CLIFF_PROBE.jsonl")
+    # truncate up front (stale pre-fix rows must not mix into the
+    # committed artifact — same discipline as train_microprobe.py)
+    open(out_path, "w").close()
     with open(out_path, "a") as fout:
         for B in batches:
-            style = np.tile(eye, (max(1, -(-B // 6)), 1))[:B]
-            row = {"batch": B, "nfe": nfe, "windows": int(W)}
+            style = jax.device_put(
+                np.tile(eye, (max(1, -(-B // 6)), 1))[:B])
+            jax.block_until_ready(style)
+            row = {"batch": B, "nfe": nfe, "windows": W,
+                   "reps": reps, "chain": chain}
             for label, wfn in (("full", real_wavlm_fn),
                                ("trunk_only", stub_wavlm_fn)):
                 sampler = ZeggsSampler(model_apply, wfn, sched, ecfg)
                 # compile explicitly so memory_analysis is available
                 lowered = sampler._generate.lower(
-                    params, wparams, jnp.asarray(windows),
-                    jnp.asarray(style), jax.random.PRNGKey(0), None,
+                    params, wparams, windows_dev,
+                    style, jax.random.PRNGKey(0), None,
                     num_windows=W, host_feats=False)
                 t0 = time.perf_counter()
                 compiled = lowered.compile()
@@ -124,22 +136,45 @@ def main():
                         ma.argument_size_in_bytes / 1e6, 1)
                 except Exception as e:
                     row[f"{label}_memory_analysis"] = f"unavailable: {e}"[:120]
+                # warmup once (first call pays transfers/allocations)
+                out = compiled(params, wparams, windows_dev, style,
+                               jax.random.PRNGKey(0), None)
+                jax.block_until_ready(out)
                 fps = []
                 for r in range(reps):
+                    # each timing window chains `chain` enqueued calls and
+                    # syncs once: per-call dispatch+sync overhead through
+                    # the tunnel amortizes 1/chain, stabilizing short runs
                     t0 = time.perf_counter()
-                    out = compiled(params, wparams, jnp.asarray(windows),
-                                   jnp.asarray(style),
-                                   jax.random.PRNGKey(1 + r), None)
+                    for c in range(chain):
+                        out = compiled(params, wparams, windows_dev, style,
+                                       jax.random.PRNGKey(1 + r * chain + c),
+                                       None)
                     jax.block_until_ready(out)
-                    dt = time.perf_counter() - t0
+                    dt = (time.perf_counter() - t0) / chain
                     # engine output is (B, C, 1, frames) — generate()
                     # transposes host-side (engine.py:374)
                     fps.append(out.shape[0] * out.shape[-1] / dt)
                 row[f"{label}_fps_median"] = round(float(np.median(fps)), 1)
+                # MAD-derived robust sigma (×1.4826) — a single straggler
+                # rep must not dominate the error bar
+                med = float(np.median(fps))
+                mad_sigma = 1.4826 * float(np.median(
+                    [abs(f - med) for f in fps]))
+                row[f"{label}_fps_mad_sigma"] = round(mad_sigma, 1)
                 row[f"{label}_fps_std"] = round(float(np.std(fps)), 1)
-            row["wavlm_share"] = round(
-                1.0 - row["full_fps_median"] / max(
-                    row["trunk_only_fps_median"], 1e-9), 3)
+            # WavLM share of wall time = 1 − t_trunk/t_full, with a
+            # first-order error bar from the two medians' MAD sigmas; a
+            # share whose ±2σ interval crosses 0 is reported but flagged
+            f_med = row["full_fps_median"]
+            t_med = max(row["trunk_only_fps_median"], 1e-9)
+            share = 1.0 - f_med / t_med
+            rel = ((row["full_fps_mad_sigma"] / max(f_med, 1e-9)) ** 2
+                   + (row["trunk_only_fps_mad_sigma"] / t_med) ** 2) ** 0.5
+            share_sigma = abs(f_med / t_med) * rel
+            row["wavlm_share"] = round(share, 3)
+            row["wavlm_share_sigma"] = round(share_sigma, 3)
+            row["wavlm_share_resolved"] = bool(abs(share) > 2 * share_sigma)
             print(json.dumps(row), flush=True)
             fout.write(json.dumps(row) + "\n")
             fout.flush()
