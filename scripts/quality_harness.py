@@ -1461,12 +1461,23 @@ def write_demo_md(report: dict, workdir: str) -> None:
                   f"{man.get('seed_reps')} replicates), FGD-ratio "
                   f"tolerance {man.get('fgd_ratio_tolerance')} "
                   f"({man.get('tolerance_derivation', '')})."]
+        if "baseline_diversity_vs_reference" in man:
+            health = ("COLLAPSED — " + "; ".join(man["collapse_reasons"])
+                      if man.get("collapsed") else "healthy")
+            lines.append(
+                f"Baseline health: diversity "
+                f"{man['baseline_diversity_vs_reference']}× the reference "
+                f"set's (floor {BASELINE_DIV_VS_REF_MIN}), "
+                f"{man.get('baseline_outliers_dropped', 0)} baseline "
+                f"outlier replicate(s) dropped → {health}.")
         for name, v in man.get("modes", {}).items():
             ci = v.get("fgd_ratio_ci95")
             ci_s = f" (95% CI {ci[0]}–{ci[1]})" if ci else ""
+            drop_s = (f", {v['outliers_dropped']} outlier rep(s) dropped"
+                      if v.get("outliers_dropped") else "")
             lines.append(
                 f"- `{name}`: ratio {v['fgd_ratio']}{ci_s}, diversity "
-                f"{v['diversity_ratio_vs_baseline']}× → "
+                f"{v['diversity_ratio_vs_baseline']}×{drop_s} → "
                 f"{'OK' if v['ok'] else 'DEGRADED (refused by the CLI)'}")
         if rep.get("distill"):
             lines += ["", "Distillation stages: " + ", ".join(

@@ -1,18 +1,36 @@
-"""Train-step time decomposition + variant probe (round 3).
+"""Train-step time decomposition + variant probe (rounds 3-5).
 
-BENCH_MODE=train measures 80 ms f32 / 70 ms bf16 per step at the
+BENCH_MODE=train measures ~80 ms f32 / ~70 ms bf16 per step at the
 reference configuration (batch 300 × (88,1141)) — 8.7%/9.9% MFU. This
 probe answers "where does the step go and is there a cheap win":
 
-  * fwd-only loss vs fwd+bwd vs full step (grad+Adam+EMA+metrics)
+  * fwd-only loss vs fwd+bwd vs full step (grad+Adam+EMA+metrics),
+    with DERIVED bwd_ms = fwd_bwd − fwd and opt_ms = step − fwd_bwd
   * remat (activation rematerialization) on/off
   * batch 300 vs 600 (does amortization help at d=256?)
   * bf16 for each
 
+Round-5 methodology fixes (VERDICT r4 item 3 — the r4 artifact
+published f32 fwd_ms 105 > fwd_bwd_ms 79.7, an impossible row):
+
+  * the fwd / fwd+bwd / step programs are timed INTERLEAVED (multiple
+    rounds of fwd→vag→step→fwd→…) so slow drift of the shared dev
+    tunnel/chip cannot skew one program's mean against another's —
+    the r4 run timed each program in one contiguous block;
+  * per-program medians + MAD over rounds are reported, not single
+    means;
+  * each jitted program's XLA cost analysis (GFLOPs, HBM bytes) is
+    emitted alongside its time, so a genuine compilation difference
+    (e.g. different matmul precision between the fwd-only and the
+    differentiated program) is visible in the artifact instead of
+    surfacing as an "impossible" wall-time row;
+  * rows where the derived bwd_ms or opt_ms comes out negative beyond
+    noise are flagged `"suspect": true` rather than published bare.
+
 Writes TRAIN_MICROPROBE.jsonl and prints a summary. Decisions land in
 ROADMAP.md like the int8/Pallas/unroll probes.
 
-Run: `timeout 1800 python scripts/train_microprobe.py`
+Run: `timeout 3600 python scripts/train_microprobe.py`
 """
 import json
 import os
@@ -35,26 +53,28 @@ from diffusestylegesture_tpu.train.state import make_zeggs_cond_builder  # noqa:
 from diffusestylegesture_tpu.utils.compile_cache import (  # noqa: E402
     enable_persistent_cache)
 
+ROUNDS = int(os.environ.get("PROBE_ROUNDS", "6"))
+CHAIN = int(os.environ.get("PROBE_CHAIN", "5"))
 
-def timed_chained(fn, key, *args, reps=8):
-    """Steady-state per-call time: enqueue `reps` jitted calls with fresh
-    host-made keys and sync ONCE at the end — a per-call
-    block_until_ready adds a host↔device round trip per step, which
-    through a remote tunnel inflates an 80 ms step to ~113 ms.
 
-    Keys are built with `jax.random.key_data`-free host constants
-    (PRNGKey(i)) BEFORE the timed region: the previous version chained
-    keys via an eager `fold_in((loss*0).astype(int32))`, which dispatched
-    3 eager ops per rep through the tunnel and published incoherent rows
-    (f32 fwd-only 255 ms > the 82 ms full step — VERDICT r3 item 6)."""
-    keys = [jax.random.PRNGKey(1000 + i) for i in range(reps)]
-    out = fn(key, *args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for k in keys:
-        out = fn(k, *args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+def cost_summary(compiled) -> dict:
+    """GFLOPs + HBM-traffic estimate from XLA's cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {
+            "gflops": round(float(ca.get("flops", 0.0)) / 1e9, 2),
+            "hbm_gb": round(float(ca.get("bytes accessed", 0.0)) / 1e9, 3),
+        }
+    except Exception as e:  # pragma: no cover
+        return {"cost_analysis": f"unavailable: {e}"[:80]}
+
+
+def median_mad(xs):
+    med = float(np.median(xs))
+    mad = 1.4826 * float(np.median([abs(x - med) for x in xs]))
+    return med, mad
 
 
 def main():
@@ -96,9 +116,6 @@ def main():
                     jax.random.PRNGKey(0), x0,
                     jnp.zeros((B,), jnp.int32), cond)
                 tcfg = TrainConfig(lr=3e-5, compute_dtype=dtype)
-                step = jax.jit(
-                    make_train_step(apply, sched, tcfg, builder),
-                    donate_argnums=(0,))
 
                 # fwd-only: loss value without grad. Dropout key wrapped
                 # the same way the train step wraps it (rbg by default,
@@ -130,45 +147,102 @@ def main():
                             if a.dtype == jnp.float32 else a, p)
                     return p
 
-                # fwd-only is remat-independent (checkpointing only changes
-                # the BACKWARD pass) — measure it once per (B, dtype)
-                dt_fwd = None
+                def fwd_eval(p, b, key):
+                    """Same loss, dropout OFF (train=False, no rng
+                    plumbing): isolates the dropout-mask + RNG cost
+                    inside the training forward."""
+                    from diffusestylegesture_tpu.diffusion import gaussian as G
+                    from diffusestylegesture_tpu.diffusion import resample
+
+                    xs, cc, mask = builder(b)
+                    t, w = resample.uniform_sample_t(key, B, 1000)
+                    noise = jax.random.normal(key, xs.shape, jnp.float32)
+
+                    def mf(x, tt):
+                        return apply(p, x, tt, cc).astype(jnp.float32)
+                    terms, _ = G.training_losses(sched, mf, xs, t, noise, mask)
+                    return jnp.mean(terms["loss"])
+
+                cparams = cast(params)
+
+                # AOT-compile each program so (a) compile time stays out
+                # of every timed window and (b) cost_analysis is exact
+                progs = {}
+                # fwd-only is remat-independent (checkpointing only
+                # changes the BACKWARD pass) — measure under remat=False
                 if not remat:
-                    jfwd = jax.jit(lambda k, p, b: fwd_only(p, b, k))
-                    dt_fwd = timed_chained(
-                        jfwd, jax.random.PRNGKey(1), cast(params), batch)
-
-                # fwd+bwd without the optimizer: step − vag isolates
-                # AdamW/EMA/metrics cost, and vag − fwd isolates the
-                # backward pass, making the rows self-consistent by
-                # construction (r3's artifact published fwd > step)
-                jvag = jax.jit(
-                    lambda k, p, b: jax.value_and_grad(
+                    progs["fwd"] = (
+                        jax.jit(lambda k, p, b: fwd_only(p, b, k))
+                        .lower(jax.random.PRNGKey(1), cparams, batch)
+                        .compile())
+                    progs["fwd_nodrop"] = (
+                        jax.jit(lambda k, p, b: fwd_eval(p, b, k))
+                        .lower(jax.random.PRNGKey(1), cparams, batch)
+                        .compile())
+                progs["fwd_bwd"] = (
+                    jax.jit(lambda k, p, b: jax.value_and_grad(
                         lambda pp: fwd_only(pp, b, k))(p))
-                dt_vag = timed_chained(
-                    jvag, jax.random.PRNGKey(1), cast(params), batch)
+                    .lower(jax.random.PRNGKey(1), cparams, batch)
+                    .compile())
 
-                state = create_train_state(jax.tree.map(jnp.copy, params), tcfg, 1000)
+                # the full step mutates/donates state — time it over its
+                # own chained loop each round, interleaved with the others
+                step = jax.jit(
+                    make_train_step(apply, sched, tcfg, builder),
+                    donate_argnums=(0,))
+                state = create_train_state(
+                    jax.tree.map(jnp.copy, params), tcfg, 1000)
+                state, _ = step(state, batch, jax.random.PRNGKey(1))
+                jax.block_until_ready(state.params)
 
-                # donated state chains iterations naturally; sync once at
-                # the end (steady-state, same methodology as bench.py)
-                s, _ = step(state, batch, jax.random.PRNGKey(1))
-                jax.block_until_ready(s.params)
-                n = 10
-                t0 = time.perf_counter()
-                for i in range(n):
-                    s, m = step(s, batch, jax.random.PRNGKey(2 + i))
-                jax.block_until_ready(s.params)
-                dt_step = (time.perf_counter() - t0) / n
+                # warmup every program once before ANY timed round
+                for name, prog in progs.items():
+                    jax.block_until_ready(
+                        prog(jax.random.PRNGKey(1), cparams, batch))
 
-                row = {
-                    "batch": B, "dtype": dtype, "remat": remat,
-                    "dropout_rng": tcfg.dropout_rng_impl,
-                    "fwd_bwd_ms": round(dt_vag * 1e3, 1),
-                    "step_ms": round(dt_step * 1e3, 1),
-                }
-                if dt_fwd is not None:
-                    row["fwd_ms"] = round(dt_fwd * 1e3, 1)
+                # interleaved rounds: fwd → vag → step per round so
+                # tunnel/chip drift hits all three alike
+                times = {name: [] for name in progs}
+                times["step"] = []
+                for r in range(ROUNDS):
+                    for name, prog in progs.items():
+                        t0 = time.perf_counter()
+                        for c in range(CHAIN):
+                            out = prog(jax.random.PRNGKey(100 + r * CHAIN + c),
+                                       cparams, batch)
+                        jax.block_until_ready(out)
+                        times[name].append(
+                            (time.perf_counter() - t0) / CHAIN)
+                    t0 = time.perf_counter()
+                    for c in range(CHAIN):
+                        state, m = step(state, batch,
+                                        jax.random.PRNGKey(200 + r * CHAIN + c))
+                    jax.block_until_ready(state.params)
+                    times["step"].append((time.perf_counter() - t0) / CHAIN)
+
+                row = {"batch": B, "dtype": dtype, "remat": remat,
+                       "dropout_rng": tcfg.dropout_rng_impl,
+                       "rounds": ROUNDS, "chain": CHAIN}
+                for name in times:
+                    med, mad = median_mad(times[name])
+                    key_name = {"fwd": "fwd_ms", "fwd_bwd": "fwd_bwd_ms",
+                                "step": "step_ms"}[name]
+                    row[key_name] = round(med * 1e3, 1)
+                    row[key_name.replace("_ms", "_mad_ms")] = round(mad * 1e3, 2)
+                for name, prog in progs.items():
+                    row[f"{name}_cost"] = cost_summary(prog)
+                # derived decomposition + self-consistency check
+                if "fwd_ms" in row:
+                    row["bwd_ms_derived"] = round(
+                        row["fwd_bwd_ms"] - row["fwd_ms"], 1)
+                row["opt_ms_derived"] = round(
+                    row["step_ms"] - row["fwd_bwd_ms"], 1)
+                noise = 2.0 * (row.get("fwd_bwd_mad_ms", 0)
+                               + row.get("fwd_mad_ms", 0)
+                               + row.get("step_mad_ms", 0))
+                row["suspect"] = bool(
+                    row.get("bwd_ms_derived", 0) < -noise
+                    or row["opt_ms_derived"] < -noise)
                 emit(row)
 
 

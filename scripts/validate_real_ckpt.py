@@ -76,6 +76,14 @@ def main(argv=None) -> int:
     p.add_argument("--style", default=None)
     p.add_argument("--save_dir", default="./validate_real_ckpt_out")
     p.add_argument("--seed", type=int, default=123456)
+    p.add_argument("--sampler", default=None,
+                   help="pass through to cli.sample (ddpm default)")
+    p.add_argument("--respace", type=int, default=0,
+                   help="pass through to cli.sample (few-step serving; "
+                        "the dry-run CI test uses this to keep the "
+                        "1000-step loop off the CPU backend)")
+    p.add_argument("--allow_degraded", action="store_true",
+                   help="pass through to cli.sample (ungated modes)")
     args = p.parse_args(argv)
 
     for path, what in [(args.ckpt, "denoiser checkpoint"),
@@ -95,14 +103,17 @@ def main(argv=None) -> int:
     from diffusestylegesture_tpu.config import load_yaml_config
 
     cfg = load_yaml_config(args.config)
-    cfg["wavlm_path"] = args.wavlm
-    cfg["data_dir"] = args.data_dir
+    # Config is attribute-style (SimpleNamespace); item assignment raised
+    # TypeError — caught by the full-size dry run this script had never
+    # had until round 5 (tests/test_real_ckpt_dryrun.py)
+    cfg.wavlm_path = args.wavlm
+    cfg.data_dir = args.data_dir
     patched = os.path.join(args.save_dir, "_validate_cfg.yml")
     os.makedirs(args.save_dir, exist_ok=True)
     import yaml
 
     with open(patched, "w") as f:
-        yaml.safe_dump(dict(cfg), f)
+        yaml.safe_dump(cfg.to_dict(), f)
 
     argv_cli = [
         "--config", patched, "--model_path", args.ckpt,
@@ -111,6 +122,12 @@ def main(argv=None) -> int:
     ]
     if args.style:
         argv_cli += ["--style", args.style]
+    if args.sampler:
+        argv_cli += ["--sampler", args.sampler]
+    if args.respace:
+        argv_cli += ["--respace", str(args.respace)]
+    if args.allow_degraded:
+        argv_cli += ["--allow_degraded"]
     print("running cli.sample", " ".join(argv_cli))
     before = set(os.listdir(args.save_dir))
     sample_cli.main(argv_cli)

@@ -529,3 +529,24 @@ class TestDeviceOut:
                            mean=mean, std=std, device_out=True)
         assert isinstance(dev, jax.Array)
         np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-6)
+
+    def test_presliced_device_windows_match_host_audio(self):
+        """generate() accepts ALREADY-SLICED (W, S) windows, host or
+        device — bench.py pre-stages them so its device-side timing
+        window excludes the input transfer; values must be identical to
+        the 1-D audio path."""
+        from diffusestylegesture_tpu.sample.engine import slice_audio_windows
+
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        audio = np.random.default_rng(4).standard_normal(
+            cfg.samples_per_stride * 2).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        host = eng.generate({}, {}, audio, style, jax.random.PRNGKey(7))
+        win_dev = jnp.asarray(slice_audio_windows(audio, cfg))
+        assert win_dev.ndim == 2
+        out = eng.generate({}, {}, win_dev, style, jax.random.PRNGKey(7),
+                           device_out=True)
+        assert isinstance(out, jax.Array)
+        np.testing.assert_allclose(np.asarray(out), host,
+                                   rtol=1e-6, atol=1e-6)
