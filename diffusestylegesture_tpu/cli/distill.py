@@ -50,6 +50,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk", type=int, default=100,
+                   help="optimizer steps per device dispatch (lax.scan "
+                        "body): per-step host dispatch through a remote "
+                        "backend measured ~1.4 steps/s vs ~60 on-device")
     args = p.parse_args(argv)
 
     import jax
@@ -131,20 +135,36 @@ def main(argv=None):
         # teacher params and the dataset arrays enter the jit as ARGUMENTS
         # — closing over either would bake them into the executable as
         # constants (compile bloat; remote-compile transports reject the
-        # oversized program)
+        # oversized program). The optimization loop runs as a lax.scan of
+        # `--chunk` steps per dispatch: per-step host dispatch through a
+        # tunneled backend is stime-bound at ~1.4 steps/s for this call's
+        # arg-tree size, while the scanned body runs at compiled speed.
+        chunk = max(min(args.chunk, args.steps_per_stage), 1)
+
         @jax.jit
-        def step_fn(tp, params, opt_state, key, arrays):
-            k_data, k_step = jax.random.split(key)
-            batch = DeviceWindowCache.sample_batch(arrays, k_data, batch_size)
-            x0, cond, _mask = builder(batch)
-            return _make(tp)[1](params, opt_state, x0, k_step, cond)
+        def chunk_fn(tp, params, opt_state, key, arrays):
+            def body(carry, _):
+                params, opt_state, key = carry
+                key, k_data, k_step = jax.random.split(key, 3)
+                batch = DeviceWindowCache.sample_batch(
+                    arrays, k_data, batch_size)
+                x0, cond, _mask = builder(batch)
+                params, opt_state, m = _make(tp)[1](
+                    params, opt_state, x0, k_step, cond)
+                return (params, opt_state, key), m["loss"]
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), None, length=chunk)
+            return params, opt_state, key, losses[-1]
+
         opt = init_fn(student_params)
         params = student_params
-        for i in range(args.steps_per_stage):
-            key, sub = jax.random.split(key)
-            params, opt, m = step_fn(teacher_params, params, opt, sub, cache.arrays)
-            if i % max(1, args.steps_per_stage // 10) == 0:
-                print(f"  step {i}: loss {float(m['loss']):.5f}")
+        n_chunks = -(-args.steps_per_stage // chunk) if args.steps_per_stage else 0
+        for i in range(n_chunks):
+            params, opt, key, last_loss = chunk_fn(
+                teacher_params, params, opt, key, cache.arrays)
+            if i % max(1, n_chunks // 10) == 0:
+                print(f"  step {i * chunk}: loss {float(last_loss):.5f}")
 
         sched_student = student_schedule(sched_teacher, base_betas=base_betas)
         stage_dir = os.path.abspath(

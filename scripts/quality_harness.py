@@ -933,36 +933,47 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report,
         # teacher params and the dataset arrays enter as jit ARGS, not
         # closure constants (same pattern as cli/distill.py and
         # data/device_cache.py — closure arrays become HLO literals:
-        # compile bloat, and remote-compile transports reject them)
+        # compile bloat, and remote-compile transports reject them).
+        # The optimization loop itself is a lax.scan over CHUNK steps —
+        # ONE dispatch per 100 steps: per-step host dispatch through the
+        # tunneled backend measured ~1.4 steps/s (the r5 budgets would
+        # have taken hours), stime-dominated relay traffic for 4 pytree
+        # args per call; scanning on device runs the same math at
+        # compiled speed with 1/CHUNK the dispatches.
+        CHUNK = max(min(100, steps_this_stage), 1)
+
         @jax.jit
-        def jstep(tp, p, ema, opt_state, key, arrays):
-            k_data, k_step = jax.random.split(key)
-            batch = DeviceWindowCache.sample_batch(arrays, k_data, batch_size)
-            x0, cond, _ = builder(batch)
-            p2, opt2, m2 = _make(tp)[1](p, opt_state, x0, k_step, cond)
-            ema2 = jax.tree.map(
-                lambda e, q: ema_decay * e + (1.0 - ema_decay) * q, ema, p2)
-            return p2, ema2, opt2, m2
+        def jchunk(tp, p, ema, opt_state, key, arrays):
+            def body(carry, _):
+                p, ema, opt_state, key = carry
+                key, k_data, k_step = jax.random.split(key, 3)
+                batch = DeviceWindowCache.sample_batch(
+                    arrays, k_data, batch_size)
+                x0, cond, _ = builder(batch)
+                p2, opt2, m2 = _make(tp)[1](p, opt_state, x0, k_step, cond)
+                ema2 = jax.tree.map(
+                    lambda e, q: ema_decay * e + (1.0 - ema_decay) * q,
+                    ema, p2)
+                return (p2, ema2, opt2, key), m2["loss"]
+
+            (p, ema, opt_state, key), losses = jax.lax.scan(
+                body, (p, ema, opt_state, key), None, length=CHUNK)
+            return p, ema, opt_state, key, losses[-1]
 
         student_params = jax.tree.map(jnp.copy, teacher_params)
         ema_params = jax.tree.map(jnp.copy, teacher_params)
         opt = init_fn(student_params)
         key = jax.random.PRNGKey(stage)
         t0 = time.time()
-        m = {"loss": float("nan")}  # QH_DISTILL_STEPS=0 smoke runs
-        for i in range(steps_this_stage):
-            key, sub = jax.random.split(key)
-            student_params, ema_params, opt, m = jstep(
-                teacher_params, student_params, ema_params, opt, sub,
+        loss = float("nan")  # QH_DISTILL_STEPS=0 smoke runs
+        for i in range(-(-steps_this_stage // CHUNK) if steps_this_stage else 0):
+            student_params, ema_params, opt, key, last_loss = jchunk(
+                teacher_params, student_params, ema_params, opt, key,
                 cache.arrays)
-            if (i + 1) % 100 == 0:
-                # bound the async dispatch queue: an uncapped
-                # steps-deep enqueue through the remote tunnel
-                # wedged the relay at 1000 steps/stage (r04 re-run);
-                # cli.distill already syncs every steps//10 via its loss
-                # print — this is the same discipline
-                jax.block_until_ready(m["loss"])
-        loss = float(m["loss"])
+            # one sync per chunk: bounds the async queue (an uncapped
+            # enqueue wedged the relay in the r04 re-run) and keeps the
+            # loop observable
+            loss = float(last_loss)
         print(f"   distill stage {stage + 1}/{stages}: {nt}→{nt // 2} steps, "
               f"{steps_this_stage} opt steps, loss {loss:.4f} "
               f"({time.time() - t0:.0f}s)")
