@@ -530,6 +530,26 @@ class TestDeviceOut:
         assert isinstance(dev, jax.Array)
         np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-6)
 
+    def test_transfer_dtype_halves_bytes_within_f16_error(self):
+        """generate(transfer_dtype=f16) returns float32 values equal to
+        the full-precision path within f16 rounding (rel ~5e-4) — the
+        half-bytes output-transfer mode for tunnel/PCIe-bound serving."""
+        cfg = ZeggsEngineConfig(njoints=NJ)
+        eng = ZeggsSampler(toy_model_apply, toy_wavlm_apply, SCHED, cfg)
+        audio = np.random.default_rng(8).standard_normal(
+            cfg.samples_per_stride * 2).astype(np.float32)
+        style = np.eye(6, dtype=np.float32)[:1]
+        mean = np.random.default_rng(9).standard_normal(NJ).astype(np.float32)
+        std = np.abs(np.random.default_rng(10).standard_normal(NJ)) + 0.1
+        full = eng.generate({}, {}, audio, style, jax.random.PRNGKey(11),
+                            mean=mean, std=std)
+        compact = eng.generate({}, {}, audio, style, jax.random.PRNGKey(11),
+                               mean=mean, std=std,
+                               transfer_dtype=jnp.float16)
+        assert compact.dtype == np.float32
+        scale = np.maximum(np.abs(full), 1.0)
+        assert np.max(np.abs(compact - full) / scale) < 1e-3
+
     def test_presliced_device_windows_match_host_audio(self):
         """generate() accepts ALREADY-SLICED (W, S) windows, host or
         device — bench.py pre-stages them so its device-side timing
