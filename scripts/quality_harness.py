@@ -385,6 +385,63 @@ def make_pseudo_wavlm():
 # ---------------------------------------------------------------------------
 
 
+def _ckpt_done(ckpt_dir: str, steps: int) -> bool:
+    """True only when ckpt_dir holds a checkpoint at >= the requested
+    step count. QH_SKIP_TRAIN previously keyed on the DIRECTORY existing,
+    but orbax creates it at manager init — a run killed before the first
+    save leaves an empty dir that silently skipped training on the next
+    launch; a mid-train checkpoint (save_interval>0) must RESUME, not
+    serve the undertrained weights."""
+    if not os.path.isdir(ckpt_dir):
+        return False
+    saved = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return bool(saved) and max(saved) >= steps
+
+
+def _gen_sidecar_path(gen_root: str, mode_name: str) -> str:
+    return os.path.join(gen_root, mode_name, "done.json")
+
+
+def _write_gen_sidecar(gen_root, mode_name, fps_val, frames, train_steps,
+                       clips) -> None:
+    """Record a completed mode generation so a crashed/hung harness run
+    (r5: a 20-min tunnel stall inside one device_get killed an otherwise
+    finished ZEGGS family) can resume without regenerating: the .npy
+    replicates are already on disk; the only non-derivable facts are the
+    measured warm fps and the checkpoint the arrays came from."""
+    with open(_gen_sidecar_path(gen_root, mode_name), "w") as f:
+        json.dump({"fps": fps_val, "frames": frames,
+                   "train_steps": train_steps, "seed_reps": SEED_REPS,
+                   "noise_seed": NOISE_SEED, "clips": sorted(clips)}, f)
+
+
+def _reusable_gen(gen_root, mode_name, train_steps, clips):
+    """Return the sidecar dict when QH_REUSE_GEN=1 and the mode's
+    generated replicates are complete AND come from the same checkpoint
+    step / replicate count / clip set — else None (regenerate)."""
+    if not _env_flag("QH_REUSE_GEN"):
+        return None
+    path = _gen_sidecar_path(gen_root, mode_name)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            side = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    if (side.get("train_steps") != train_steps
+            or side.get("seed_reps") != SEED_REPS
+            or side.get("noise_seed") != NOISE_SEED
+            or side.get("clips") != sorted(clips)):
+        return None
+    for r in range(SEED_REPS):
+        rd = os.path.join(gen_root, mode_name, f"rep{r}")
+        if not all(os.path.exists(os.path.join(rd, s + ".npy"))
+                   for s in clips):
+            return None
+    return side
+
+
 def _eval_dir(gen_dir, ref_dir, wav_dir, fps, ae_cache) -> dict:
     from diffusestylegesture_tpu.cli.eval import main as eval_main
 
@@ -541,7 +598,7 @@ def run_zeggs(workdir: str) -> dict:
     # -- train through the product CLI --
     mcfg_kw = (dict(latent_dim=128, ff_size=128, num_layers=2) if SMALL
                else dict(latent_dim=256, ff_size=1024, num_layers=8))
-    if not (_env_flag("QH_SKIP_TRAIN") and os.path.isdir(ckpt_dir)):
+    if not (_env_flag("QH_SKIP_TRAIN") and _ckpt_done(ckpt_dir, steps)):
         print(f"== training MDM for {steps} steps (cli.train) ==")
         cfg = dict(
             dataset="ZEGGS", name="DiffuseStyleGesture", data_dir=data_dir,
@@ -551,7 +608,12 @@ def run_zeggs(workdir: str) -> dict:
             num_layers=mcfg_kw["num_layers"], cond_mask_prob=0.1,
             cond_mode="cross_local_attention3_style1", audio_feat="wavlm",
             diffusion_steps=DIFFUSION_STEPS, noise_schedule="cosine",
-            lr=1e-4, log_interval=50, save_interval=0, num_steps=steps,
+            # save_interval: mid-train checkpoints make a tunnel-stall
+            # kill resumable (train.loop auto-restores latest from
+            # save_dir) — r5's first run lost 30k TWH steps to a hang
+            lr=1e-4, log_interval=50,
+            save_interval=max(2000, min(10_000, steps // 4)),
+            num_steps=steps,
             save_dir=ckpt_dir, log_dir=log_dir, log_formats=["stdout", "csv"],
             wavlm_path=os.path.join(workdir, "no-wavlm.pt"),
         )
@@ -629,9 +691,40 @@ def run_zeggs(workdir: str) -> dict:
         else:
             eval_stages = set(range(min(3, distill_stages),
                                     distill_stages + 1))
-        modes.update(distill_student(
-            model_apply, params, full, data_dir, distill_stages, report,
-            eval_stages))
+        # resume: when every evaluated student's generated replicates are
+        # already on disk from this checkpoint (QH_REUSE_GEN sidecars),
+        # the student params are only needed to REgenerate — skip the
+        # distillation entirely and register placeholder modes; the
+        # per-mode reuse branch below never touches apply_fn/params
+        nt_chain, _nt = [], DIFFUSION_STEPS
+        for _ in range(distill_stages):
+            _nt //= 2
+            nt_chain.append(_nt)
+        expected = [f"distill{nt_chain[s - 1]}"
+                    for s in sorted(eval_stages | {distill_stages})]
+        _stems = sorted(f[:-4] for f in os.listdir(eval_src)
+                        if f.endswith(".wav"))
+        if all(_reusable_gen(gen_root, m, report["train_steps"], _stems)
+               is not None for m in expected):
+            print(f"== reusing generated replicates for {expected} — "
+                  "skipping distillation ==")
+            for m in expected:
+                modes[m] = (None, None, None, "ddim")
+            stages_side = os.path.join(workdir, "distill_stages.json")
+            if os.path.exists(stages_side):
+                with open(stages_side) as f:
+                    side = json.load(f)
+                report["distill"] = side["stages"]
+                report["distill_steps_per_stage"] = side["steps_per_stage"]
+        else:
+            modes.update(distill_student(
+                model_apply, params, full, data_dir, distill_stages, report,
+                eval_stages))
+            with open(os.path.join(workdir, "distill_stages.json"),
+                      "w") as f:
+                json.dump({"steps_per_stage":
+                           report.get("distill_steps_per_stage"),
+                           "stages": report.get("distill", [])}, f)
 
     # -- ground-truth eval features + audio (CPU-pinned workers: the
     # serial path would dispatch the quat/FK math eagerly through the
@@ -659,11 +752,35 @@ def run_zeggs(workdir: str) -> dict:
     # -- generate (QH_SEED_REPS batched noise replicates) + evaluate --
     from diffusestylegesture_tpu.data import load_wav_16k
 
+    clip_stems = [f[:-4] for f in eval_wavs]
     for mode_name, (apply_fn, mparams, sched, sampler_name) in modes.items():
         rep_dirs = [os.path.join(gen_root, mode_name, f"rep{r}")
                     for r in range(SEED_REPS)]
         for d in rep_dirs:
             os.makedirs(d, exist_ok=True)
+        side = _reusable_gen(gen_root, mode_name, report["train_steps"],
+                             clip_stems)
+        if side is not None:
+            frames, fps_val = side["frames"], side["fps"]
+            print(f"== mode {mode_name}: reusing {frames} generated frames "
+                  f"({SEED_REPS} reps, recorded warm {fps_val:.0f} fps) ==",
+                  flush=True)
+            rep_metrics = [
+                _eval_dir(rd, ref_dir, eval_src, FPS,
+                          os.path.join(workdir, "ae_cache"))
+                for rd in rep_dirs
+            ]
+            entry = _aggregate_reps(rep_metrics, fps_val, SEED_REPS)
+            report["modes"][mode_name] = entry
+            print(f"   {mode_name}: fgd={entry['fgd']:.3f}"
+                  f"±{entry['fgd_std']:.3f} "
+                  f"beat={_nanf(entry.get('beat_alignment')):.3f} "
+                  f"div={entry['diversity_generated']:.2f}")
+            continue
+        # regenerating: drop any stale sidecar so a crash mid-mode can't
+        # later pass off mixed-run replicates as a completed generation
+        if os.path.exists(_gen_sidecar_path(gen_root, mode_name)):
+            os.remove(_gen_sidecar_path(gen_root, mode_name))
         sampler = ZeggsSampler(
             apply_fn, wavlm_jax, sched,
             ZeggsEngineConfig(sampler=sampler_name),
@@ -741,6 +858,8 @@ def run_zeggs(workdir: str) -> dict:
         fps_val = (warm_frames or frames) / wall
         print(f"== mode {mode_name}: {frames} frames over {SEED_REPS} reps, "
               f"warm {fps_val:.0f} fps (all streams) ==")
+        _write_gen_sidecar(gen_root, mode_name, fps_val, frames,
+                           report["train_steps"], clip_stems)
 
         rep_metrics = [
             _eval_dir(rd, ref_dir, eval_src, FPS,
@@ -1137,14 +1256,19 @@ def run_twh(workdir: str) -> dict:
     # -- train MDM+ through the product CLI (TWH derivations: latent 512,
     # njoints 2232, attention4) --
     mcfg_kw = dict(ff_size=128, num_layers=2) if SMALL else {}
-    if not (_env_flag("QH_SKIP_TRAIN") and os.path.isdir(ckpt_dir)):
+    if not (_env_flag("QH_SKIP_TRAIN") and _ckpt_done(ckpt_dir, steps)):
         print(f"== training MDM+ (TWH) for {steps} steps (cli.train) ==")
         cfg = dict(
             dataset="TWH", name="DiffuseStyleGesture+", h5file=h5_path,
             n_poses=TWH_N_POSES, n_seed=TWH_N_SEED, batch_size=48,
             cond_mask_prob=0.1, audio_feat="wavlm",
             diffusion_steps=DIFFUSION_STEPS, noise_schedule="cosine",
-            lr=1e-4, log_interval=50, save_interval=0, num_steps=steps,
+            # save_interval: mid-train checkpoints make a tunnel-stall
+            # kill resumable (train.loop auto-restores latest from
+            # save_dir) — r5's first run lost 30k TWH steps to a hang
+            lr=1e-4, log_interval=50,
+            save_interval=max(2000, min(10_000, steps // 4)),
+            num_steps=steps,
             save_dir=ckpt_dir, log_dir=log_dir, log_formats=["stdout", "csv"],
             **mcfg_kw,
         )
@@ -1230,11 +1354,33 @@ def run_twh(workdir: str) -> dict:
         tx = load_tsv(stem + ".tsv", w2v, len(af), laughter_flag=True)
         textaudio[s] = np.concatenate([af, tx], axis=-1)
 
+    clip_stems = [os.path.basename(stem) for stem in eval_stems]
     for mode_name, (sched, sampler_name) in modes.items():
         rep_dirs = [os.path.join(gen_root, mode_name, f"rep{r}")
                     for r in range(SEED_REPS)]
         for d in rep_dirs:
             os.makedirs(d, exist_ok=True)
+        side = _reusable_gen(gen_root, mode_name, report["train_steps"],
+                             clip_stems)
+        if side is not None:
+            frames, fps_val = side["frames"], side["fps"]
+            print(f"== twh mode {mode_name}: reusing {frames} generated "
+                  f"frames ({SEED_REPS} reps, recorded warm "
+                  f"{fps_val:.0f} fps) ==", flush=True)
+            rep_metrics = [
+                _eval_dir(rd, ref_dir, eval_src, TWH_FPS,
+                          os.path.join(workdir, "twh_ae_cache"))
+                for rd in rep_dirs
+            ]
+            entry = _aggregate_reps(rep_metrics, fps_val, SEED_REPS)
+            report["modes"][mode_name] = entry
+            print(f"   {mode_name}: fgd={entry['fgd']:.3f}"
+                  f"±{entry['fgd_std']:.3f} "
+                  f"beat={_nanf(entry.get('beat_alignment')):.3f} "
+                  f"div={entry['diversity_generated']:.2f}")
+            continue
+        if os.path.exists(_gen_sidecar_path(gen_root, mode_name)):
+            os.remove(_gen_sidecar_path(gen_root, mode_name))
         sampler = BeatTwhSampler(
             model_apply, sched,
             BeatEngineConfig(variant="attention4", sampler=sampler_name),
@@ -1266,6 +1412,8 @@ def run_twh(workdir: str) -> dict:
         fps_val = (warm_frames or frames) / wall
         print(f"== twh mode {mode_name}: {frames} frames over {SEED_REPS} "
               f"reps, warm {fps_val:.0f} fps (all streams) ==")
+        _write_gen_sidecar(gen_root, mode_name, fps_val, frames,
+                           report["train_steps"], clip_stems)
 
         rep_metrics = [
             _eval_dir(rd, ref_dir, eval_src, TWH_FPS,
