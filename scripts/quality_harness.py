@@ -52,7 +52,9 @@ Env knobs: QH_FAMILIES (default "zeggs,twh"), QH_STEPS (ZEGGS train
 steps, default 3000), QH_TWH_STEPS (default = QH_STEPS), QH_SEED_REPS
 (default 8), QH_NOISE_SEED (master generation-noise seed, default
 123456 — run twice with different values to demonstrate verdict
-stability under independent noise), QH_WORKDIR, QH_DISTILL_STAGES
+stability under independent noise; pair the replay with
+QH_NO_GATE_WRITE=1 so it scores without replacing the shipped
+quality_gate.json/DEMO), QH_WORKDIR, QH_DISTILL_STAGES
 (default 3; with more stages every student from the 3rd halving down
 becomes its own FGD-gated mode — QH_DISTILL_EVAL=3,6 narrows which
 stage indices are evaluated), QH_DISTILL_STEPS (BASE distill steps per
@@ -1544,8 +1546,16 @@ def main():
     print("wrote", out_path)
 
     if real_manifests:
-        print("wrote", merge_gate_manifest(real_manifests))
-        write_demo_md(report, workdir)
+        if os.environ.get("QH_NO_GATE_WRITE"):
+            # stability/eval-only replays (e.g. a second run under a
+            # different QH_NOISE_SEED for compare_quality_runs.py) score
+            # and report but must not replace the SHIPPED gate or demo:
+            # those stay tied to the committed round artifact
+            print("QH_NO_GATE_WRITE set — shipped quality_gate.json and "
+                  "DEMO left untouched")
+        else:
+            print("wrote", merge_gate_manifest(real_manifests))
+            write_demo_md(report, workdir)
     for fam, rep in report["families"].items():
         reasons = rep.get("manifest", {}).get("collapse_reasons")
         if reasons:
