@@ -226,6 +226,7 @@ def main():
                 for name in times:
                     med, mad = median_mad(times[name])
                     key_name = {"fwd": "fwd_ms", "fwd_bwd": "fwd_bwd_ms",
+                                "fwd_nodrop": "fwd_nodrop_ms",
                                 "step": "step_ms"}[name]
                     row[key_name] = round(med * 1e3, 1)
                     row[key_name.replace("_ms", "_mad_ms")] = round(mad * 1e3, 2)
