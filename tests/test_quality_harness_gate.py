@@ -154,5 +154,47 @@ def test_stage_budget_monotone_and_front_loaded():
     assert budgets[0] == 2400 and budgets[-1] == 1200
 
 
+def test_rebuild_with_no_gate_write_leaves_shipped_gate_alone(tmp_path):
+    """--rebuild on a REAL committed report under QH_NO_GATE_WRITE=1 must
+    recompute verdicts into QUALITY_<round>.json without touching the
+    shipped resources/quality_gate.json or DEMO — the contract the
+    second-seed stability replay (compare_quality_runs.py) relies on."""
+    import json
+    import subprocess
+
+    src = os.path.join(REPO, "QUALITY_r05.json")
+    if not os.path.exists(src):
+        pytest.skip("no committed round report to rebuild from")
+    gate_path = os.path.join(
+        REPO, "diffusestylegesture_tpu", "resources", "quality_gate.json")
+    with open(gate_path) as f:
+        gate_before = f.read()
+    out = os.path.join(REPO, "QUALITY_test_rebuild_tmp.json")
+    env = dict(os.environ, QH_ROUND="test_rebuild_tmp",
+               QH_NO_GATE_WRITE="1", JAX_PLATFORMS="cpu")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "quality_harness.py"),
+             "--rebuild", src],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "QH_NO_GATE_WRITE" in proc.stdout
+        assert os.path.exists(out), proc.stdout[-2000:]
+        with open(out) as f:
+            rebuilt = json.load(f)
+        # verdicts recomputed from the same reps match the shipped gate
+        shipped = json.loads(gate_before)["families"]
+        for fam, man in shipped.items():
+            got = rebuilt["families"][fam]["manifest"]
+            for mode, entry in man["modes"].items():
+                assert got["modes"][mode]["ok"] == entry["ok"], (fam, mode)
+        with open(gate_path) as f:
+            assert f.read() == gate_before
+    finally:
+        if os.path.exists(out):
+            os.remove(out)
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
