@@ -32,6 +32,13 @@ class MeanType(enum.Enum):
     PREVIOUS_X = "previous_x"
     START_X = "start_x"
     EPSILON = "epsilon"
+    # v-parameterization (Salimans & Ho 2022, "Progressive Distillation").
+    # Not in the reference's guided-diffusion core; needed by the
+    # `Generator_diff` baseline port (`main/mydiffusion_zeggs/generate/
+    # generate.py:368-374` constructs `myGaussianDiffusion1D(...,
+    # objective='pred_v')`) and by the consistency/progressive
+    # distillation recipes.
+    VELOCITY = "velocity"
 
 
 class VarType(enum.Enum):
@@ -111,6 +118,24 @@ def predict_eps_from_xstart(sched: Schedule, x_t: jax.Array, t: jax.Array, pred_
     ) / _bcast(sched.sqrt_recipm1_alphas_cumprod, t, nd)
 
 
+def predict_v(sched: Schedule, x_start: jax.Array, t: jax.Array, noise: jax.Array):
+    """v = sqrt(a-bar_t) eps - sqrt(1 - a-bar_t) x_0  (Salimans & Ho 2022, eq. 11)."""
+    nd = x_start.ndim
+    return (
+        _bcast(sched.sqrt_alphas_cumprod, t, nd) * noise
+        - _bcast(sched.sqrt_one_minus_alphas_cumprod, t, nd) * x_start
+    )
+
+
+def predict_xstart_from_v(sched: Schedule, x_t: jax.Array, t: jax.Array, v: jax.Array):
+    """x_0 = sqrt(a-bar_t) x_t - sqrt(1 - a-bar_t) v — inverse of `predict_v`."""
+    nd = x_t.ndim
+    return (
+        _bcast(sched.sqrt_alphas_cumprod, t, nd) * x_t
+        - _bcast(sched.sqrt_one_minus_alphas_cumprod, t, nd) * v
+    )
+
+
 class PMeanVariance(NamedTuple):
     mean: jax.Array
     variance: jax.Array
@@ -171,6 +196,9 @@ def p_mean_variance(
         model_mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
     elif mean_type == MeanType.EPSILON:
         pred_xstart = process_xstart(predict_xstart_from_eps(sched, x, t, model_output))
+        model_mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
+    elif mean_type == MeanType.VELOCITY:
+        pred_xstart = process_xstart(predict_xstart_from_v(sched, x, t, model_output))
         model_mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
     else:
         raise NotImplementedError(mean_type)
@@ -322,6 +350,8 @@ def training_losses(
         target = q_posterior_mean_variance(sched, x_start, x_t, t)[0]
     elif mean_type == MeanType.START_X:
         target = x_start
+    elif mean_type == MeanType.VELOCITY:
+        target = predict_v(sched, x_start, t, noise)
     else:
         target = noise
 

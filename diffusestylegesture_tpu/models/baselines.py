@@ -14,12 +14,15 @@ Bahdanau-attention seq2seq net the project compared against:
     encoder (summed directions), Bahdanau additive attention, pre-linear
     with BatchNorm, GRU decoder, teacher-forced `n_pre_poses` rollout.
 
-NOT ported (unexecutable dead code in the reference): `Generator_diff`
-(`generate.py:350-385` — uses `myUnet1D`/`myGaussianDiffusion1D` whose
-import is commented out, NameError on construction) and
-`generate/diffwav.py` (imports the external `mydiffwave` package that is
-not part of the repository). Their role — audio-conditioned diffusion —
-is this framework's main path.
+The two diffusion baselines are unexecutable dead code in the reference
+(`Generator_diff`, `generate.py:350-385`, uses `myUnet1D`/
+`myGaussianDiffusion1D` whose import is commented out — NameError on
+construction; `generate/diffwav.py` imports the external `mydiffwave`
+package that is not part of the repository — `tests/test_baselines.py`
+pins both). They are nevertheless ported as intent-repaired TPU-native
+modules: `models/unet1d.py` (`GeneratorDiff`: audio-conditioned 1-D
+U-Net under pred-v/huber diffusion) and `models/diffwav.py`
+(`DiffWavModel`: DiffWave denoiser + the fast-sampling loop).
 
 Inference-mode modules (BatchNorm uses converted running stats; dropout
 off): the baselines exist for comparison sampling, not re-training.
