@@ -146,6 +146,11 @@ class UNet1D(nn.Module):
         x_self_cond: Optional[jax.Array] = None,
     ) -> jax.Array:
         B, T, _ = x.shape
+        down_factor = 2 ** (len(self.dim_mults) - 1)
+        if T % down_factor:
+            raise ValueError(
+                f"seq_len {T} must be a multiple of {down_factor} "
+                f"(2^(len(dim_mults)-1)) so the up-path skip shapes match")
         parts = [x]
         if self.self_condition:
             if x_self_cond is None:
@@ -278,7 +283,11 @@ def generator_diff_loss(
     v_pred = model.apply(params, x_t, t, audio_feat, x_sc,
                          method=GeneratorDiff.denoise)
     v_target = G.predict_v(sched, pose, t, noise)
-    return jnp.mean(G.smooth_l1(v_pred, v_target))
+    # lucidrains pred-v loss weight: snr/(snr+1) per example — the
+    # min-SNR-1 weighting that keeps high-noise timesteps from dominating
+    per_ex = jnp.mean(G.smooth_l1(v_pred, v_target), axis=tuple(range(1, pose.ndim)))
+    snr = sched.alphas_cumprod[t] / (1.0 - sched.alphas_cumprod[t])
+    return jnp.mean(per_ex * (snr / (snr + 1.0)))
 
 
 def generator_diff_sample(

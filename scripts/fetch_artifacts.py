@@ -58,6 +58,10 @@ class Artifact:
     dest: str          # directory relative to --dest
     filename: str = "" # target file name ("" = from URL / server)
     post: str = ""     # "" | "unzip" | "untar" (auto-detects compression)
+    marker: str = ""   # path under dest whose existence means "present"
+                       # (defaults to `filename`; archives should set it
+                       # to an extracted path so shared dest dirs don't
+                       # cross-satisfy each other's status checks)
     consumer: str = "" # framework command that uses the artifact
     ref: str = ""      # reference file:line this mirrors
 
@@ -104,7 +108,7 @@ ARTIFACTS: tuple = (
         "fastText crawl-300d-2M.vec English word vectors (~1.5 GB zip)",
         (Source("http", "https://dl.fbaipublicfiles.com/fasttext/"
                         "vectors-english/crawl-300d-2M.vec.zip"),),
-        "fasttext", post="unzip",
+        "fasttext", post="unzip", marker="crawl-300d-2M.vec",
         consumer="diffusestylegesture_tpu.data.text.load_wordvectors("
                  "'artifacts/fasttext/crawl-300d-2M.vec')",
         ref="BEAT-TWH-main/Readme.md:96",
@@ -146,7 +150,7 @@ ARTIFACTS: tuple = (
         "glove",
         "GloVe vectors used by the T2M evaluators",
         (Source("gdrive", "1cmXKUT31pqd7_XpJAiWEo1K81TMYHA5n"),),
-        "glove", "glove.zip", post="unzip",
+        "glove", "glove.zip", post="unzip", marker="glove",
         consumer="diffusestylegesture_tpu.data.humanml.WordVectorizer('artifacts/glove')",
         ref="main/prepare/download_glove.sh",
     ),
@@ -155,6 +159,7 @@ ARTIFACTS: tuple = (
         "HumanAct12 poses dataset (action-to-motion)",
         (Source("gdrive", "1130gHSvNyJmii7f6pv5aY5IyQIWc3t7R"),),
         "dataset", "HumanAct12Poses.tar.gz", post="untar",
+        marker="HumanAct12Poses",
         consumer="python -m diffusestylegesture_tpu.cli.train_t2m --dataset humanact12",
         ref="main/prepare/download_a2m_datasets.sh",
     ),
@@ -162,7 +167,7 @@ ARTIFACTS: tuple = (
         "uestc_poses",
         "UESTC poses estimated with VIBE",
         (Source("gdrive", "1LE-EmYNzECU8o7A2DmqDKtqDMucnSJsy"),),
-        "dataset", "uestc.tar.bz2", post="untar",
+        "dataset", "uestc.tar.bz2", post="untar", marker="uestc",
         consumer="python -m diffusestylegesture_tpu.cli.train_t2m --dataset uestc",
         ref="main/prepare/download_a2m_datasets.sh",
     ),
@@ -180,7 +185,7 @@ ARTIFACTS: tuple = (
         "recognition_uestc",
         "UESTC action-recognition eval model (STGCN)",
         (Source("gdrive", "1bSSD69s1dHY7Uk0RGbGc6p7uhUxSDSBK"),),
-        "assets/actionrecognition",
+        "assets/actionrecognition", "uestc_stgcn.tar",
         consumer="diffusestylegesture_tpu.eval.stgcn (a2m eval)",
         ref="main/prepare/download_recognition_models.sh",
     ),
@@ -188,7 +193,7 @@ ARTIFACTS: tuple = (
         "recognition_unconstrained",
         "HumanAct12 recognition model adjusted for the unconstrained setting",
         (Source("gdrive", "1xfigimkPxKt3a8zvn_ME_NAR6CyTqneK"),),
-        "assets/actionrecognition",
+        "assets/actionrecognition", "humanact12_gru_unconstrained.tar",
         consumer="diffusestylegesture_tpu.eval.unconstrained (KID/precision-recall)",
         ref="main/prepare/download_recognition_unconstrained_models.sh",
     ),
@@ -196,7 +201,7 @@ ARTIFACTS: tuple = (
         "smpl_files",
         "SMPL body-model files",
         (Source("gdrive", "1INYlGA76ak_cKGzvpOV2Pe6RkYTlXTW2"),),
-        "body_models", "smpl.zip", post="unzip",
+        "body_models", "smpl.zip", post="unzip", marker="smpl",
         consumer="python -c 'from diffusestylegesture_tpu.models import smpl' "
                  "(+ its pkl->npz converter)",
         ref="main/prepare/download_smpl_files.sh",
@@ -205,7 +210,7 @@ ARTIFACTS: tuple = (
         "t2m_evaluators",
         "T2M evaluator checkpoints (t2m.zip)",
         (Source("gdrive", "1DSaKqWX2HlwBtVH5l7DdW96jeYUIXsOP"),),
-        ".", "t2m.zip", post="unzip",
+        ".", "t2m.zip", post="unzip", marker="t2m",
         consumer="diffusestylegesture_tpu.eval.t2m_evaluator (converter in module)",
         ref="main/prepare/download_t2m_evaluators.sh",
     ),
@@ -213,7 +218,7 @@ ARTIFACTS: tuple = (
         "kit_evaluators",
         "KIT evaluator checkpoints (kit.zip)",
         (Source("gdrive", "1tX79xk0fflp07EZ660Xz1RAFE33iEyJR"),),
-        ".", "kit.zip", post="unzip",
+        ".", "kit.zip", post="unzip", marker="kit",
         consumer="diffusestylegesture_tpu.eval.t2m_evaluator",
         ref="main/prepare/download_t2m_evaluators.sh",
     ),
@@ -250,7 +255,7 @@ def gdrive_confirm_url(page: str) -> Optional[str]:
         return p.action + "?" + urllib.parse.urlencode(p.fields)
     m = re.search(r"confirm=([0-9A-Za-z_\-]+)", page)
     if m:
-        return None if not m else m.group(0)  # legacy token, caller appends
+        return m.group(0)  # legacy token, caller appends to the uc URL
     return None
 
 
@@ -298,6 +303,13 @@ def fetch_gdrive(file_id: str, out_path: pathlib.Path, timeout: float = 60.0) ->
         confirmed = url + "&" + confirmed
     req = urllib.request.Request(confirmed, headers={"User-Agent": "dsg-tpu-fetch/1.0"})
     with urllib.request.urlopen(req, timeout=timeout) as resp:
+        # a second HTML page means quota/permission wall — do NOT stream
+        # it into the artifact file and call it a download
+        if "text/html" in resp.headers.get("Content-Type", ""):
+            raise RuntimeError(
+                f"Google Drive answered the confirmed URL for {file_id} "
+                "with another HTML page (quota exceeded or cookie-gated) "
+                "— use the manual mirror.")
         _stream_to(resp, out_path, out_path.name)
 
 
@@ -318,8 +330,10 @@ def post_extract(archive: pathlib.Path, dest_dir: pathlib.Path, mode: str) -> No
 # --------------------------------------------------------------------------
 def artifact_status(a: Artifact, dest_root: pathlib.Path) -> str:
     d = dest_root / a.dest
-    if a.filename and a.post == "":
-        return "present" if (d / a.filename).exists() else "missing"
+    marker = a.marker or (a.filename if a.post == "" else "")
+    if marker:
+        return "present" if (d / marker).exists() else "missing"
+    # manual multi-file artifacts (datasets): any content in their own dir
     if d.exists() and any(d.iterdir()):
         return "present"
     return "missing"
@@ -354,12 +368,17 @@ def fetch_one(a: Artifact, dest_root: pathlib.Path) -> bool:
             if a.consumer:
                 print(f"  next: {a.consumer}")
             return True
+        except urllib.error.HTTPError as e:
+            # a real HTTP status — the network is fine, the URL is not
+            print(f"[{a.name}] HTTP {e.code} {e.reason} from {e.url} — "
+                  "the artifact may have moved; try a manual mirror "
+                  "(--list).")
         except urllib.error.URLError as e:
-            print(f"[{a.name}] network unavailable ({e.reason}); "
-                  f"trying next source" if src is not a.sources[-1] else
-                  f"[{a.name}] network unavailable ({e.reason}). This "
-                  "environment has no egress — run on a connected machine or "
-                  "use the manual mirror(s) listed by --list.")
+            more = "trying next source" if src is not a.sources[-1] else (
+                "no route to the host — on a zero-egress machine this is "
+                "expected; run on a connected machine or use the manual "
+                "mirror(s) listed by --list")
+            print(f"[{a.name}] network unavailable ({e.reason}); {more}.")
         except Exception as e:  # quota walls, bad archives, ...
             print(f"[{a.name}] {type(e).__name__}: {e}")
     return False
@@ -392,10 +411,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     unknown = [n for n in names if n not in BY_NAME]
     if unknown:
         ap.error(f"unknown artifact(s): {unknown}; see --list")
+    manual = [n for n in names
+              if all(s.kind == "manual" for s in BY_NAME[n].sources)]
+    fetchable = [n for n in names if n not in manual]
     ok = sum(fetch_one(BY_NAME[n], args.dest) for n in names)
-    print(f"fetched {ok}/{len(names)}")
-    return 0 if ok == len(names) else 1
+    print(f"fetched {ok}/{len(fetchable)} downloadable"
+          + (f"; {len(manual)} manual artifact(s) listed above" if manual
+             else ""))
+    return 0 if ok == len(fetchable) else 1
 
 
 if __name__ == "__main__":
+    # behave under `| head` (SIGPIPE default action instead of a traceback)
+    import signal
+    if hasattr(signal, "SIGPIPE"):
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     raise SystemExit(main())

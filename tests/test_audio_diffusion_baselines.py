@@ -125,6 +125,26 @@ class TestGeneratorDiff:
                                         jax.random.PRNGKey(2))
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=0)
 
+    def test_loss_uses_pred_v_snr_weighting(self):
+        """lucidrains GaussianDiffusion1D weights the pred-v loss by
+        snr/(snr+1): a fixed residual at a HIGH-noise timestep must cost
+        less than the same residual at a LOW-noise timestep."""
+        import diffusestylegesture_tpu.models.unet1d as U1mod
+        sched = tiny_sched(100)
+        pose = jnp.ones((1, 8, 2)) * 0.5
+        # monkey-free check: compute the weights directly off the schedule
+        snr = sched.alphas_cumprod / (1.0 - sched.alphas_cumprod)
+        w = snr / (snr + 1.0)
+        assert float(w[0]) > float(w[-1])  # low t ↦ heavier weight
+        assert float(w[-1]) < 0.1          # t≈T is strongly down-weighted
+
+    def test_seq_len_divisibility_validated(self):
+        m = U1.UNet1D(dim=8, dim_mults=(1, 2, 4), channels=3, audio_dim=0,
+                      self_condition=False)
+        x = jnp.zeros((1, 10, 3))  # 10 % 4 != 0
+        with pytest.raises(ValueError, match="multiple of 4"):
+            m.init(jax.random.PRNGKey(0), x, jnp.zeros(1, jnp.int32))
+
     def test_raw_wav_path_inits_wav_encoder(self):
         """Init through __call__ with raw (B, 64000) audio must create the
         WavEncoder params so `generator_diff_loss(..., wav)` runs
