@@ -149,17 +149,27 @@ def main(argv=None):
         from ..audio.features import detect_onsets
         from ..data.zeggs import load_wav_16k
 
-        scores = []
-        for name, motion in gen.items():
-            wav_path = os.path.join(args.wav, name + ".wav")
-            if not os.path.exists(wav_path):
-                continue
-            onsets = detect_onsets(load_wav_16k(wav_path))
-            score = beat_alignment(motion, onsets, args.fps, sigma=args.sigma)
-            if np.isfinite(score):
-                scores.append(score)
+        def _score_set(clips):
+            scores = []
+            for name, motion in clips.items():
+                wav_path = os.path.join(args.wav, name + ".wav")
+                if not os.path.exists(wav_path):
+                    continue
+                onsets = detect_onsets(load_wav_16k(wav_path))
+                s = beat_alignment(motion, onsets, args.fps, sigma=args.sigma)
+                if np.isfinite(s):
+                    scores.append(s)
+            return scores
+
+        scores = _score_set(gen)
         out["beat_alignment"] = float(np.mean(scores)) if scores else None
         out["beat_alignment_clips"] = len(scores)
+        # ground-truth anchor: the REFERENCE set's own beat alignment on
+        # the same audio — without it the generated score has no absolute
+        # scale (the metric's ceiling depends on corpus stroke sharpness)
+        ref_scores = _score_set(ref)
+        out["beat_alignment_reference"] = (
+            float(np.mean(ref_scores)) if ref_scores else None)
 
     print(json.dumps(out))
     return out

@@ -527,6 +527,10 @@ def _aggregate_reps(rep_metrics: list, fps_val: float, streams: int) -> dict:
         "beat_alignment": (None if np.isnan(beat).all()
                            else float(np.nanmean(beat))),
         "beat_alignment_reps": [float(x) for x in beat],
+        # ground-truth anchor for the beat column (same audio, REFERENCE
+        # motion) — noise-independent, so rep 0 suffices
+        "beat_alignment_reference": rep_metrics[0].get(
+            "beat_alignment_reference"),
         "seed_reps": len(rep_metrics),
         # throughput of the R-replicate batched generation (all streams);
         # single-stream latency/throughput claims come from bench.py, not
@@ -1614,14 +1618,16 @@ def write_demo_md(report: dict, workdir: str) -> None:
                       f"({(1 - last / first) * 100:.1f}% reduction).", ""]
         lines += ["### Serving modes vs ground truth", "",
                   "| mode | FGD (AE embedding) | diversity (gen/ref) | "
-                  "beat align | gen fps (all streams) |",
+                  "beat align (gen/ref) | gen fps (all streams) |",
                   "|---|---|---|---|---|"]
         for name, m in rep.get("modes", {}).items():
+            beat_ref = m.get("beat_alignment_reference")
+            beat_ref_s = f"{beat_ref:.3f}" if beat_ref is not None else "—"
             lines.append(
                 f"| {name} | {m['fgd']:.1f} ± {m.get('fgd_std', 0):.1f} | "
                 f"{m['diversity_generated']:.2f}/"
                 f"{m['diversity_reference']:.2f} | "
-                f"{_nanf(m.get('beat_alignment')):.3f} | "
+                f"{_nanf(m.get('beat_alignment')):.3f}/{beat_ref_s} | "
                 f"{m.get('gen_frames_per_sec', 0)} |")
         man = rep.get("manifest", {})
         lines += ["", f"Gate: baseline `{man.get('baseline')}` "

@@ -111,6 +111,8 @@ class TestEvalCLI:
         assert out["diversity_generated"] > 0
         assert out["beat_alignment_clips"] == 3
         assert 0 <= out["beat_alignment"] <= 1
+        # ground-truth anchor: the reference set scored on the same audio
+        assert 0 <= out["beat_alignment_reference"] <= 1
 
     def test_raw_mode_autoswitches_on_huge_windows(self, tmp_path, capsys):
         """Default --embedding raw with window·D beyond the covariance-FGD
