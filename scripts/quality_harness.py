@@ -411,10 +411,16 @@ def _write_gen_sidecar(gen_root, mode_name, fps_val, frames, train_steps,
     finished ZEGGS family) can resume without regenerating: the .npy
     replicates are already on disk; the only non-derivable facts are the
     measured warm fps and the checkpoint the arrays came from."""
+    side = {"fps": fps_val, "frames": frames,
+            "train_steps": train_steps, "seed_reps": SEED_REPS,
+            "noise_seed": NOISE_SEED, "clips": sorted(clips)}
+    if mode_name.startswith("distill"):
+        # a distilled student's weights depend on the distillation budget
+        # — without this key a re-run with a different QH_DISTILL_STEPS
+        # would silently reuse the old students' generations
+        side["distill_steps"] = int(os.environ.get("QH_DISTILL_STEPS", "400"))
     with open(_gen_sidecar_path(gen_root, mode_name), "w") as f:
-        json.dump({"fps": fps_val, "frames": frames,
-                   "train_steps": train_steps, "seed_reps": SEED_REPS,
-                   "noise_seed": NOISE_SEED, "clips": sorted(clips)}, f)
+        json.dump(side, f)
 
 
 def _reusable_gen(gen_root, mode_name, train_steps, clips):
@@ -435,6 +441,9 @@ def _reusable_gen(gen_root, mode_name, train_steps, clips):
             or side.get("seed_reps") != SEED_REPS
             or side.get("noise_seed") != NOISE_SEED
             or side.get("clips") != sorted(clips)):
+        return None
+    if mode_name.startswith("distill") and side.get("distill_steps") != int(
+            os.environ.get("QH_DISTILL_STEPS", "400")):
         return None
     for r in range(SEED_REPS):
         rd = os.path.join(gen_root, mode_name, f"rep{r}")
