@@ -416,9 +416,10 @@ def _write_gen_sidecar(gen_root, mode_name, fps_val, frames, train_steps,
             "noise_seed": NOISE_SEED, "clips": sorted(clips)}
     if mode_name.startswith("distill"):
         # a distilled student's weights depend on the distillation budget
-        # — without this key a re-run with a different QH_DISTILL_STEPS
+        # and LR — without these keys a re-run with different QH_DISTILL_*
         # would silently reuse the old students' generations
         side["distill_steps"] = int(os.environ.get("QH_DISTILL_STEPS", "400"))
+        side["distill_lr"] = float(os.environ.get("QH_DISTILL_LR", "2e-4"))
     with open(_gen_sidecar_path(gen_root, mode_name), "w") as f:
         json.dump(side, f)
 
@@ -442,8 +443,11 @@ def _reusable_gen(gen_root, mode_name, train_steps, clips):
             or side.get("noise_seed") != NOISE_SEED
             or side.get("clips") != sorted(clips)):
         return None
-    if mode_name.startswith("distill") and side.get("distill_steps") != int(
-            os.environ.get("QH_DISTILL_STEPS", "400")):
+    if mode_name.startswith("distill") and (
+            side.get("distill_steps") != int(
+                os.environ.get("QH_DISTILL_STEPS", "400"))
+            or side.get("distill_lr") != float(
+                os.environ.get("QH_DISTILL_LR", "2e-4"))):
         return None
     for r in range(SEED_REPS):
         rd = os.path.join(gen_root, mode_name, f"rep{r}")
@@ -1040,6 +1044,9 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report,
     cache = DeviceWindowCache.from_zeggs(ds)
     batch_size = 48
     base_steps = int(os.environ.get("QH_DISTILL_STEPS", "400"))
+    # finetune-scale peak LR: the student starts AT the teacher's weights;
+    # 2e-4 (r4/r5 default) measurably destabilized well-trained teachers
+    peak_lr = float(os.environ.get("QH_DISTILL_LR", "2e-4"))
     ema_decay = 0.995
 
     report["distill_steps_per_stage"] = base_steps
@@ -1054,8 +1061,10 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report,
             return model_apply(p, x, t, cond)
 
         lr_sched = optax.warmup_cosine_decay_schedule(
-            0.0, 2e-4, warmup_steps=min(100, max(steps_this_stage // 10, 1)),
-            decay_steps=max(steps_this_stage, 1), end_value=1e-5)
+            0.0, peak_lr,
+            warmup_steps=min(100, max(steps_this_stage // 10, 1)),
+            decay_steps=max(steps_this_stage, 1),
+            end_value=min(1e-5, peak_lr / 10))
 
         def _make(tp, _sched=sched_t, _lr=lr_sched):
             return make_distill_step(
