@@ -1038,6 +1038,27 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report,
 
     ds = ZeggsWindowDataset(os.path.join(data_dir, "train"), None)
     builder = make_zeggs_cond_builder(N_SEED)
+    # per-stage student cache: the distillation chain is deterministic
+    # given (teacher checkpoint step, budgets, LR, EMA decay) — PRNGKey
+    # is fixed per stage — so a second-seed stability replay
+    # (QH_NOISE_SEED + compare_quality_runs.py) must not pay the ~30 min
+    # of chip time to re-derive bit-identical students
+    students_dir = os.path.join(os.path.dirname(data_dir.rstrip("/")),
+                                "distill_students")
+    os.makedirs(students_dir, exist_ok=True)
+
+    def _save_tree(path, tree):
+        import numpy as _np
+        leaves = jax.tree_util.tree_leaves(tree)
+        _np.savez(path, **{f"a{i}": _np.asarray(v)
+                           for i, v in enumerate(leaves)})
+
+    def _load_tree(path, template):
+        import numpy as _np
+        data = _np.load(path)
+        treedef = jax.tree_util.tree_structure(template)
+        return jax.tree_util.tree_unflatten(
+            treedef, [data[f"a{i}"] for i in range(len(data.files))])
     # device-resident windows: per-step host batches (~24 MB each) through
     # a tunneled backend dominated stage wall time (measured 18.6 min per
     # 400-step stage); the in-jit gather removes the transfer entirely
@@ -1056,6 +1077,38 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report,
     for stage in range(stages):
         nt = sched_t.num_timesteps
         steps_this_stage = _stage_budget(nt, base_steps)
+
+        stage_key = {"teacher_train_steps": report.get("train_steps"),
+                     "stage": stage + 1, "teacher_steps": nt,
+                     "opt_steps": steps_this_stage, "peak_lr": peak_lr,
+                     "ema_decay": ema_decay, "batch_size": batch_size,
+                     "diffusion_steps": DIFFUSION_STEPS}
+        cache_npz = os.path.join(students_dir, f"stage{stage + 1}.npz")
+        cache_meta = os.path.join(students_dir, f"stage{stage + 1}.json")
+        cached = None
+        if os.path.exists(cache_npz) and os.path.exists(cache_meta):
+            try:
+                with open(cache_meta) as f:
+                    meta = json.load(f)
+                if meta.get("key") == stage_key:
+                    cached = meta
+            except (json.JSONDecodeError, OSError):
+                cached = None
+        if cached is not None:
+            ema_params = _load_tree(cache_npz, teacher_params)
+            print(f"   distill stage {stage + 1}/{stages}: {nt}→{nt // 2} "
+                  f"steps — cached student reused ({cache_npz})")
+            report.setdefault("distill", []).append(
+                {"stage": stage + 1, "teacher_steps": nt,
+                 "loss": cached["loss"], "opt_steps": steps_this_stage,
+                 "cached": True})
+            sched_t = student_schedule(
+                sched_t, D.named_beta_schedule("cosine", DIFFUSION_STEPS))
+            teacher_params = ema_params
+            if (stage + 1) in eval_stages or stage == stages - 1:
+                out_modes[f"distill{sched_t.num_timesteps}"] = (
+                    model_apply, ema_params, sched_t, "ddim")
+            continue
 
         def student_apply(p, x, t, cond):
             return model_apply(p, x, t, cond)
@@ -1123,6 +1176,9 @@ def distill_student(model_apply, params, full_sched, data_dir, stages, report,
         report.setdefault("distill", []).append(
             {"stage": stage + 1, "teacher_steps": nt, "loss": loss,
              "opt_steps": steps_this_stage})
+        _save_tree(cache_npz, ema_params)
+        with open(cache_meta, "w") as f:
+            json.dump({"key": stage_key, "loss": loss}, f)
         sched_t = student_schedule(sched_t, D.named_beta_schedule("cosine", DIFFUSION_STEPS))
         # EMA weights serve AND teach the next stage (less last-batch
         # noise than the raw student — standard distillation practice)
