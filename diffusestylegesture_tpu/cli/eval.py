@@ -16,7 +16,12 @@ clips (T, D) or a single `.npy`. Reported:
     when no trained embedding network is available),
   * diversity of both sets,
   * beat-alignment vs audio onsets when `--wav` is given (matched by
-    filename stem).
+    filename stem),
+  * velocity retention per stem-matched clip pair: mean |frame delta| of
+    the generated clip over the reference clip on the same stem. A
+    near-zero ratio is frozen motion — a failure mode FGD-with-outlier-
+    rejection can mask (measured: distilled students emitting a static
+    pose on ~10% of noise draws still averaged within FGD tolerance).
 Prints one JSON line.
 """
 from __future__ import annotations
@@ -73,6 +78,11 @@ def main(argv=None):
                         "modes) train the embedding once and share one "
                         "latent space. Do not reuse across different "
                         "reference sets/window sizes")
+    p.add_argument("--frozen_vel_ratio", type=float, default=0.25,
+                   help="a generated clip whose mean |frame delta| falls "
+                        "below this fraction of its stem-matched reference "
+                        "clip's counts as frozen motion (healthy samples "
+                        "measure >=0.8, collapsed ones ~0.1)")
     p.add_argument("--kid", action="store_true",
                    help="also report KID (polynomial-MMD) and improved "
                         "precision/recall over the same feature space "
@@ -126,6 +136,20 @@ def main(argv=None):
         gf = embed_windows(params, cfg, gw)
         rf = embed_windows(params, cfg, rw)
 
+    # velocity retention over stem-matched pairs (independent of the
+    # embedding space: computed on the raw pose features)
+    vel_ratios = {}
+    for name, motion in gen.items():
+        if name not in ref or len(motion) < 2 or len(ref[name]) < 2:
+            continue
+        rv = float(np.abs(np.diff(np.asarray(ref[name], np.float64),
+                                  axis=0)).mean())
+        gv = float(np.abs(np.diff(np.asarray(motion, np.float64),
+                                  axis=0)).mean())
+        vel_ratios[name] = gv / max(rv, 1e-12)
+    frozen = sorted(n for n, r in vel_ratios.items()
+                    if r < args.frozen_vel_ratio)
+
     out = {
         "fgd": frechet_distance(gf, rf),
         "embedding": args.embedding,
@@ -133,6 +157,13 @@ def main(argv=None):
         "diversity_reference": diversity(rf, min(300, len(rf) * 2)),
         "n_windows_generated": int(len(gf)),
         "n_windows_reference": int(len(rf)),
+        "velocity_retention_min": (min(vel_ratios.values())
+                                   if vel_ratios else None),
+        "velocity_retention_mean": (float(np.mean(list(vel_ratios.values())))
+                                    if vel_ratios else None),
+        "velocity_clips_matched": len(vel_ratios),
+        "frozen_clips": len(frozen),
+        "frozen_clip_stems": frozen,
     }
 
     if args.kid:

@@ -48,6 +48,15 @@ hyper-stable metric refusing sub-percent differences (and is 15× tighter
 than the round-2/3 fixed 1.5). Each mode also reports a 95% CI on its
 ratio from per-replicate spread.
 
+Frozen-draw census (r5 seed-stability fix): every (replicate × clip)
+draw is additionally checked for velocity retention against its
+stem-matched reference clip (cli.eval). Mid-ladder distilled students
+emit a near-static pose (retention ~0.10) on ~10% of noise draws; the
+235..1124 FGD those reps score averages INSIDE tolerance under one seed
+and outside under another, flipping verdicts — while the census is
+stable under both. A mode with ANY frozen draw is refused; a baseline
+with one marks the family collapsed.
+
 Env knobs: QH_FAMILIES (default "zeggs,twh"), QH_STEPS (ZEGGS train
 steps, default 3000), QH_TWH_STEPS (default = QH_STEPS), QH_SEED_REPS
 (default 8), QH_NOISE_SEED (master generation-noise seed, default
@@ -544,6 +553,20 @@ def _aggregate_reps(rep_metrics: list, fps_val: float, streams: int) -> dict:
         # motion) — noise-independent, so rep 0 suffices
         "beat_alignment_reference": rep_metrics[0].get(
             "beat_alignment_reference"),
+        # frozen-motion census (cli.eval velocity retention): total count
+        # of (replicate, clip) draws that produced near-static motion.
+        # None when re-aggregating a pre-metric report — build_manifest
+        # then skips the frozen gate rather than silently passing it
+        "frozen_draws": (
+            None if any(m.get("frozen_clips") is None for m in rep_metrics)
+            else int(sum(m["frozen_clips"] for m in rep_metrics))),
+        "frozen_draws_total": int(sum(
+            m.get("velocity_clips_matched") or 0 for m in rep_metrics)),
+        "velocity_retention_min": (
+            None if any(m.get("velocity_retention_min") is None
+                        for m in rep_metrics)
+            else float(min(m["velocity_retention_min"]
+                           for m in rep_metrics))),
         "seed_reps": len(rep_metrics),
         # throughput of the R-replicate batched generation (all streams);
         # single-stream latency/throughput claims come from bench.py, not
@@ -931,6 +954,10 @@ def build_manifest(report: dict) -> dict:
             f"baseline FGD sd/mean {fgd_spread:.2e} across {R} "
             f"independent-noise replicates (floor {BASELINE_FGD_SPREAD_MIN:g}"
             ") — output is noise-independent")
+    if base.get("frozen_draws"):
+        collapse_reasons.append(
+            f"baseline produced {base['frozen_draws']} frozen-motion "
+            f"draw(s) out of {base.get('frozen_draws_total')}")
 
     if R > 1:
         # the FGD ratio of a mode with IDENTICAL true quality to the
@@ -984,6 +1011,15 @@ def build_manifest(report: dict) -> dict:
             m.get("diversity_generated_reps")
             or [m["diversity_generated"]])
         div_ratio = float(np.mean(m_div_reps)) / base_div
+        # zero tolerance for frozen draws: a mode that emits a static
+        # pose on ANY of its (replicate × clip) draws is broken for
+        # serving no matter how the FGD mean averages out — and because
+        # mid-ladder distilled students freeze on ~10% of draws, an
+        # 8-replicate FGD gate flips verdicts between seeds while this
+        # census is stable (seed 123456 and 777 both catch them).
+        # frozen_draws=None (pre-metric report) leaves the FGD gate in
+        # charge, recorded as frozen_draws: null
+        frozen = m.get("frozen_draws")
         manifest["modes"][mode_name] = {
             "fgd": m_mean, "fgd_std": m_std,
             "fgd_ratio": round(ratio, 3),
@@ -991,9 +1027,12 @@ def build_manifest(report: dict) -> dict:
             "beat_alignment": m.get("beat_alignment"),
             "diversity_ratio_vs_baseline": round(div_ratio, 3),
             "outliers_dropped": m_dropped + md_dropped,
+            "frozen_draws": frozen,
+            "velocity_retention_min": m.get("velocity_retention_min"),
             # no mode of a collapsed family may certify fast serving
             "ok": bool(not collapse_reasons and ratio <= tol
-                       and div_ratio >= DIVERSITY_RATIO_MIN),
+                       and div_ratio >= DIVERSITY_RATIO_MIN
+                       and not frozen),
         }
     return manifest
 

@@ -200,3 +200,46 @@ class TestCLIImports:
         for m in ("train", "sample", "sample_beat", "prepare_data", "convert_ckpt",
                   "zeroeggs", "eval", "serve", "distill"):
             importlib.import_module(f"diffusestylegesture_tpu.cli.{m}")
+
+
+class TestVelocityRetention:
+    def test_frozen_clip_detected(self, tmp_path):
+        import json
+
+        from diffusestylegesture_tpu.cli.eval import main
+
+        rng = np.random.default_rng(3)
+        gen_dir, ref_dir = tmp_path / "g", tmp_path / "r"
+        gen_dir.mkdir(); ref_dir.mkdir()
+        for i in range(3):
+            ref = rng.standard_normal((120, 9)).astype(np.float32)
+            np.save(ref_dir / f"clip{i}.npy", ref)
+            if i == 1:  # frozen: one pose repeated for the whole clip
+                np.save(gen_dir / f"clip{i}.npy",
+                        np.tile(ref[:1], (120, 1)))
+            else:
+                np.save(gen_dir / f"clip{i}.npy",
+                        rng.standard_normal((120, 9)).astype(np.float32))
+        out = main(["--generated", str(gen_dir), "--reference",
+                    str(ref_dir), "--window", "20", "--stride", "10"])
+        assert out["velocity_clips_matched"] == 3
+        assert out["frozen_clips"] == 1
+        assert out["frozen_clip_stems"] == ["clip1"]
+        assert out["velocity_retention_min"] < 0.01
+        # healthy iid-noise clips retain ~1x the reference velocity
+        assert out["velocity_retention_mean"] < 1.5
+        assert json.dumps(out)  # JSON-serializable
+
+    def test_unmatched_stems_report_none(self, tmp_path):
+        from diffusestylegesture_tpu.cli.eval import main
+
+        rng = np.random.default_rng(4)
+        gen_dir, ref_dir = tmp_path / "g", tmp_path / "r"
+        gen_dir.mkdir(); ref_dir.mkdir()
+        np.save(gen_dir / "a.npy", rng.standard_normal((60, 5)).astype(np.float32))
+        np.save(ref_dir / "b.npy", rng.standard_normal((60, 5)).astype(np.float32))
+        out = main(["--generated", str(gen_dir), "--reference",
+                    str(ref_dir), "--window", "20", "--stride", "10"])
+        assert out["velocity_clips_matched"] == 0
+        assert out["velocity_retention_min"] is None
+        assert out["frozen_clips"] == 0

@@ -198,3 +198,84 @@ def test_rebuild_with_no_gate_write_leaves_shipped_gate_alone(tmp_path):
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestFrozenDrawGate:
+    """Zero tolerance for frozen-motion draws (the r5 seed-stability
+    failure: mid-ladder distilled students emit a static pose on ~10% of
+    noise draws; with 8 replicates the FGD gate's verdict flips between
+    seeds while the frozen census catches them under both)."""
+
+    def _healthy(self):
+        return _mode([2141.0, 2200.0, 2100.0, 2180.0, 2090.0],
+                     [13.8, 13.2, 14.1, 13.5, 13.9])
+
+    def test_single_frozen_draw_refuses_mode(self):
+        base = self._healthy()
+        base.update(frozen_draws=0, frozen_draws_total=40,
+                    velocity_retention_min=0.86)
+        # FGD/diversity alone would pass — the seed-123456 r5 numbers
+        fast = _mode([2105.0, 2160.0, 2080.0, 2150.0, 2060.0],
+                     [13.7, 13.1, 14.0, 13.4, 13.8])
+        fast.update(frozen_draws=1, frozen_draws_total=40,
+                    velocity_retention_min=0.105)
+        man = qh.build_manifest(_report({"ddpm1000": base,
+                                         "distill31": fast}))
+        entry = man["modes"]["distill31"]
+        assert entry["frozen_draws"] == 1
+        assert entry["ok"] is False
+
+    def test_zero_frozen_draws_pass(self):
+        base = self._healthy()
+        base.update(frozen_draws=0, frozen_draws_total=40,
+                    velocity_retention_min=0.86)
+        fast = _mode([2105.0, 2160.0, 2080.0, 2150.0, 2060.0],
+                     [13.7, 13.1, 14.0, 13.4, 13.8])
+        fast.update(frozen_draws=0, frozen_draws_total=40,
+                    velocity_retention_min=0.83)
+        man = qh.build_manifest(_report({"ddpm1000": base,
+                                         "distill3": fast}))
+        assert man["modes"]["distill3"]["ok"] is True
+
+    def test_pre_metric_report_leaves_fgd_gate_in_charge(self):
+        # --rebuild over a report written before the velocity metric:
+        # frozen_draws is absent -> None, verdicts unchanged
+        man = qh.build_manifest(_report({"ddpm1000": self._healthy(),
+                                         "ddim100": self._healthy()}))
+        entry = man["modes"]["ddim100"]
+        assert entry["frozen_draws"] is None
+        assert entry["ok"] is True
+
+    def test_frozen_baseline_collapses_family(self):
+        base = self._healthy()
+        base.update(frozen_draws=3, frozen_draws_total=40,
+                    velocity_retention_min=0.09)
+        man = qh.build_manifest(_report({"ddpm1000": base,
+                                         "ddim100": self._healthy()}))
+        assert man["collapsed"] is True
+        assert any("frozen" in r for r in man["collapse_reasons"])
+        assert man["modes"]["ddim100"]["ok"] is False
+
+    def test_aggregate_reps_counts_frozen(self):
+        reps = [
+            {"fgd": 10.0, "diversity_generated": 13.0,
+             "diversity_reference": 70.0, "beat_alignment": 0.6,
+             "beat_alignment_reference": 0.4, "frozen_clips": 0,
+             "velocity_clips_matched": 5, "velocity_retention_min": 0.9},
+            {"fgd": 230.0, "diversity_generated": 9.0,
+             "diversity_reference": 70.0, "beat_alignment": 0.6,
+             "beat_alignment_reference": 0.4, "frozen_clips": 1,
+             "velocity_clips_matched": 5, "velocity_retention_min": 0.11},
+        ]
+        entry = qh._aggregate_reps(reps, 1000.0, 2)
+        assert entry["frozen_draws"] == 1
+        assert entry["frozen_draws_total"] == 10
+        assert entry["velocity_retention_min"] == pytest.approx(0.11)
+
+    def test_aggregate_reps_pre_metric_is_none(self):
+        reps = [{"fgd": 10.0, "diversity_generated": 13.0,
+                 "diversity_reference": 70.0, "beat_alignment": 0.6,
+                 "beat_alignment_reference": 0.4}] * 2
+        entry = qh._aggregate_reps(reps, 1000.0, 2)
+        assert entry["frozen_draws"] is None
+        assert entry["velocity_retention_min"] is None
