@@ -126,7 +126,22 @@ def main(argv=None):
                 f"ae_params_w{args.window}_l{args.ae_latent}"
                 f"_s{args.ae_steps}"))
             if os.path.exists(cache_path):
-                params = ocp.StandardCheckpointer().restore(cache_path)
+                try:
+                    params = ocp.StandardCheckpointer().restore(cache_path)
+                except ValueError:
+                    # cross-platform: a TPU-process-saved cache records
+                    # TPU shardings that don't resolve under
+                    # JAX_PLATFORMS=cpu — re-read as host numpy
+                    import jax
+
+                    ckptr = ocp.PyTreeCheckpointer()
+                    meta = ckptr.metadata(cache_path)
+                    meta_tree = getattr(meta, "item_metadata", meta)
+                    restore_args = jax.tree_util.tree_map(
+                        lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+                        getattr(meta_tree, "tree", meta_tree))
+                    params = ckptr.restore(cache_path,
+                                           restore_args=restore_args)
         if params is None:
             params, _ = train_autoencoder(rw, cfg, num_steps=args.ae_steps)
             if args.ae_cache:

@@ -44,10 +44,28 @@ def load_orbax_params(model_path: str, use_ema: bool = False):
     steps = [int(d) for d in os.listdir(path) if d.isdigit()]
     if steps:
         mgr = ocp.CheckpointManager(path)
-        tree = mgr.restore(max(steps))
+        try:
+            tree = mgr.restore(max(steps))
+        except ValueError:
+            # cross-platform restore: a TPU-saved checkpoint records TPU
+            # device shardings that don't resolve under JAX_PLATFORMS=cpu
+            # ("Device TPU v5 lite0 was not found") — re-read as host
+            # numpy; jit re-places the params on first use
+            tree = mgr.restore(max(steps), args=ocp.args.PyTreeRestore())
         mgr.close()
     else:
-        tree = ocp.StandardCheckpointer().restore(path)
+        try:
+            tree = ocp.StandardCheckpointer().restore(path)
+        except ValueError:
+            import numpy as np
+
+            ckptr = ocp.PyTreeCheckpointer()
+            meta = ckptr.metadata(path)
+            meta_tree = getattr(meta, "item_metadata", meta)
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+                getattr(meta_tree, "tree", meta_tree))
+            tree = ckptr.restore(path, restore_args=restore_args)
     if isinstance(tree, dict) and "opt_state" in tree:  # full TrainState
         if use_ema and tree.get("ema_params") is not None:
             tree = tree["ema_params"]

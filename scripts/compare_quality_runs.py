@@ -48,9 +48,14 @@ def main(argv=None) -> int:
             same = x == y
             mismatches += 0 if same else 1
             def s(v):
-                return "?" if v is None else ("OK" if v else "DEGRADED")
-            print(f"  {mode:24s} {s(x):>9s}  {s(y):>9s}  "
-                  f"{'==' if same else '!! MISMATCH'}")
+                if v is None:
+                    return "(absent)"
+                if mode == "__collapsed__":
+                    return "COLLAPSED" if v else "healthy"
+                return "OK" if v else "DEGRADED"
+            tag = "==" if same else (
+                "!! MISSING RUN" if x is None or y is None else "!! MISMATCH")
+            print(f"  {mode:24s} {s(x):>9s}  {s(y):>9s}  {tag}")
     print(f"\n{'IDENTICAL VERDICTS' if mismatches == 0 else str(mismatches) + ' verdict mismatch(es)'}"
           f" across the two runs")
     return 0 if mismatches == 0 else 1

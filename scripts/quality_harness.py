@@ -1763,9 +1763,14 @@ def write_demo_md(report: dict, workdir: str) -> None:
             ci_s = f" (95% CI {ci[0]}–{ci[1]})" if ci else ""
             drop_s = (f", {v['outliers_dropped']} outlier rep(s) dropped"
                       if v.get("outliers_dropped") else "")
+            froz_s = (
+                f", {v['frozen_draws']} FROZEN draw(s) (static pose, "
+                f"min velocity retention "
+                f"{v['velocity_retention_min']:.2f}×)"
+                if v.get("frozen_draws") else "")
             lines.append(
                 f"- `{name}`: ratio {v['fgd_ratio']}{ci_s}, diversity "
-                f"{v['diversity_ratio_vs_baseline']}×{drop_s} → "
+                f"{v['diversity_ratio_vs_baseline']}×{drop_s}{froz_s} → "
                 f"{'OK' if v['ok'] else 'DEGRADED (refused by the CLI)'}")
         if rep.get("distill"):
             lines += ["", "Distillation stages: " + ", ".join(
